@@ -1,0 +1,355 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** The declared query inventory (SURVEY.md §2.13, Q1–Q16).
+  *
+  * Q1–Q8 transplant the reference pipeline's semantics (hourly tumbling
+  * counts `update-contributor-scores.js:28-30,131`, daily ZUNIONSTORE
+  * rollup `:244-269`, top-K serving `README.md:146-150`, dedup
+  * `insert-events-into-db.lua:8-11`, pattern filter `insert-events.js:42`,
+  * JSON payload drill-down `insert-events-into-db.lua:14`, recent events
+  * `README.md:141-143`) onto the driver's `events` table. Q9–Q16 cover the
+  * capability categories the reference lacks (§2.12): multi-way joins,
+  * semi/anti joins, window functions, set ops, date math, text stats,
+  * vector similarity.
+  *
+  * Cross-engine determinism rules (§7.4.5): every query ends in a total
+  * ORDER BY; every floating aggregate is ROUNDed; window/day buckets are
+  * emitted as formatted strings (dodges timestamp-precision mismatches
+  * between Spark µs and DuckDB ns); every integral output is cast to
+  * BIGINT so the schema hash matches DuckDB's int64 counts.
+  */
+object CoreQueries {
+
+  /** Tumbling 1-hour bucket as a sortable string (UTC session TZ). */
+  private def hourBucket(ts: Column): Column =
+    date_format(date_trunc("hour", ts), "yyyy-MM-dd HH:mm:ss")
+
+  private def dayBucket(ts: Column): Column =
+    date_format(date_trunc("day", ts), "yyyy-MM-dd")
+
+  // Q1 — per (hour, event_type) count: the A1 tumbling-window count.
+  def hourlyCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(hourBucket($"ts").as("hour"), $"event_type")
+      .agg(count("*").as("n"))
+      .orderBy($"hour", $"event_type")
+  }
+
+  // Q2 — scored-event hourly per-user counts (A1 + F3 type filter).
+  def hourlyUserScores(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .filter($"event_type".isin("purchase", "signup"))
+      .groupBy(hourBucket($"ts").as("hour"), $"user_id")
+      .agg(count("*").as("n"))
+      .orderBy($"hour", $"user_id")
+  }
+
+  /** Hourly scores with a real timestamp bucket — shared by Q3/Q4 so the
+    * daily rollup is genuinely computed FROM the hourly aggregate (the
+    * ZUNIONSTORE shape, A2), not recomputed from raw events. */
+  private def hourlyTs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .filter($"event_type".isin("purchase", "signup"))
+      .groupBy(date_trunc("hour", $"ts").as("hour_ts"), $"user_id")
+      .agg(count("*").as("n"))
+  }
+
+  // Q3 — daily rollup = SUM of hourly counts (A2/W2).
+  def dailyRollup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    hourlyTs(s, d)
+      .groupBy(dayBucket($"hour_ts").as("day"), $"user_id")
+      .agg(sum($"n").as("score"))
+      .orderBy($"day", $"user_id")
+  }
+
+  // Q4 — top-10 contributors for one day (T1/T2 serving query).
+  // orderBy+limit plans as TakeOrderedAndProject: true top-K, no full sort.
+  def top10UsersDay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    hourlyTs(s, d)
+      .filter(dayBucket($"hour_ts") === "2024-01-15")
+      .groupBy($"user_id")
+      .agg(sum($"n").as("score"))
+      .orderBy($"score".desc, $"user_id")
+      .limit(10)
+  }
+
+  // Q5 — dedup semantics (F4): events unioned with itself, total vs distinct.
+  def dedupCount(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.events(s, d).select($"event_id")
+    ids.unionAll(ids)
+      .agg(count("*").as("n_total"),
+           countDistinct($"event_id").as("n_distinct"))
+  }
+
+  // Q6 — regex exclusion filter, the bot-filter shape (F1/F2).
+  def patternFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .filter(!$"event_type".rlike("(^s|error$)"))
+      .agg(count("*").as("n_kept"))
+  }
+
+  // Q7 — JSON payload drill-down (C3): props.k bucketed mod 10.
+  def jsonExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select((get_json_object($"props", "$.k").cast("long") % 10).as("bucket"))
+      .groupBy($"bucket")
+      .agg(count("*").as("n"))
+      .orderBy($"bucket")
+  }
+
+  // Q8 — 10 most recent events (T3 serving query).
+  def recentEvents(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .orderBy($"ts".desc, $"event_id")
+      .limit(10)
+      .select($"event_id", $"event_type")
+  }
+
+  // Q9 — TPC-H Q1 shape: wide scan + hash aggregate, partial+final phases.
+  def pricingSummary(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" <= to_timestamp(lit("1998-09-02")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc"),
+        round(avg($"l_quantity"), 2).as("avg_qty"),
+        count("*").as("n"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  // Q10 — 4-way star join; region/nation/customer broadcast under AQE.
+  def join4way(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    broadcast(Tables.region(s, d))
+      .join(broadcast(Tables.nation(s, d)), $"r_regionkey" === $"n_regionkey")
+      .join(Tables.customer(s, d), $"n_nationkey" === $"c_nationkey")
+      .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey")
+      .groupBy($"r_name")
+      .agg(count("*").as("n_orders"),
+           round(sum($"o_totalprice"), 2).as("sum_price"))
+      .orderBy($"r_name")
+  }
+
+  // Q11 — semi/anti join counts in one row.
+  def semiAnti(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).select($"o_custkey")
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .agg(count("*").as("n_with_orders"))
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .agg(count("*").as("n_without_orders"))
+    semi.crossJoin(anti)
+  }
+
+  // Q12 — analytic window: top-3 customers per nation by balance.
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".desc, $"c_custkey")
+    Tables.customer(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 3)
+      .select($"c_nationkey".cast("long").as("c_nationkey"), $"rn",
+              $"c_custkey", round($"c_acctbal", 2).as("acctbal"))
+      .orderBy($"c_nationkey", $"rn")
+  }
+
+  // Q13 — set operations: EXCEPT ∪ INTERSECT over nation/region keys.
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val nk = Tables.nation(s, d).select($"n_regionkey".cast("long").as("key"))
+    val exceptPart = nk.except(
+      Tables.region(s, d).filter($"r_name".isin("AFRICA", "ASIA"))
+        .select($"r_regionkey".cast("long").as("key")))
+    val intersectPart = nk.intersect(
+      Tables.region(s, d).filter($"r_regionkey" < 2)
+        .select($"r_regionkey".cast("long").as("key")))
+    exceptPart.union(intersectPart).distinct().orderBy($"key")
+  }
+
+  // Q14 — date extraction + aggregate.
+  def dateMath(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy(month($"o_orderdate").cast("long").as("month"))
+      .agg(count("*").as("n"),
+           round(avg($"o_totalprice"), 2).as("avg_price"))
+      .orderBy($"month")
+  }
+
+  // Q15 — text stats per language.
+  def textStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy($"lang")
+      .agg(count("*").as("n"),
+           round(avg($"n_chars"), 2).as("avg_chars"),
+           max(length($"text")).cast("long").as("max_len"))
+      .orderBy($"lang")
+  }
+
+  /** Sequential left-fold dot product over double arrays — same
+    * accumulation order as a scalar loop, so both engines produce
+    * bitwise-identical sums before the final ROUND. Stays inside
+    * whole-stage codegen (no UDF). */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosineSim(a: Column, b: Column): Column =
+    dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+
+  // Q16 — brute-force cosine top-K against one query vector (the exact
+  // baseline for the ANN operators in SimilarityOps).
+  def knnCosine(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val q = emb.filter($"vec_id" === 0).select($"e".as("qe"))
+    emb.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", round(cosineSim($"e", $"qe"), 4).as("sim"))
+      .orderBy($"sim".desc, $"vec_id")
+      .limit(5)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_hourly_counts"      -> hourlyCounts _,
+    "q02_hourly_user_scores" -> hourlyUserScores _,
+    "q03_daily_rollup"       -> dailyRollup _,
+    "q04_top10_users_day"    -> top10UsersDay _,
+    "q05_dedup_count"        -> dedupCount _,
+    "q06_pattern_filter"     -> patternFilter _,
+    "q07_json_extract"       -> jsonExtract _,
+    "q08_recent_events"      -> recentEvents _,
+    "q09_pricing_summary"    -> pricingSummary _,
+    "q10_join_4way"          -> join4way _,
+    "q11_semi_anti"          -> semiAnti _,
+    "q12_window_rank"        -> windowRank _,
+    "q13_set_ops"            -> setOps _,
+    "q14_date_math"          -> dateMath _,
+    "q15_text_stats"         -> textStats _,
+    "q16_knn_cosine"         -> knnCosine _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_hourly_counts" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q02_hourly_user_scores" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |       user_id, CAST(count(*) AS BIGINT) AS n
+        |FROM events WHERE event_type IN ('purchase', 'signup')
+        |GROUP BY 1, 2 ORDER BY hour, user_id""".stripMargin,
+    "q03_daily_rollup" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, user_id, count(*) AS n
+        |  FROM events WHERE event_type IN ('purchase', 'signup') GROUP BY 1, 2)
+        |SELECT strftime(date_trunc('day', h), '%Y-%m-%d') AS day, user_id,
+        |       CAST(sum(n) AS BIGINT) AS score
+        |FROM hourly GROUP BY 1, 2 ORDER BY day, user_id""".stripMargin,
+    "q04_top10_users_day" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, user_id, count(*) AS n
+        |  FROM events WHERE event_type IN ('purchase', 'signup') GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n) AS BIGINT) AS score
+        |FROM hourly WHERE strftime(date_trunc('day', h), '%Y-%m-%d') = '2024-01-15'
+        |GROUP BY user_id ORDER BY score DESC, user_id LIMIT 10""".stripMargin,
+    "q05_dedup_count" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+        |FROM (SELECT event_id FROM events
+        |      UNION ALL SELECT event_id FROM events)""".stripMargin,
+    "q06_pattern_filter" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_kept FROM events
+        |WHERE NOT regexp_matches(event_type, '(^s|error$)')""".stripMargin,
+    "q07_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q08_recent_events" ->
+      """SELECT event_id, event_type FROM events
+        |ORDER BY ts DESC, event_id LIMIT 10""".stripMargin,
+    "q09_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       ROUND(sum(l_extendedprice), 2) AS sum_base,
+        |       ROUND(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc,
+        |       ROUND(avg(l_quantity), 2) AS avg_qty,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q10_join_4way" ->
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n_orders,
+        |       ROUND(sum(o_totalprice), 2) AS sum_price
+        |FROM region
+        |JOIN nation   ON r_regionkey = n_regionkey
+        |JOIN customer ON n_nationkey = c_nationkey
+        |JOIN orders   ON c_custkey = o_custkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q11_semi_anti" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer c
+        |   WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+        |    AS n_with_orders,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer c
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+        |    AS n_without_orders""".stripMargin,
+    "q12_window_rank" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, rn, c_custkey,
+        |       ROUND(c_acctbal, 2) AS acctbal
+        |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |               ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+        |      FROM customer)
+        |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+    "q13_set_ops" ->
+      """SELECT key FROM (
+        |  (SELECT CAST(n_regionkey AS BIGINT) AS key FROM nation
+        |   EXCEPT
+        |   SELECT CAST(r_regionkey AS BIGINT) AS key FROM region
+        |   WHERE r_name IN ('AFRICA', 'ASIA'))
+        |  UNION
+        |  (SELECT CAST(n_regionkey AS BIGINT) AS key FROM nation
+        |   INTERSECT
+        |   SELECT CAST(r_regionkey AS BIGINT) AS key FROM region
+        |   WHERE r_regionkey < 2)
+        |) ORDER BY key""".stripMargin,
+    "q14_date_math" ->
+      """SELECT CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS month,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(avg(o_totalprice), 2) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+    "q15_text_stats" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |       ROUND(avg(n_chars), 2) AS avg_chars,
+        |       CAST(max(length(text)) AS BIGINT) AS max_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q16_knn_cosine" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |       ROUND(list_dot_product(e.embedding::DOUBLE[], q.qe) /
+        |             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |              sqrt(list_dot_product(q.qe, q.qe))), 4) AS sim
+        |FROM embeddings e, q WHERE e.vec_id <> 0
+        |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+  )
+}
