@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.CoreQueries
+import graft.operators.{CoreQueries, DedupOps, MultimodalOps, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,12 +18,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CoreQueries.join4way(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data-pipeline extensions (dedup, similarity, text,
+    * multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries
+    CoreQueries.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
+      TextOps.queries ++ MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for the seeded-LSH/simhash ops
+    * (x03, x06, x12) → driver records rows-only checks; those are
+    * covered against exact baselines in the scalatest suite. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql
+    CoreQueries.oracleSql ++ DedupOps.oracleSql ++ SimilarityOps.oracleSql ++
+      TextOps.oracleSql ++ MultimodalOps.oracleSql
 }

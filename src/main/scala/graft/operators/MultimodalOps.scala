@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: media (image/audio/video) carried as
+  * opaque `binary` columns with typed metadata, processed partition-wise.
+  *
+  * The decode step itself is a clearly-marked deterministic FAKE (no
+  * image/audio codecs in this environment); everything around it — the
+  * schema, the binary column, the per-partition batching, the feature
+  * output shape — is real and is what matters for the Spark plan. At
+  * 100 TB the pattern is: binary payload + metadata in parquet, decode
+  * in `mapPartitions` (one codec init per partition, not per row),
+  * feature columns out, no driver involvement.
+  */
+object MultimodalOps {
+
+  /** A media row: payload + typed metadata, synthesized deterministically
+    * from `documents` (text bytes stand in for encoded media). */
+  case class MediaRow(doc_id: Long, source: String, media: Array[Byte],
+                      width: Int, height: Int, format: String)
+
+  /** Decoded features: fixed-shape per-frame summary. */
+  case class MediaFeatures(doc_id: Long, source: String, n_bytes: Long,
+                           n_frames: Long, mean_byte: Double)
+
+  /** documents → media table with binary payload + metadata. The width/
+    * height/format derivation is arbitrary-but-deterministic so tests
+    * and the oracle can reproduce it. */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"source", $"text".cast("binary").as("media"))
+      .withColumn("width", (octet_length($"media") % 64 + 16).cast("int"))
+      .withColumn("height", (expr("octet_length(media) div 7") % 48 + 16).cast("int"))
+      .withColumn("format", when($"doc_id" % 3 === 0, "jpeg")
+        .when($"doc_id" % 3 === 1, "png").otherwise("webm"))
+      .as[MediaRow]
+  }
+
+  /** FAKE DECODE — stands in for an image/video codec. Deterministic:
+    * "frames" are 100-byte windows; the "pixel statistic" is the mean
+    * byte value. A real build swaps only the body of this function for
+    * e.g. a JNI codec call; the partition-wise batching, input schema
+    * and output shape stay identical. */
+  def fakeDecode(r: MediaRow): MediaFeatures = {
+    val bytes = r.media
+    val nFrames = bytes.length / 100 + 1
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+    val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
+    MediaFeatures(r.doc_id, r.source, bytes.length.toLong, nFrames.toLong, mean)
+  }
+
+  /** Partition-wise decode: one "codec init" per partition (the `val
+    * codec = ...` slot), rows streamed through it — the mapInPandas
+    * batch shape, in Scala. */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real pipeline: initialize the codec/model here, once per partition
+      rows.map(fakeDecode)
+    }
+  }
+
+  /** Driver-checkable query: per-source feature aggregates. Every value
+    * derives from byte lengths/contents of the UTF-8 text, so DuckDB
+    * reproduces it exactly via encode(). */
+  def multimodalMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    decodeFeatures(mediaTable(s, d)).toDF()
+      .groupBy($"source")
+      .agg(count("*").as("n"),
+           sum($"n_bytes").as("total_bytes"),
+           sum($"n_frames").as("total_frames"),
+           round(avg($"mean_byte"), 4).as("avg_mean_byte"))
+      .orderBy($"source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x11_multimodal_meta" -> multimodalMeta _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // mean byte of UTF-8 text == mean of ord() over ASCII chars; the
+    // fixture text is ASCII (verified in MultimodalSpec), so DuckDB can
+    // compute it from the string form.
+    "x11_multimodal_meta" ->
+      """WITH f AS (SELECT source, octet_length(encode(text)) AS n_bytes,
+        |  octet_length(encode(text)) // 100 + 1 AS n_frames,
+        |  (SELECT sum(unicode(c)) FROM unnest(string_split(text, '')) t(c))
+        |    / CAST(octet_length(encode(text)) AS DOUBLE) AS mean_byte
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(sum(n_frames) AS BIGINT) AS total_frames,
+        |  ROUND(avg(mean_byte), 4) AS avg_mean_byte
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+  )
+}

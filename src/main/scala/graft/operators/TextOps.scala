@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language ID (stopword/charclass heuristic), quality scoring,
+  * token counting (whitespace + BPE-ish regex), and document
+  * fingerprinting. All are pure column expressions (whole-stage
+  * codegen, no UDFs), so at 100 TB they run as a single narrow
+  * map stage over the document scan — no shuffle except the final
+  * per-group aggregates.
+  *
+  * Every formula is written with arithmetic that DuckDB reproduces
+  * bit-for-bit (integer counts, one double division, ROUND at the end)
+  * so each query has a full hash-match oracle.
+  */
+object TextOps {
+
+  private val stopEn = "\\b(the|a|of|and|to|is|in|it)\\b"
+  private val stopDe = "\\b(der|die|das|und|ein|ist|nicht)\\b"
+  private val stopEs = "\\b(el|la|los|de|que|y|un|es)\\b"
+  private val stopFr = "\\b(le|les|la|de|et|un|est|que)\\b"
+  private val zhChars = "[\\u4e00-\\u9fff]"
+
+  /** Count of non-overlapping regex matches, via regexp_extract_all —
+    * identical greedy-match semantics in Spark (Java regex) and DuckDB
+    * (RE2) for the character-class/alternation patterns used here. */
+  private def nMatches(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+
+  // ---- language ID ------------------------------------------------------
+
+  /** Stopword-vote language ID. Ties resolve in fixed priority order
+    * (en, de, es, fr, zh); zero evidence → "und". */
+  def langIdCol(text: Column): Column = {
+    val t = lower(text)
+    val en = nMatches(t, stopEn)
+    val de = nMatches(t, stopDe)
+    val es = nMatches(t, stopEs)
+    val fr = nMatches(t, stopFr)
+    val zh = nMatches(t, zhChars)
+    val mx = greatest(en, de, es, fr, zh)
+    when(mx === 0, "und")
+      .when(en === mx, "en").when(de === mx, "de")
+      .when(es === mx, "es").when(fr === mx, "fr")
+      .otherwise("zh")
+  }
+
+  def textLangId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", langIdCol($"text").as("pred_lang"))
+      .orderBy($"doc_id")
+  }
+
+  // ---- quality scoring --------------------------------------------------
+
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = $"text"
+    val nTokens = size(split(trim(t), "\\s+")).cast("long")
+    val nPunct = nMatches(t, "[.,;:!?]")
+    val nStop = nMatches(lower(t), stopEn)
+    val punctRatio = nPunct / length(t)
+    val stopRatio = nStop / nTokens
+    val quality =
+      (least(nTokens, lit(100L)) / lit(100.0)) * 0.4 +
+      least(stopRatio * 5.0, lit(1.0)) * 0.4 +
+      (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2
+    Tables.documents(s, d)
+      .select($"doc_id", nTokens.as("n_tokens"),
+              round(punctRatio, 4).as("punct_ratio"),
+              round(stopRatio, 4).as("stop_ratio"),
+              round(quality, 4).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  // ---- token counting ---------------------------------------------------
+
+  /** BPE-ish pre-tokenizer: alpha runs, digit runs, single punctuation. */
+  private val bpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def textTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"source",
+              size(split(trim($"text"), "\\s+")).cast("long").as("ws_tokens"),
+              nMatches($"text", bpeTokenPattern).as("bpe_tokens"))
+      .groupBy($"source")
+      .agg(count("*").as("n_docs"),
+           sum($"ws_tokens").as("ws_tokens"),
+           sum($"bpe_tokens").as("bpe_tokens"))
+      .orderBy($"source")
+  }
+
+  // ---- fingerprinting ---------------------------------------------------
+
+  /** Order-insensitive content fingerprint: md5 over the sorted,
+    * lowercased token multiset collapsed to a single string. Catches
+    * word-order-shuffled duplicates that exact md5(text) misses. */
+  def fingerprintCol(text: Column): Column =
+    md5(concat_ws(" ", array_sort(split(lower(text), "\\s+"))))
+
+  def textFingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", fingerprintCol($"text").as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x07_text_langid"      -> textLangId _,
+    "x08_text_quality"     -> textQuality _,
+    "x09_text_tokens"      -> textTokens _,
+    "x10_text_fingerprint" -> textFingerprint _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x07_text_langid" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  len(regexp_extract_all(lower(text), '$stopEn')) AS en_n,
+         |  len(regexp_extract_all(lower(text), '$stopDe')) AS de_n,
+         |  len(regexp_extract_all(lower(text), '$stopEs')) AS es_n,
+         |  len(regexp_extract_all(lower(text), '$stopFr')) AS fr_n,
+         |  len(regexp_extract_all(lower(text), '[\\x{4e00}-\\x{9fff}]')) AS zh_n
+         |  FROM documents)
+         |SELECT doc_id, CASE
+         |  WHEN greatest(en_n, de_n, es_n, fr_n, zh_n) = 0 THEN 'und'
+         |  WHEN en_n = greatest(en_n, de_n, es_n, fr_n, zh_n) THEN 'en'
+         |  WHEN de_n = greatest(en_n, de_n, es_n, fr_n, zh_n) THEN 'de'
+         |  WHEN es_n = greatest(en_n, de_n, es_n, fr_n, zh_n) THEN 'es'
+         |  WHEN fr_n = greatest(en_n, de_n, es_n, fr_n, zh_n) THEN 'fr'
+         |  ELSE 'zh' END AS pred_lang
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "x08_text_quality" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+         |  CAST(len(regexp_extract_all(lower(text), '$stopEn')) AS BIGINT) AS n_stop,
+         |  length(text) AS n_chars FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  ROUND(n_punct / n_chars, 4) AS punct_ratio,
+         |  ROUND(n_stop / n_tokens, 4) AS stop_ratio,
+         |  ROUND((least(n_tokens, 100) / 100.0) * 0.4
+         |      + least((n_stop / n_tokens) * 5.0, 1.0) * 0.4
+         |      + (1.0 - least((n_punct / n_chars) * 10.0, 1.0)) * 0.2, 4) AS quality
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "x09_text_tokens" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "x10_text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(string_split_regex(lower(text), '\s+')), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,153 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.functions.GhFunctions._
+
+/** The reference pipeline re-expressed as Structured Streaming + batch
+  * (SURVEY.md §3):
+  *
+  *  - ingest (`insert-events.js` + `insert-events-into-db.lua`): NDJSON
+  *    file-drop → bot filter (F1) → watermark + dropDuplicatesWithinWatermark
+  *    (the 300 s dedup-TTL analogue, W3) → append to the bronze events
+  *    table partitioned by date/hour.
+  *  - backfill (`update-contributor-scores.js`): batch read of hour
+  *    files (`.json.gz` decompresses natively) → F2+F3 filters →
+  *    1-hour tumbling-window count per login (A1) → idempotent
+  *    per-hour-partition overwrite; daily rollup = re-agg from hourly
+  *    (A2; recompute-not-merge per SURVEY §7.4.1).
+  *
+  * Scale stance: the groupBy(window, login) shuffles once on
+  * (window, login) with map-side partial aggregation; hour-partitioned
+  * output gives partition pruning to every downstream serving query.
+  */
+object GhIngest {
+
+  /** GitHub event schema (reference `README.md:44-53`). `payload` stays
+    * a raw JSON string — it is polymorphic per event type and inferring
+    * a union schema explodes (SURVEY §7.4.4); drill in per-query with
+    * get_json_object. */
+  val ghEventSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("type", StringType),
+    StructField("actor", StructType(Seq(
+      StructField("id", LongType),
+      StructField("login", StringType),
+      StructField("display_login", StringType),
+      StructField("gravatar_id", StringType),
+      StructField("url", StringType),
+      StructField("avatar_url", StringType)))),
+    StructField("repo", StructType(Seq(
+      StructField("id", LongType),
+      StructField("name", StringType),
+      StructField("url", StringType)))),
+    StructField("payload", StringType),
+    StructField("public", BooleanType),
+    StructField("created_at", TimestampType),
+    StructField("org", StructType(Seq(
+      StructField("id", LongType),
+      StructField("login", StringType)))),
+    StructField("_corrupt_record", StringType)))
+
+  /** Batch NDJSON(.gz) read with malformed-line tolerance (S2/S3/O3):
+    * PERMISSIVE mode quarantines bad lines into _corrupt_record instead
+    * of failing the job — the analogue of the reference's per-line
+    * try/catch (`update-contributor-scores.js:147-150`). */
+  def readEventsJson(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(ghEventSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  /** Rows unusable downstream: failed to parse fully (PERMISSIVE mode
+    * keeps any prefix fields it managed to read) or missing the event
+    * id. The filter deliberately references `id` too — Spark refuses
+    * scans whose only referenced column is the internal corrupt-record
+    * column, and a bare count() would prune down to it. */
+  def corruptRecords(raw: DataFrame): DataFrame =
+    raw.filter(col("_corrupt_record").isNotNull || col("id").isNull)
+      .select(col("id"), col("_corrupt_record"))
+
+  /** Ingest-path cleaning (F1 + drop corrupt + project): the content of
+    * the Lua insert script minus storage concerns. */
+  def cleanEvents(raw: DataFrame): DataFrame =
+    raw.filter(col("_corrupt_record").isNull)
+      .filter(col("id").isNotNull)
+      .filter(keepIngest(col("actor.login")))
+      .drop("_corrupt_record")
+
+  /** Batch dedup by event id — keep the earliest-created row per id
+    * (deterministic, unlike dropDuplicates' arbitrary pick). */
+  def dedupEvents(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    events
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("created_at"))))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** A1/W1 — hourly contributor scores: F2 + F3, then a 1-hour
+    * event-time tumbling window count per login. */
+  def hourlyScores(events: DataFrame): DataFrame =
+    events
+      .filter(isScoringType(col("type")))
+      .filter(!isBotBatch(col("actor.login")))
+      .groupBy(
+        window(col("created_at"), "1 hour").getField("start").as("hour"),
+        col("actor.login").as("login"))
+      .agg(count("*").as("score"))
+
+  /** A2/W2 — daily rollup computed FROM the hourly table (recompute,
+    * not in-place merge: idempotent under replay, SURVEY §7.4.1). */
+  def dailyRollup(hourly: DataFrame): DataFrame =
+    hourly.groupBy(
+        date_trunc("day", col("hour")).as("day"),
+        col("login"))
+      .agg(sum(col("score")).as("score"))
+
+  /** T1/T2 — top-K serving query (plans as TakeOrderedAndProject). */
+  def topContributors(scores: DataFrame, k: Int): DataFrame =
+    scores.orderBy(col("score").desc, col("login")).limit(k)
+
+  // ---- streaming --------------------------------------------------------
+
+  /** The reference's dedup-TTL, as event-time streaming state: the 5-min
+    * watermark delay plays the role of the `SET ... EX 300` key expiry
+    * (W3) — duplicate ids arriving within the horizon are dropped and
+    * state is evicted past the watermark, bounding memory exactly like
+    * the TTL bounds Redis keys. */
+  val DedupWatermark = "5 minutes"
+
+  def streamClean(spark: SparkSession, inputDir: String): DataFrame =
+    cleanEvents(
+      spark.readStream
+        .schema(ghEventSchema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(inputDir))
+      .withWatermark("created_at", DedupWatermark)
+      .dropDuplicatesWithinWatermark(Seq("id"))
+
+  /** Bronze append sink, partitioned by event date+hour — the analogue
+    * of the XADD stream + its retention (drop old partitions instead of
+    * MAXLEN-trimming rows). `AvailableNow` backfills all pending files
+    * then stops, the W5 catch-up semantics. */
+  def startIngest(spark: SparkSession, inputDir: String, outDir: String,
+                  checkpointDir: String,
+                  availableNow: Boolean = true): StreamingQuery = {
+    val cleaned = streamClean(spark, inputDir)
+      .withColumn("event_date", date_format(col("created_at"), "yyyy-MM-dd"))
+      .withColumn("event_hour", hour(col("created_at")))
+    val writer = cleaned.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("event_date", "event_hour")
+      .outputMode("append")
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+}

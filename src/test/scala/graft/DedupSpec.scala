@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.DedupOps
+
+/** Non-oracled dedup operators verified against Spark-computed exact
+  * baselines (brute force over all pairs — fine at sf0.001 scale). */
+class DedupSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  test("MinHash-LSH output equals exact all-pairs Jaccard at threshold") {
+    val lsh = DedupOps.dedupMinhashLsh(spark, sf)
+      .select($"da", $"db", $"jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+
+    // brute force: exact jaccard over ALL pairs (no LSH candidate step)
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", split(lower($"text"), "\\s+").as("w"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id", expr(
+        "array_distinct(transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3))))"
+      ).as("s"))
+    val a = docs.select($"doc_id".as("da"), $"s".as("sa"))
+    val b = docs.select($"doc_id".as("db"), $"s".as("sb"))
+    val inter = size(array_intersect($"sa", $"sb")).cast("long")
+    val exact = a.crossJoin(b).filter($"da" < $"db")
+      .select($"da", $"db",
+        round(inter / (size($"sa") + size($"sb") - inter), 4).as("j"))
+      .filter($"j" >= DedupOps.JaccardThreshold)
+      .as[(Long, Long, Double)].collect().toSet
+
+    assert(lsh === exact)
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+  }
+
+  test("SimHash banded pairs equal brute-force hamming scan") {
+    val banded = DedupOps.dedupSimhash(spark, sf)
+      .select($"da", $"db", $"hamming").as[(Long, Long, Long)]
+      .collect().toSet
+
+    val tokens = Tables.documents(spark, sf)
+      .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("tok"))
+    val sigs = DedupOps.simhashSig(tokens)
+    val a = sigs.select($"doc_id".as("da"), $"sig".as("siga"))
+    val b = sigs.select($"doc_id".as("db"), $"sig".as("sigb"))
+    val exact = a.crossJoin(b).filter($"da" < $"db")
+      .select($"da", $"db",
+        bit_count($"siga".bitwiseXOR($"sigb")).cast("long").as("h"))
+      .filter($"h" <= DedupOps.SimhashMaxHamming)
+      .as[(Long, Long, Long)].collect().toSet
+
+    assert(banded === exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("fingerprint is word-order invariant, content sensitive") {
+    val df = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "fox brown quick the"),     // same multiset
+      (3L, "the quick brown wolf"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", graft.operators.TextOps.fingerprintCol($"text").as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(df(1L) === df(2L))
+    assert(df(1L) !== df(3L))
+  }
+
+  test("exact dedup is idempotent: dedup(xs ++ xs) has one row per text") {
+    val out = DedupOps.dedupExact(spark, sf)
+    assert(out.count() ===
+      Tables.documents(spark, sf).select($"text").distinct().count())
+    assert(out.filter($"n_copies" =!= 2).count() === 0)
+  }
+}

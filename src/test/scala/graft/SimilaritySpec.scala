@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{CoreQueries, SimilarityOps}
+
+/** ANN operators vs the exact brute-force baseline. The LSH/IVF searches
+  * are deterministic (seeded planes, fixed centroid sample), so these
+  * are stable equality/containment checks, not statistical ones. */
+class SimilaritySpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  /** Exact cosine of every candidate vs vec 0 — ground truth ranking. */
+  private lazy val exactAll: Map[Long, Double] = {
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val q = emb.filter($"vec_id" === 0).select($"e".as("qe"))
+    emb.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id",
+        round(CoreQueries.cosineSim($"e", $"qe"), 4).as("sim"))
+      .as[(Long, Double)].collect().toMap
+  }
+
+  test("exact knn (Q16) is the true top-5 of the full ranking") {
+    val top = CoreQueries.knnCosine(spark, sf)
+      .as[(Long, Double)].collect()
+    val trueTop = exactAll.toSeq.sortBy { case (id, s) => (-s, id) }.take(5)
+    assert(top.toSeq === trueTop)
+  }
+
+  test("ann_lsh returns K rows whose sims are true cosines, sorted") {
+    val got = SimilarityOps.annLsh(spark, sf).as[(Long, Double)].collect()
+    assert(got.length === SimilarityOps.TopK)
+    got.foreach { case (id, s) => assert(exactAll(id) === s) }
+    assert(got.map(-_._2).toSeq === got.map(-_._2).toSeq.sorted)
+  }
+
+  test("ann_ivf returns K rows whose sims are true cosines, sorted") {
+    val got = SimilarityOps.annIvf(spark, sf).as[(Long, Double)].collect()
+    assert(got.length === SimilarityOps.TopK)
+    got.foreach { case (id, s) => assert(exactAll(id) === s) }
+    assert(got.map(-_._2).toSeq === got.map(-_._2).toSeq.sorted)
+  }
+
+  test("ann searches are deterministic across invocations") {
+    val a = SimilarityOps.annLsh(spark, sf).as[(Long, Double)].collect().toSeq
+    val b = SimilarityOps.annLsh(spark, sf).as[(Long, Double)].collect().toSeq
+    assert(a === b)
+  }
+}
