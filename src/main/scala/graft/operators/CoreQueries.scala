@@ -208,13 +208,23 @@ object CoreQueries {
 
   /** Sequential left-fold dot product over double arrays — same
     * accumulation order as a scalar loop, so both engines produce
-    * bitwise-identical sums before the final ROUND. Stays inside
-    * whole-stage codegen (no UDF). */
+    * bitwise-identical sums before the final ROUND. HOF reference
+    * formulation, kept for cross-validation tests. */
   def dotD(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  def cosineSim(a: Column, b: Column): Column =
+  /** HOF reference cosine (interpreted) — see `cosine` for the
+    * production path. */
+  def cosineSimHof(a: Column, b: Column): Column =
     dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b)))
+
+  /** Production cosine: the fused codegen CosineSimilarity expression
+    * (same left-to-right accumulation order as the HOF form, so values
+    * are bitwise identical — asserted in GraftExpressionsSpec). */
+  def cosine(s: SparkSession, a: Column, b: Column): Column = {
+    graft.plans.GraftExpressions.register(s)
+    call_function(graft.plans.GraftExpressions.CosineFn, a, b)
+  }
 
   // Q16 — brute-force cosine top-K against one query vector (the exact
   // baseline for the ANN operators in SimilarityOps).
@@ -225,7 +235,7 @@ object CoreQueries {
     val q = emb.filter($"vec_id" === 0).select($"e".as("qe"))
     emb.filter($"vec_id" =!= 0)
       .crossJoin(broadcast(q))
-      .select($"vec_id", round(cosineSim($"e", $"qe"), 4).as("sim"))
+      .select($"vec_id", round(cosine(s, $"e", $"qe"), 4).as("sim"))
       .orderBy($"sim".desc, $"vec_id")
       .limit(5)
   }

@@ -27,17 +27,8 @@ import graft.Tables
 object DedupOps {
 
   val JaccardThreshold = 0.8
-  private val NumHashes = 128
   private val Bands = 32
-  private val RowsPerBand = 4
-  // Universal-hash family over a 32-bit domain: h_i(x) = (a_i*x + b_i) mod p
-  // with p prime > 2^32; products stay within signed 64-bit range.
-  private val HashPrime = 4294967311L
-  private val (hashA, hashB) = {
-    val rng = new scala.util.Random(42)
-    def draw() = Seq.fill(NumHashes)(1L + rng.nextInt(Int.MaxValue - 1).toLong)
-    (draw(), draw())
-  }
+  private val RowsPerBand = 4   // Bands * RowsPerBand == MinHashSignature.NumHashes
 
   /** doc_id → lowercased word array (the common tokenization). */
   private def words(s: SparkSession, d: String): DataFrame = {
@@ -46,15 +37,17 @@ object DedupOps {
       .select($"doc_id", split(lower($"text"), "\\s+").as("w"))
   }
 
-  /** Distinct word-3-gram shingles per doc, as strings. */
-  private def shingles(s: SparkSession, d: String): DataFrame = {
+  /** doc_id → DISTINCT word-3-gram shingle set, computed NARROWLY as an
+    * array column — no explode, no shuffle. The exploded inverted-index
+    * form exists only transiently inside the LSH banding step; every
+    * set-vs-set comparison works directly on these arrays. */
+  private def shingleSets(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    graft.plans.GraftExpressions.register(s)
     words(s, d)
       .filter(size($"w") >= 3)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"
-      )).as("sh"))
-      .distinct()
+      .select($"doc_id",
+        call_function(graft.plans.GraftExpressions.ShinglesFn, $"w").as("s"))
   }
 
   // ---- exact dedup ------------------------------------------------------
@@ -75,23 +68,17 @@ object DedupOps {
 
   // ---- MinHash + LSH ----------------------------------------------------
 
-  /** doc_id → minhash signature (array of NumHashes longs).
-    * Shingles are hashed to a 32-bit domain with xxhash64 first; the
-    * signature is computed in one pass over the collected shingle-hash
-    * set (no 128× row blowup — the permutations live inside a nested
-    * `transform`, all codegen). */
-  def minhashSignatures(sh: DataFrame): DataFrame = {
-    val aLit = typedLit(hashA)
-    val bLit = typedLit(hashB)
-    sh.select(col("doc_id"),
-        pmod(xxhash64(col("sh")), lit(4294967296L)).as("h"))
-      .groupBy("doc_id").agg(collect_set(col("h")).as("hs"))
-      .select(col("doc_id"), transform(
-        sequence(lit(0), lit(NumHashes - 1)),
-        j => array_min(transform(col("hs"),
-          x => pmod(element_at(aLit, (j + 1).cast("int")) * x +
-                    element_at(bLit, (j + 1).cast("int")), lit(HashPrime))))
-      ).as("sig"))
+  /** (doc_id, s: array<string>) → minhash signature (array of 128
+    * longs). Shingles are hashed to a 32-bit domain with xxhash64, then
+    * the fused codegen MinHashSignature expression computes all 128
+    * permutation-mins in one pass — a fully NARROW map stage: zero
+    * shuffles until banding. */
+  def minhashSignatures(sets: DataFrame): DataFrame = {
+    graft.plans.GraftExpressions.register(sets.sparkSession)
+    sets.select(col("doc_id"),
+      call_function(graft.plans.GraftExpressions.MinHashFn,
+        transform(col("s"), x => pmod(xxhash64(x), lit(4294967296L))))
+        .as("sig"))
   }
 
   /** Candidate pairs from banding: docs sharing any (band, band-key)
@@ -114,14 +101,18 @@ object DedupOps {
   }
 
   /** Exact-Jaccard verification of candidate pairs against the true
-    * string shingle sets (so hash collisions cannot inflate scores). */
-  def verifyJaccard(candidates: DataFrame, sh: DataFrame,
+    * string shingle sets (so hash collisions cannot inflate scores).
+    * The candidate list is LSH-bounded and small, so it is BROADCAST to
+    * both set joins — the corpus-sized set relation streams through two
+    * broadcast-hash joins with no shuffle. (At a scale where candidates
+    * outgrow broadcast, drop the hints and AQE falls back to shuffle
+    * joins on doc_id.) */
+  def verifyJaccard(candidates: DataFrame, sets: DataFrame,
                     threshold: Double): DataFrame = {
-    val sets = sh.groupBy("doc_id").agg(collect_set(col("sh")).as("s"))
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("long")
     val jac = inter / (size(col("sa")) + size(col("sb")) - inter)
-    candidates
-      .join(sets.select(col("doc_id").as("da"), col("s").as("sa")), "da")
+    broadcast(broadcast(candidates)
+        .join(sets.select(col("doc_id").as("da"), col("s").as("sa")), "da"))
       .join(sets.select(col("doc_id").as("db"), col("s").as("sb")), "db")
       .select(col("da"), col("db"), round(jac, 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -129,8 +120,9 @@ object DedupOps {
 
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, d)
-    verifyJaccard(lshCandidates(minhashSignatures(sh)), sh, JaccardThreshold)
+    val sets = shingleSets(s, d)
+    verifyJaccard(lshCandidates(minhashSignatures(sets)), sets,
+        JaccardThreshold)
       .orderBy($"da", $"db")
   }
 
@@ -141,8 +133,7 @@ object DedupOps {
 
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val tokens = words(s, d).select($"doc_id", explode($"w").as("tok"))
-    val sigs = simhashSig(tokens)
+    val sigs = simhashSig(words(s, d))
     // band on 16-bit chunks → candidates → exact hamming verify
     val chunks = sigs.select($"doc_id", $"sig",
         posexplode(expr(
@@ -164,28 +155,15 @@ object DedupOps {
       .orderBy($"da", $"db")
   }
 
-  /** Bit i as a long mask — avoids shift-by-column, which the Scala
-    * functions API doesn't expose. Bit 63 is the sign bit; adding masks
-    * is carry-free because each bit is added at most once. */
-  private val bitMasks = Seq.tabulate(64)(i => 1L << i)
-
-  /** 64-bit SimHash over word tokens: per bit, majority vote of token
-    * hashes (+1 if the bit is set, −1 if not), packed into one long. */
-  def simhashSig(tokens: DataFrame): DataFrame = {
-    val masks = typedLit(bitMasks)
-    tokens.groupBy("doc_id").agg(collect_list(xxhash64(col("tok"))).as("hs"))
-      .select(col("doc_id"), aggregate(
-        sequence(lit(0), lit(63)),
-        lit(0L),
-        (acc, j) => {
-          val mask = element_at(masks, (j + 1).cast("int"))
-          acc + when(
-            aggregate(col("hs"), lit(0),
-              (a, h) => a + when(h.bitwiseAND(mask) =!= 0L, 1).otherwise(-1)
-            ) > 0,
-            mask).otherwise(0L)
-        }
-      ).as("sig"))
+  /** (doc_id, w: array<string>) → 64-bit SimHash: per bit, majority
+    * vote of token hashes (+1 if the bit is set, −1 if not), packed
+    * into one long by the fused codegen SimHash64 expression. NARROW —
+    * no explode/groupBy; the signature is computed inline per row. */
+  def simhashSig(docWords: DataFrame): DataFrame = {
+    graft.plans.GraftExpressions.register(docWords.sparkSession)
+    docWords.select(col("doc_id"),
+      call_function(graft.plans.GraftExpressions.SimHashFn,
+        transform(col("w"), t => xxhash64(t))).as("sig"))
   }
 
   // ---- exact n-gram Jaccard vs a probe document -------------------------
@@ -194,15 +172,14 @@ object DedupOps {
     * the exact-similarity serving query (probe side broadcast). */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, d)
-    val probe = sh.filter($"doc_id" === 0)
-      .groupBy($"doc_id").agg(collect_set($"sh").as("qs"))
-      .select($"qs")
-    val sets = sh.filter($"doc_id" =!= 0)
-      .groupBy($"doc_id").agg(collect_set($"sh").as("s"))
+    // Shingle sets are NARROW per-row arrays: the probe branch scans one
+    // pushdown-filtered row, the candidate branch streams the corpus —
+    // zero shuffles before the final top-K.
+    val sets = shingleSets(s, d)
+    val probe = sets.filter($"doc_id" === 0).select($"s".as("qs"))
     val inter = size(array_intersect($"s", $"qs")).cast("long")
     val jac = inter / (size($"s") + size($"qs") - inter)
-    sets.crossJoin(broadcast(probe))
+    sets.filter($"doc_id" =!= 0).crossJoin(broadcast(probe))
       .select($"doc_id", round(jac, 4).as("jaccard"))
       .orderBy($"jaccard".desc, $"doc_id")
       .limit(10)
@@ -224,7 +201,7 @@ object DedupOps {
     a.join(b, "label")
       .filter($"va" < $"vb")
       .select($"va", $"vb",
-        round(CoreQueries.cosineSim($"ea", $"eb"), 4).as("sim"))
+        round(CoreQueries.cosine(s, $"ea", $"eb"), 4).as("sim"))
       .filter($"sim" >= CosineThreshold)
       .orderBy($"va", $"vb")
   }

@@ -9,11 +9,11 @@ import graft.Tables
   * Brute-force cosine top-K is CoreQueries.knnCosine (Q16) — the exact
   * baseline. This module adds the scale path:
   *
-  *  - Random-hyperplane LSH: 16 signed projections → 16-bit bucket key.
-  *    Probing the query's bucket plus all hamming-1 neighbors bounds the
-  *    scanned fraction to ~17/2^16 of the corpus (at uniform load) while
-  *    keeping recall high for genuinely close vectors — at 100 TB the
-  *    bucket key is the shuffle/partition key and no full scan happens.
+  *  - Random-hyperplane LSH: 8 signed projections → 8-bit bucket key.
+  *    Probing the query's bucket plus all buckets within hamming-2
+  *    bounds the scanned fraction to ~37/256 ≈ 14% of the corpus (at
+  *    uniform load) — at 100 TB the bucket key is the shuffle/partition
+  *    key and no full scan happens.
   *  - IVF (inverted file): coarse quantizer = deterministic sample of
   *    vectors as centroids; vectors assigned to nearest centroid;
   *    queries probe the nProbe nearest centroid lists.
@@ -24,30 +24,16 @@ import graft.Tables
   */
 object SimilarityOps {
 
-  val Dim = 64
-  val NumPlanes = 8
+  val Dim: Int = graft.plans.HyperplaneSignature.Dim
+  val NumPlanes: Int = graft.plans.HyperplaneSignature.NumPlanes
   val ProbeRadius = 2   // scan buckets within hamming-2 of the probe's
   val TopK = 5
 
-  /** Seeded Gaussian hyperplanes (Box–Muller over a fixed LCG stream,
-    * no platform-dependent RNG). */
-  private val planes: Seq[Seq[Double]] = {
-    val rng = new scala.util.Random(7)
-    Seq.fill(NumPlanes)(Seq.fill(Dim)(rng.nextGaussian()))
-  }
-
-  private val bitMasks = Seq.tabulate(NumPlanes)(i => 1L << i)
-
-  /** Signed-projection signature: bit i = [v · plane_i > 0]. */
-  def lshSignature(v: Column): Column = {
-    val planesLit = typedLit(planes)
-    val masks = typedLit(bitMasks)
-    aggregate(
-      sequence(lit(0), lit(NumPlanes - 1)),
-      lit(0L),
-      (acc, i) => acc + when(
-        CoreQueries.dotD(v, element_at(planesLit, (i + 1).cast("int"))) > 0d,
-        element_at(masks, (i + 1).cast("int"))).otherwise(0L))
+  /** Signed-projection signature: bit i = [v · plane_i > 0], computed by
+    * the fused codegen HyperplaneSignature expression (seeded planes). */
+  def lshSignature(s: SparkSession, v: Column): Column = {
+    graft.plans.GraftExpressions.register(s)
+    call_function(graft.plans.GraftExpressions.HyperplaneFn, v)
   }
 
   /** ANN top-K for one probe vector (vec_id 0): scan only the probe's
@@ -57,7 +43,7 @@ object SimilarityOps {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
-      .withColumn("bucket", lshSignature($"e"))
+      .withColumn("bucket", lshSignature(s, $"e"))
     val probe = emb.filter($"vec_id" === 0)
       .select($"e".as("qe"), $"bucket".as("qb"))
     // multiprobe: hamming(bucket, query bucket) ≤ ProbeRadius — with 8
@@ -67,31 +53,30 @@ object SimilarityOps {
     emb.filter($"vec_id" =!= 0)
       .crossJoin(broadcast(probe))
       .filter(bit_count($"bucket".bitwiseXOR($"qb")) <= ProbeRadius)
-      .select($"vec_id", round(CoreQueries.cosineSim($"e", $"qe"), 4).as("sim"))
+      .select($"vec_id", round(CoreQueries.cosine(s, $"e", $"qe"), 4).as("sim"))
       .orderBy($"sim".desc, $"vec_id")
       .limit(TopK)
   }
 
-  val NumCentroids = 16
+  val CentroidStep = 97   // vec_id ≡ 0 (mod 97) → ~n/97 centroids, ∝ corpus
   val NProbe = 4
 
-  /** IVF: centroids = vectors whose id ≡ 0 (mod corpusSize/NumCentroids)
-    * — a deterministic coarse quantizer standing in for trained k-means.
-    * Every vector is assigned to its nearest centroid (one broadcast
-    * join + argmin, no shuffle of the big side); a query probes the
-    * NProbe nearest centroid lists only. */
+  /** IVF: centroids = vectors whose id ≡ 0 (mod a fixed prime) — a
+    * deterministic coarse quantizer standing in for trained k-means,
+    * with centroid count proportional to corpus size and NO driver-side
+    * count() job. Every vector is assigned to its nearest centroid (one
+    * broadcast join + argmin, no shuffle of the big side); a query
+    * probes the NProbe nearest centroid lists only. */
   def annIvf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
-    val n = emb.count()
-    val step = math.max(1L, n / NumCentroids)
-    val cents = emb.filter($"vec_id" % step === 0 && $"vec_id" < step * NumCentroids)
+    val cents = emb.filter($"vec_id" % CentroidStep === 0)
       .select($"vec_id".as("cid"), $"e".as("ce"))
     // assign: argmin over broadcast centroids (map-side only)
     val assigned = emb.crossJoin(broadcast(cents))
       .select($"vec_id", $"e", $"cid",
-        CoreQueries.cosineSim($"e", $"ce").as("csim"))
+        CoreQueries.cosine(s, $"e", $"ce").as("csim"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy($"vec_id").orderBy($"csim".desc, $"cid")))
@@ -99,13 +84,13 @@ object SimilarityOps {
     val probe = assigned.filter($"vec_id" === 0).select($"e".as("qe"))
     // centroid lists to probe for the query
     val probeCids = cents.crossJoin(broadcast(probe))
-      .select($"cid", CoreQueries.cosineSim($"ce", $"qe").as("csim"))
+      .select($"cid", CoreQueries.cosine(s, $"ce", $"qe").as("csim"))
       .orderBy($"csim".desc, $"cid").limit(NProbe)
       .select($"cid")
     assigned.filter($"vec_id" =!= 0)
       .join(broadcast(probeCids), "cid")
       .crossJoin(broadcast(probe))
-      .select($"vec_id", round(CoreQueries.cosineSim($"e", $"qe"), 4).as("sim"))
+      .select($"vec_id", round(CoreQueries.cosine(s, $"e", $"qe"), 4).as("sim"))
       .orderBy($"sim".desc, $"vec_id")
       .limit(TopK)
   }

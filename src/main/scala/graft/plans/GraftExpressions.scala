@@ -1,0 +1,327 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Custom Catalyst expressions with full codegen for the vector/hash hot
+  * paths. The built-in higher-order functions (`aggregate`/`zip_with`/
+  * `transform`) express the same semantics but execute interpreted, one
+  * lambda dispatch per element — at 100 TB (and even at sf0.1) that is
+  * the difference between a tight fused loop and millions of virtual
+  * calls. Each expression keeps the exact accumulation order of the HOF
+  * formulation it replaces, so oracle hash-matches are unaffected.
+  *
+  * Exposed to DataFrames via the session FunctionRegistry
+  * (`GraftExpressions.register`) + `call_function`, the Spark-4 way to
+  * use a custom Expression without private Column constructors.
+  */
+object GraftExpressions {
+
+  val CosineFn = "graft_cosine"
+  val MinHashFn = "graft_minhash"
+  val SimHashFn = "graft_simhash"
+  val HyperplaneFn = "graft_hyperplane_sig"
+  val ShinglesFn = "graft_shingles"
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      CosineFn, es => CosineSimilarity(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      MinHashFn, es => MinHashSignature(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      SimHashFn, es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      HyperplaneFn, es => HyperplaneSignature(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      ShinglesFn, es => WordShingles(es.head), "built-in")
+  }
+}
+
+/** Distinct word-k-gram shingles from a token array, first-occurrence
+  * order, as space-joined strings — one fused loop replacing
+  * `array_distinct(transform(sequence, concat_ws(slice)))`, which costs
+  * four interpreted HOF layers per row on the hot dedup paths. */
+case class WordShingles(child: Expression, k: Int = 3)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = GraftExpressions.ShinglesFn
+
+  private def space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  override def nullSafeEval(v: Any): Any = {
+    val w = v.asInstanceOf[ArrayData]
+    val n = w.numElements()
+    val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i <= n - k) {
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = w.getUTF8String(i + j); j += 1 }
+      out.add(org.apache.spark.unsafe.types.UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val set = ctx.freshName("set")
+      val parts = ctx.freshName("parts")
+      val utf8 = "org.apache.spark.unsafe.types.UTF8String"
+      s"""
+         |int $n = $c.numElements();
+         |java.util.LinkedHashSet<$utf8> $set = new java.util.LinkedHashSet<$utf8>();
+         |for (int $i = 0; $i <= $n - $k; $i++) {
+         |  $utf8[] $parts = new $utf8[$k];
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    $parts[$j] = $c.getUTF8String($i + $j);
+         |  }
+         |  $set.add($utf8.concatWs($utf8.fromString(" "), $parts));
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($set.toArray());
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Cosine similarity over two double arrays in ONE fused pass (dot and
+  * both norms together). Accumulates left-to-right like the sequential
+  * `aggregate(zip_with(...))` fold it replaces — bitwise-identical
+  * results, so DuckDB oracle parity is preserved. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = GraftExpressions.CosineFn
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      dot += xv * yv; nx += xv * xv; ny += yv * yv; i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny"); val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $a.getDouble($i);
+         |  double $yv = $b.getDouble($i);
+         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinHashSignature {
+  val NumHashes = 128
+  val Prime = 4294967311L   // smallest prime > 2^32
+  // Seeded universal-hash coefficients, a_i,b_i ∈ [1, 2^31): products
+  // with 32-bit hash values stay inside signed-64 range.
+  val (coefA: Array[Long], coefB: Array[Long]) = {
+    val rng = new scala.util.Random(42)
+    def draw() = Array.fill(NumHashes)(1L + rng.nextInt(Int.MaxValue - 1).toLong)
+    (draw(), draw())
+  }
+}
+
+/** MinHash signature: for each of 128 seeded permutations, the min of
+  * (a_i*x + b_i) mod p over the input set of 32-bit element hashes.
+  * Replaces a nested `transform(sequence, transform(...))` pair — the
+  * fused loop is O(128·n) multiply-adds with zero allocation until the
+  * output array. */
+case class MinHashSignature(child: Expression)
+    extends UnaryExpression {
+  import MinHashSignature._
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = GraftExpressions.MinHashFn
+
+  override def nullSafeEval(v: Any): Any = {
+    val xs = v.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val out = Array.fill(NumHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = xs.getLong(i)
+      var j = 0
+      while (j < NumHashes) {
+        val h = (coefA(j) * x + coefB(j)) % Prime
+        if (h < out(j)) out(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val aRef = ctx.addReferenceObj("minhashA", coefA, "long[]")
+      val bRef = ctx.addReferenceObj("minhashB", coefB, "long[]")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val x = ctx.freshName("x")
+      val h = ctx.freshName("h"); val out = ctx.freshName("out")
+      s"""
+         |int $n = $c.numElements();
+         |long[] $out = new long[$NumHashes];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $x = $c.getLong($i);
+         |  for (int $j = 0; $j < $NumHashes; $j++) {
+         |    long $h = ($aRef[$j] * $x + $bRef[$j]) % ${Prime}L;
+         |    if ($h < $out[$j]) $out[$j] = $h;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** 64-bit SimHash from an array of 64-bit token hashes: per bit,
+  * majority vote (+1 if set, −1 if not); bit set in the output iff the
+  * vote is positive. Replaces a 64-iteration interpreted `aggregate`
+  * per row with one O(64·n) compiled loop. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = GraftExpressions.SimHashFn
+
+  override def nullSafeEval(v: Any): Any = {
+    val xs = v.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val x = xs.getLong(i)
+      var j = 0
+      while (j < 64) {
+        if (((x >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val x = ctx.freshName("x")
+      val votes = ctx.freshName("votes"); val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $c.numElements();
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $x = $c.getLong($i);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    if ((($x >>> $j) & 1L) == 1L) $votes[$j]++; else $votes[$j]--;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($votes[$j] > 0) $sig |= (1L << $j);
+         |}
+         |${ev.value} = $sig;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object HyperplaneSignature {
+  val Dim = 64
+  val NumPlanes = 8
+  /** Seeded Gaussian hyperplanes, flattened row-major. */
+  val planes: Array[Double] = {
+    val rng = new scala.util.Random(7)
+    Array.fill(NumPlanes * Dim)(rng.nextGaussian())
+  }
+}
+
+/** Random-hyperplane LSH bucket for a double vector: bit i = sign of
+  * the dot product with seeded plane i. One fused O(planes·dim) loop. */
+case class HyperplaneSignature(child: Expression)
+    extends UnaryExpression {
+  import HyperplaneSignature._
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = GraftExpressions.HyperplaneFn
+
+  override def nullSafeEval(v: Any): Any = {
+    val xs = v.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), Dim)
+    var sig = 0L
+    var p = 0
+    while (p < NumPlanes) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += xs.getDouble(i) * planes(p * Dim + i); i += 1 }
+      if (dot > 0.0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val pRef = ctx.addReferenceObj("hyperplanes", planes, "double[]")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val p = ctx.freshName("p"); val dot = ctx.freshName("dot")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = java.lang.Math.min($c.numElements(), $Dim);
+         |long $sig = 0L;
+         |for (int $p = 0; $p < $NumPlanes; $p++) {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $c.getDouble($i) * $pRef[$p * $Dim + $i];
+         |  }
+         |  if ($dot > 0.0) $sig |= (1L << $p);
+         |}
+         |${ev.value} = $sig;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

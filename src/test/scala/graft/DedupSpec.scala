@@ -39,9 +39,9 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       .select($"da", $"db", $"hamming").as[(Long, Long, Long)]
       .collect().toSet
 
-    val tokens = Tables.documents(spark, sf)
-      .select($"doc_id", explode(split(lower($"text"), "\\s+")).as("tok"))
-    val sigs = DedupOps.simhashSig(tokens)
+    val docWords = Tables.documents(spark, sf)
+      .select($"doc_id", split(lower($"text"), "\\s+").as("w"))
+    val sigs = DedupOps.simhashSig(docWords)
     val a = sigs.select($"doc_id".as("da"), $"sig".as("siga"))
     val b = sigs.select($"doc_id".as("db"), $"sig".as("sigb"))
     val exact = a.crossJoin(b).filter($"da" < $"db")

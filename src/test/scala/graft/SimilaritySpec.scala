@@ -17,7 +17,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     val q = emb.filter($"vec_id" === 0).select($"e".as("qe"))
     emb.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
       .select($"vec_id",
-        round(CoreQueries.cosineSim($"e", $"qe"), 4).as("sim"))
+        round(CoreQueries.cosineSimHof($"e", $"qe"), 4).as("sim"))
       .as[(Long, Double)].collect().toMap
   }
 
