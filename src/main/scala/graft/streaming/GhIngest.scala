@@ -150,4 +150,42 @@ object GhIngest {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
   }
+
+  /** Streaming hourly scoring over the bronze table, with INCREMENTAL
+    * maintenance of the hourly-scores table — the reference's
+    * `ZUNIONSTORE sum + new keys` semantics (A2 incremental,
+    * SURVEY §7.4.1) done safely:
+    *
+    *  - a stateful 1-hour tumbling-window count in UPDATE mode emits,
+    *    per micro-batch, the keys whose score changed WITH their full
+    *    current value (state carries the running total across batches
+    *    and restarts via the checkpoint);
+    *  - `foreachBatch` upserts those keys into the partitioned table:
+    *    untouched rows of touched partitions are kept via anti-join,
+    *    so replays/late increments never double-count (idempotent
+    *    upsert, not in-place merge).
+    *
+    * The watermark bounds state exactly like the reference's key TTLs. */
+  def startScoring(spark: SparkSession, bronzeDir: String, hourlyDir: String,
+                   checkpointDir: String,
+                   watermark: String = "10 minutes"): StreamingQuery = {
+    val updates = spark.readStream
+      .schema(spark.read.parquet(bronzeDir).schema)
+      .parquet(bronzeDir)
+      .filter(isScoringType(col("type")))
+      .filter(!isBotBatch(col("actor.login")))
+      .withWatermark("created_at", watermark)
+      .groupBy(
+        window(col("created_at"), "1 hour").getField("start").as("hour"),
+        col("actor.login").as("login"))
+      .agg(count("*").as("score"))
+    updates.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        GhBackfill.upsertHourlyScores(batch.sparkSession, batch, hourlyDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.{GhBackfill, GhIngest}
+
+/** Idempotent hour-partitioned backfill semantics (SURVEY §7.2 step 4):
+  * partition overwrite never double-counts, output-existence pruning
+  * skips done hours, retention drops old partitions, daily = Σ hourly. */
+class GhBackfillSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private lazy val fixtureDir: String = {
+    val dir = Files.createTempDirectory("graft-bf-fixture")
+    Files.copy(getClass.getResourceAsStream("/gh_events.ndjson"),
+      dir.resolve("gh_events.ndjson"))
+    dir.toString
+  }
+  private def cleanedEvents =
+    GhIngest.dedupEvents(GhIngest.cleanEvents(
+      GhIngest.readEventsJson(spark, fixtureDir)))
+
+  test("backfill writes hour partitions; replay is a no-op; totals stable") {
+    val out = Files.createTempDirectory("graft-bf").toString + "/hourly"
+    val n1 = GhBackfill.backfillMissingHours(spark, cleanedEvents, out)
+    assert(n1 === 4)   // hours 12, 13, 23 on day 1; hour 0 on day 2
+    val total1 = spark.read.parquet(out).agg(sum($"score")).as[Long].head()
+
+    // replay: all partitions exist -> nothing processed, totals unchanged
+    val n2 = GhBackfill.backfillMissingHours(spark, cleanedEvents, out)
+    assert(n2 === 0)
+    val total2 = spark.read.parquet(out).agg(sum($"score")).as[Long].head()
+    assert(total1 === total2)
+
+    // forced reprocess overwrites in place - still no double counting
+    GhBackfill.backfillMissingHours(spark, cleanedEvents, out, force = true)
+    val total3 = spark.read.parquet(out).agg(sum($"score")).as[Long].head()
+    assert(total1 === total3)
+  }
+
+  test("partition listing sees exactly the written (date, hour) pairs") {
+    val out = Files.createTempDirectory("graft-bf2").toString + "/hourly"
+    GhBackfill.backfillMissingHours(spark, cleanedEvents, out)
+    assert(GhBackfill.existingHourPartitions(spark, out) === Set(
+      ("2025-08-10", 12), ("2025-08-10", 13), ("2025-08-10", 23),
+      ("2025-08-11", 0)))
+  }
+
+  test("retention drops partitions older than the cutoff") {
+    val out = Files.createTempDirectory("graft-bf3").toString + "/hourly"
+    GhBackfill.backfillMissingHours(spark, cleanedEvents, out)
+    val dropped = GhBackfill.expireHourPartitions(spark, out, "2025-08-11")
+    assert(dropped === 1)   // the 2025-08-10 date dir
+    assert(GhBackfill.existingHourPartitions(spark, out) ===
+      Set(("2025-08-11", 0)))
+  }
+
+  test("daily summary equals direct daily aggregation") {
+    val out = Files.createTempDirectory("graft-bf4").toString + "/hourly"
+    GhBackfill.backfillMissingHours(spark, cleanedEvents, out)
+    val viaHourly = GhBackfill.dailySummary(spark, out)
+      .select($"day", $"login", $"score")
+      .as[(String, String, Long)].collect().toSet
+    val direct = GhIngest.dailyRollup(GhIngest.hourlyScores(cleanedEvents))
+      .select(date_format($"day", "yyyy-MM-dd"), $"login", $"score")
+      .as[(String, String, Long)].collect().toSet
+    assert(viaHourly === direct)
+  }
+}
