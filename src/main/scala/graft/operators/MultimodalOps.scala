@@ -66,6 +66,38 @@ object MultimodalOps {
     }
   }
 
+  /** FAKE RESIZE — stands in for an image resize: deterministic byte
+    * subsampling to ≤ (w·h) payload bytes, metadata updated to the
+    * target dims. Schema/partitioning identical to a real resize. */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val target = math.max(1, math.min(r.media.length, w * h))
+        val step = math.max(1, r.media.length / target)
+        val out = r.media.indices.by(step).take(target).map(r.media).toArray
+        r.copy(media = out, width = w, height = h)
+      }
+    }
+  }
+
+  /** FAKE FRAME-SAMPLE — stands in for video frame extraction: every
+    * nth 100-byte "frame" window becomes one output row (doc_id,
+    * frame_idx, frame payload). The row explosion shape is the real
+    * part; the byte windowing is the stub. */
+  def sampleFrames(media: Dataset[MediaRow], everyNth: Int)
+      : Dataset[(Long, Int, Array[Byte])] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val nFrames = r.media.length / 100 + 1
+      (0 until nFrames by everyNth).map { f =>
+        val from = f * 100
+        val until = math.min(from + 100, r.media.length)
+        (r.doc_id, f, r.media.slice(from, until))
+      }
+    }
+  }
+
   /** Driver-checkable query: per-source feature aggregates. Every value
     * derives from byte lengths/contents of the UTF-8 text, so DuckDB
     * reproduces it exactly via encode(). */

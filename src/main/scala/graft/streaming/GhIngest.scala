@@ -112,6 +112,21 @@ object GhIngest {
   def topContributors(scores: DataFrame, k: Int): DataFrame =
     scores.orderBy(col("score").desc, col("login")).limit(k)
 
+  /** T3 — recent events from the bronze table (XREAD analogue). */
+  def recentEvents(bronze: DataFrame, k: Int): DataFrame =
+    bronze.orderBy(col("created_at").desc, col("id")).limit(k)
+
+  /** T4 — stream metadata (the `XINFO STREAM` analogue): entry count,
+    * partition count, and event-time bounds of the bronze table. */
+  def streamInfo(spark: SparkSession, bronzeDir: String): DataFrame = {
+    val bronze = spark.read.parquet(bronzeDir)
+    bronze.agg(
+      count("*").as("n_entries"),
+      countDistinct(col("event_date"), col("event_hour")).as("n_partitions"),
+      min(col("created_at")).as("first_entry"),
+      max(col("created_at")).as("last_entry"))
+  }
+
   // ---- streaming --------------------------------------------------------
 
   /** The reference's dedup-TTL, as event-time streaming state: the 5-min

@@ -25,6 +25,40 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
         .select($"n_chars").as[Long].head())
   }
 
+  test("resize bounds payload to target dims and rewrites metadata") {
+    val small = MultimodalOps.resize(
+      MultimodalOps.mediaTable(spark, sf), 8, 8)
+    val r = small.head()
+    assert(r.width === 8 && r.height === 8)
+    assert(small.collect().forall(_.media.length <= 64))
+  }
+
+  test("frame sampling explodes every nth 100-byte window") {
+    val media = MultimodalOps.mediaTable(spark, sf)
+    val frames = MultimodalOps.sampleFrames(media, 2)
+    val byDoc = frames.collect().groupBy(_._1)
+    val m = media.filter(_.doc_id == 0L).head()
+    val expected = (m.media.length / 100 + 1 + 1) / 2
+    assert(byDoc(0L).length === expected)
+    assert(byDoc(0L).forall(_._3.length <= 100))
+    assert(byDoc(0L).map(_._2).sorted.toSeq ===
+      (0 until m.media.length / 100 + 1 by 2).toSeq)
+  }
+
+  test("stream info reports entry/partition counts (T4 analogue)") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-xinfo")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    Files.copy(getClass.getResourceAsStream("/gh_events.ndjson"),
+      in.resolve("e.ndjson"))
+    graft.streaming.GhIngest.startIngest(
+      spark, in.toString, s"$root/bronze", s"$root/ckpt")
+      .awaitTermination(60000)
+    val info = graft.streaming.GhIngest.streamInfo(spark, s"$root/bronze").head()
+    assert(info.getLong(0) === 14)   // n_entries
+    assert(info.getLong(1) === 4)    // n_partitions
+  }
+
   test("partition-wise decode produces deterministic features") {
     val feats = MultimodalOps.decodeFeatures(
       MultimodalOps.mediaTable(spark, sf))

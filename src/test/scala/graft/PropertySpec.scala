@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.apache.spark.sql.functions._
+import graft.functions.GhFunctions
+
+/** Property-based invariants (SURVEY §5.2.3), using scalacheck
+  * generators with each property evaluated in ONE DataFrame pass (a
+  * per-sample driver loop of Spark jobs would take minutes). */
+class PropertySpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private val loginGen: Gen[String] = for {
+    base <- Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(12)),
+      Gen.oneOf("bot", "aws", "ci-", "-ci", "build", "release", "copilot",
+        "renovate", "security", "deploy", "[bot]", "snyk"),
+      for (a <- Gen.alphaStr.map(_.take(6)); b <- Gen.oneOf("bot", "-bot", "[bot]", ""))
+        yield a + b)
+  } yield base
+
+  test("F2 folded regex ≡ unfolded predicates on generated logins") {
+    val logins = Gen.listOfN(500, loginGen).sample.get.distinct
+    val df = logins.toDF("login")
+      .select(GhFunctions.isBotBatch($"login").as("a"),
+              GhFunctions.isBotBatchUnfolded($"login").as("b"))
+    assert(df.filter($"a" =!= $"b").count() === 0)
+  }
+
+  test("rollup invariant: Σ daily == Σ hourly == total, random events") {
+    val rng = new scala.util.Random(7)
+    val events = Seq.fill(2000) {
+      val day = 1 + rng.nextInt(3)
+      val ts = f"2025-03-0$day%d ${rng.nextInt(24)}%02d:${rng.nextInt(60)}%02d:00"
+      (ts, s"user${rng.nextInt(20)}")
+    }.toDF("ts_s", "login")
+      .select(to_timestamp($"ts_s").as("created_at"), $"login")
+    val hourly = events
+      .groupBy(date_trunc("hour", $"created_at").as("hour"), $"login")
+      .agg(count("*").as("score"))
+    val daily = hourly
+      .groupBy(date_trunc("day", $"hour").as("day"), $"login")
+      .agg(sum($"score").as("score"))
+    val total = events.count()
+    assert(hourly.agg(sum($"score")).as[Long].head() === total)
+    assert(daily.agg(sum($"score")).as[Long].head() === total)
+  }
+
+  test("dedup idempotence: f(xs ++ xs) == f(xs), random ids") {
+    val rng = new scala.util.Random(11)
+    val xs = Seq.fill(500)((rng.nextInt(200).toString,
+      f"2025-03-01 ${rng.nextInt(24)}%02d:00:00"))
+      .toDF("id", "ts_s")
+      .select($"id", to_timestamp($"ts_s").as("created_at"))
+    val once = graft.streaming.GhIngest.dedupEvents(xs)
+      .select($"id").as[String].collect().sorted.toSeq
+    val twice = graft.streaming.GhIngest.dedupEvents(xs.unionAll(xs))
+      .select($"id").as[String].collect().sorted.toSeq
+    assert(once === twice)
+    assert(once.distinct === once)
+  }
+
+  test("minhash similarity estimate correlates with exact jaccard") {
+    // deterministic pseudo-random shingle-hash sets with controlled overlap
+    graft.plans.GraftExpressions.register(spark)
+    val rng = new scala.util.Random(13)
+    val base = Seq.fill(300)(rng.nextLong().abs % 4294967296L)
+    def mutate(keep: Int): Seq[Long] =
+      base.take(keep) ++ Seq.fill(300 - keep)(rng.nextLong().abs % 4294967296L)
+    val rows = Seq(
+      (1.0, base, base),
+      (0.8, base, mutate(265)),   // |∩|≈265, |∪|≈335 → j≈0.79
+      (0.1, base, mutate(55)))
+    rows.foreach { case (expectedJ, a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+        .select(
+          call_function(graft.plans.GraftExpressions.MinHashFn, $"a").as("sa"),
+          call_function(graft.plans.GraftExpressions.MinHashFn, $"b").as("sb"))
+        .select(expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), p -> p))")
+          .cast("double").as("matches"))
+      val est = df.as[Double].head() / plans.MinHashSignature.NumHashes
+      assert(math.abs(est - expectedJ) < 0.15,
+        s"minhash estimate $est vs expected ≈$expectedJ")
+    }
+  }
+}
