@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation utilities. AQE's skew-join split handles sort-merge
+  * join skew at runtime; these cover the cases it does not reach —
+  * aggregation skew (one hot grouping key saturating a single reducer)
+  * and broadcast-infeasible joins against a skewed key — with the
+  * classic salting pattern:
+  *
+  *  phase 1: group/join on (key, salt) so a hot key spreads over
+  *           `salts` reducers;
+  *  phase 2: merge the partials per key (counts/sums re-aggregate
+  *           losslessly; the salt never reaches the result).
+  *
+  * Salts are derived from a hash of a per-row unique id, so the spread
+  * is even and the plan stays deterministic-in-result (the salt value
+  * itself carries no semantics).
+  */
+object SkewOps {
+
+  private def saltCol(salts: Int): Column =
+    pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong))
+
+  /** COUNT per key, hot keys spread across `salts` partial groups. */
+  def saltedCount(df: DataFrame, key: Column, salts: Int): DataFrame =
+    df.groupBy(key.as("key"), saltCol(salts).as("_salt"))
+      .agg(count("*").as("_partial"))
+      .groupBy(col("key"))
+      .agg(sum(col("_partial")).as("count"))
+
+  /** SUM of `value` per key, salted two-phase. */
+  def saltedSum(df: DataFrame, key: Column, value: Column,
+                salts: Int): DataFrame =
+    df.groupBy(key.as("key"), saltCol(salts).as("_salt"))
+      .agg(sum(value).as("_partial"))
+      .groupBy(col("key"))
+      .agg(sum(col("_partial")).as("sum"))
+
+  /** Inner join of a skewed `big` side against a non-broadcastable
+    * `small` side on `keyName`: big rows get a random-but-even salt,
+    * small rows are replicated once per salt value, and the join key
+    * becomes (key, salt) — no single reducer owns a hot key. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keyName: String,
+                 salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("_salt", saltCol(salts))
+    val replicatedSmall = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    saltedBig.join(replicatedSmall, Seq(keyName, "_salt")).drop("_salt")
+  }
+}
