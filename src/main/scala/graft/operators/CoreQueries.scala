@@ -240,6 +240,50 @@ object CoreQueries {
       .limit(5)
   }
 
+  // Q17 — ROLLUP grouping sets: per (flag, status) + per-flag subtotals
+  // + grand total. NULL group markers are coalesced to 'ALL' so both
+  // engines order identically (Spark sorts NULLS FIRST, DuckDB LAST).
+  def rollupAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count("*").as("n"), sum($"l_quantity").as("sum_qty"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("flag"),
+        coalesce($"l_linestatus", lit("ALL")).as("status"),
+        $"n", $"sum_qty")
+      .orderBy($"flag", $"status")
+  }
+
+  // Q18 — distinct aggregates: exact distinct-user and distinct-day
+  // counts per event type (two DISTINCTs in one aggregate: expand).
+  def distinctAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"),
+           countDistinct(dayBucket($"ts")).as("n_days"),
+           count("*").as("n"))
+      .orderBy($"event_type")
+  }
+
+  // Q19 — correlated-subquery shape: customers above their nation's
+  // average balance. Declared as a self-join against the per-nation
+  // aggregate (how Catalyst decorrelates it anyway); the oracle states
+  // it as the correlated subquery.
+  def subqueryAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d)
+    val natAvg = c.groupBy($"c_nationkey".as("nk"))
+      .agg(avg($"c_acctbal").as("nation_avg"))
+    c.join(broadcast(natAvg), $"c_nationkey" === $"nk")
+      .filter($"c_acctbal" > $"nation_avg")
+      .groupBy($"c_nationkey".cast("long").as("nationkey"))
+      .agg(count("*").as("n_above"),
+           round(max($"c_acctbal"), 2).as("max_bal"))
+      .orderBy($"nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_counts"      -> hourlyCounts _,
     "q02_hourly_user_scores" -> hourlyUserScores _,
@@ -257,6 +301,9 @@ object CoreQueries {
     "q14_date_math"          -> dateMath _,
     "q15_text_stats"         -> textStats _,
     "q16_knn_cosine"         -> knnCosine _,
+    "q17_rollup_agg"         -> rollupAgg _,
+    "q18_distinct_agg"       -> distinctAgg _,
+    "q19_subquery_agg"       -> subqueryAgg _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -361,5 +408,25 @@ object CoreQueries {
         |              sqrt(list_dot_product(q.qe, q.qe))), 4) AS sim
         |FROM embeddings e, q WHERE e.vec_id <> 0
         |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin,
+    "q17_rollup_agg" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |       COALESCE(l_linestatus, 'ALL') AS status,
+        |       CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q18_distinct_agg" ->
+      """SELECT event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(count(DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d')) AS BIGINT) AS n_days,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q19_subquery_agg" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |       CAST(count(*) AS BIGINT) AS n_above,
+        |       ROUND(max(c_acctbal), 2) AS max_bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |GROUP BY c_nationkey ORDER BY nationkey""".stripMargin,
   )
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan contracts: the physical-plan properties the 100 TB design
+  * depends on, locked in as assertions so a refactor that silently
+  * loses a pushdown, a broadcast, or a top-K operator fails the build
+  * rather than just getting slower. */
+class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
+
+  /** Execute first: under AQE the final plan (incl. WholeStageCodegen
+    * wrapping and runtime join choices) only exists after execution.
+    * AdaptiveSparkPlan.toString appends the pre-execution plan after an
+    * "Initial Plan" marker — keep only the final plan. */
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  private def formatted(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q09: shipdate filter and column pruning reach the parquet scan") {
+    val f = formatted("q09_pricing_summary")
+    assert(f.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!f.contains("l_orderkey"), "scan must not read unused columns")
+  }
+
+  test("q10: all three dimension joins broadcast, fact side streams") {
+    val p = plan("q10_join_4way")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 3)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q08/q16: top-K plans as TakeOrderedAndProject (no global sort)") {
+    assert(plan("q08_recent_events").contains("TakeOrderedAndProject"))
+    assert(plan("q16_knn_cosine").contains("TakeOrderedAndProject"))
+  }
+
+  test("q16: probe-side pushdown (vec_id = 0 reaches the scan)") {
+    val f = formatted("q16_knn_cosine")
+    assert(f.contains("EqualTo(vec_id,0)"))
+  }
+
+  test("x02: candidate verification joins broadcast, never shuffle the corpus") {
+    val p = plan("x02_dedup_minhash_lsh")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+  }
+
+  test("x04: narrow shingle pipeline — only the top-K exchange remains") {
+    val p = plan("x04_dedup_ngram_jaccard")
+    // no hash-partitioned exchange: shingling is per-row, probe is
+    // broadcast, the only ordering work is the final TakeOrdered.
+    assert(!p.contains("hashpartitioning"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("custom expressions appear in codegen'd projections") {
+    // q16's BroadcastNestedLoopJoin doesn't do whole-stage codegen (the
+    // projection above it still compiles the expression); x05's
+    // broadcast-hash-join plan hosts graft_cosine inside a whole-stage
+    // codegen span — AQE plan text marks those with "*(n)".
+    assert(plan("q16_knn_cosine").contains("graft_cosine"))
+    val x05 = plan("x05_dedup_embedding")
+    assert("""\*\(\d+\) Project \[.*graft_cosine""".r
+      .findFirstIn(x05).isDefined,
+      "graft_cosine must sit inside a whole-stage-codegen projection")
+  }
+}
