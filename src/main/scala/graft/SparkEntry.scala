@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CoreQueries, DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.operators.{CoreQueries, DedupOps, MultimodalOps, SimilarityOps, SketchOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,7 @@ object SparkEntry {
     * multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
-      TextOps.queries ++ MultimodalOps.queries
+      TextOps.queries ++ MultimodalOps.queries ++ SketchOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the seeded-LSH/simhash ops
@@ -31,5 +31,5 @@ object SparkEntry {
     * covered against exact baselines in the scalatest suite. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ DedupOps.oracleSql ++ SimilarityOps.oracleSql ++
-      TextOps.oracleSql ++ MultimodalOps.oracleSql
+      TextOps.oracleSql ++ MultimodalOps.oracleSql ++ SketchOps.oracleSql
 }

@@ -85,11 +85,14 @@ object DedupOps {
     * bucket. Bucket sizes stay small, so the per-bucket pair expansion
     * is bounded — the step that keeps this linear at scale. */
   def lshCandidates(sigs: DataFrame): DataFrame = {
+    // band key = xxhash64 of the band's slice of the signature — an
+    // 8-byte shuffle key instead of a concatenated string (the shuffle
+    // payload is the dominant cost of banding at scale); a band-hash
+    // collision can only ADD a candidate, which exact-verify removes.
     val bands = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-          b => concat_ws(",", transform(
-            slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)),
-            x => x.cast("string"))))))
+          b => xxhash64(slice(col("sig"), b * RowsPerBand + 1,
+            lit(RowsPerBand))))))
       .toDF("doc_id", "band", "key")
     bands.groupBy("band", "key")
       .agg(collect_set(col("doc_id")).as("ids"))
