@@ -57,23 +57,25 @@ object TextOps {
 
   // ---- quality scoring --------------------------------------------------
 
+  def nTokensCol(t: Column): Column = size(split(trim(t), "\\s+")).cast("long")
+  def punctRatioCol(t: Column): Column = nMatches(t, "[.,;:!?]") / length(t)
+  def stopRatioCol(t: Column): Column = nMatches(lower(t), stopEn) / nTokensCol(t)
+
+  /** Composite quality score in [0,1]: length, stopword density, and
+    * punctuation sanity, equally reproducible in DuckDB SQL. */
+  def qualityCol(t: Column): Column =
+    (least(nTokensCol(t), lit(100L)) / lit(100.0)) * 0.4 +
+      least(stopRatioCol(t) * 5.0, lit(1.0)) * 0.4 +
+      (lit(1.0) - least(punctRatioCol(t) * 10.0, lit(1.0))) * 0.2
+
   def textQuality(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val t = $"text"
-    val nTokens = size(split(trim(t), "\\s+")).cast("long")
-    val nPunct = nMatches(t, "[.,;:!?]")
-    val nStop = nMatches(lower(t), stopEn)
-    val punctRatio = nPunct / length(t)
-    val stopRatio = nStop / nTokens
-    val quality =
-      (least(nTokens, lit(100L)) / lit(100.0)) * 0.4 +
-      least(stopRatio * 5.0, lit(1.0)) * 0.4 +
-      (lit(1.0) - least(punctRatio * 10.0, lit(1.0))) * 0.2
     Tables.documents(s, d)
-      .select($"doc_id", nTokens.as("n_tokens"),
-              round(punctRatio, 4).as("punct_ratio"),
-              round(stopRatio, 4).as("stop_ratio"),
-              round(quality, 4).as("quality"))
+      .select($"doc_id", nTokensCol(t).as("n_tokens"),
+              round(punctRatioCol(t), 4).as("punct_ratio"),
+              round(stopRatioCol(t), 4).as("stop_ratio"),
+              round(qualityCol(t), 4).as("quality"))
       .orderBy($"doc_id")
   }
 
@@ -110,11 +112,38 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  // ---- curation pipeline (capstone) -------------------------------------
+
+  /** End-to-end corpus curation in ONE narrow plan: language-ID and
+    * quality gates, then order-invariant fingerprint dedup, summarized
+    * per source. Every stage is a per-row column expression, so the
+    * whole pipeline is a single map stage + one aggregate — the shape a
+    * 100 TB curation pass wants (no shuffle until the final groupBy). */
+  def curationPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = $"text"
+    Tables.documents(s, d)
+      .select($"doc_id", $"source", fingerprintCol(t).as("fp"),
+              langIdCol(t).as("pred_lang"), round(qualityCol(t), 4).as("q"))
+      .filter($"pred_lang" === "en" && $"q" >= 0.4)
+      .groupBy($"source")
+      // quality total as an e4-scaled integer: summing 4-decimal values
+      // and rounding to a whole number is immune to both accumulation
+      // order and decimal-midpoint rounding differences across engines
+      // (an average of rounded doubles is not — it can land exactly on
+      // a ROUND midpoint).
+      .agg(count("*").as("n_kept"),
+           countDistinct($"fp").as("n_unique"),
+           round(sum($"q") * 10000).cast("long").as("q_sum_e4"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x07_text_langid"      -> textLangId _,
     "x08_text_quality"     -> textQuality _,
     "x09_text_tokens"      -> textTokens _,
     "x10_text_fingerprint" -> textFingerprint _,
+    "x14_curation_pipeline" -> curationPipeline _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -156,5 +185,33 @@ object TextOps {
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(string_split_regex(lower(text), '\s+')), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x14_curation_pipeline" ->
+      s"""WITH m AS (SELECT doc_id, source,
+         |  md5(array_to_string(list_sort(string_split_regex(lower(text), '\\s+')), ' ')) AS fp,
+         |  CASE
+         |    WHEN greatest(
+         |      len(regexp_extract_all(lower(text), '$stopEn')),
+         |      len(regexp_extract_all(lower(text), '$stopDe')),
+         |      len(regexp_extract_all(lower(text), '$stopEs')),
+         |      len(regexp_extract_all(lower(text), '$stopFr')),
+         |      len(regexp_extract_all(lower(text), '[\\x{4e00}-\\x{9fff}]'))) = 0 THEN 'und'
+         |    WHEN len(regexp_extract_all(lower(text), '$stopEn')) = greatest(
+         |      len(regexp_extract_all(lower(text), '$stopEn')),
+         |      len(regexp_extract_all(lower(text), '$stopDe')),
+         |      len(regexp_extract_all(lower(text), '$stopEs')),
+         |      len(regexp_extract_all(lower(text), '$stopFr')),
+         |      len(regexp_extract_all(lower(text), '[\\x{4e00}-\\x{9fff}]'))) THEN 'en'
+         |    ELSE 'other' END AS pred_lang,
+         |  ROUND((least(CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT), 100) / 100.0) * 0.4
+         |    + least((CAST(len(regexp_extract_all(lower(text), '$stopEn')) AS BIGINT)
+         |             / CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)) * 5.0, 1.0) * 0.4
+         |    + (1.0 - least((CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT)
+         |             / length(text)) * 10.0, 1.0)) * 0.2, 4) AS q
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+         |       CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+         |       CAST(round(sum(q) * 10000) AS BIGINT) AS q_sum_e4
+         |FROM m WHERE pred_lang = 'en' AND q >= 0.4
+         |GROUP BY source ORDER BY source""".stripMargin,
   )
 }
