@@ -98,6 +98,41 @@ object MultimodalOps {
     }
   }
 
+  /** FAKE FEATURE-EXTRACT — stands in for an image/audio embedding
+    * model: a 16-bucket byte histogram, L2-normalized to a unit-length
+    * Array[Double]. Deterministic, partition-wise, and shaped exactly
+    * like a real embedding column — so it composes directly with the
+    * similarity operators. */
+  def featurize(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // real pipeline: load the embedding model here, once per partition
+      rows.map { r =>
+        val hist = new Array[Double](16)
+        var i = 0
+        while (i < r.media.length) { hist((r.media(i) & 0xff) / 16) += 1.0; i += 1 }
+        val norm = math.sqrt(hist.map(x => x * x).sum)
+        (r.doc_id, if (norm == 0) hist else hist.map(_ / norm))
+      }
+    }.toDF("doc_id", "feat")
+  }
+
+  /** Media similarity search: decode → featurize → exact cosine top-5
+    * against doc 0's features (the multimodal → ANN composition). No
+    * SQL oracle (the featurizer is the stub model); MultimodalSpec
+    * checks it against a driver-side recompute. */
+  def mediaKnn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExpressions.register(s)
+    val feats = featurize(mediaTable(s, d))
+    val probe = feats.filter($"doc_id" === 0).select($"feat".as("qf"))
+    feats.filter($"doc_id" =!= 0)
+      .crossJoin(broadcast(probe))
+      .select($"doc_id", round(CoreQueries.cosine(s, $"feat", $"qf"), 4).as("sim"))
+      .orderBy($"sim".desc, $"doc_id")
+      .limit(5)
+  }
+
   /** Driver-checkable query: per-source feature aggregates. Every value
     * derives from byte lengths/contents of the UTF-8 text, so DuckDB
     * reproduces it exactly via encode(). */
@@ -114,6 +149,7 @@ object MultimodalOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x11_multimodal_meta" -> multimodalMeta _,
+    "x15_media_knn"       -> mediaKnn _,
   )
 
   val oracleSql: Map[String, String] = Map(

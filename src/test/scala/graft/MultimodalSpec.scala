@@ -59,6 +59,32 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(info.getLong(1) === 4)    // n_partitions
   }
 
+  test("media knn matches a driver-side featurize + cosine recompute") {
+    val got = MultimodalOps.mediaKnn(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // recompute exactly, driver-side
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def feat(t: String): Array[Double] = {
+      val hist = new Array[Double](16)
+      t.getBytes("UTF-8").foreach(b => hist((b & 0xff) / 16) += 1.0)
+      val n = math.sqrt(hist.map(x => x * x).sum)
+      hist.map(_ / n)
+    }
+    val q = feat(docs.find(_._1 == 0L).get._2)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = docs.filter(_._1 != 0L)
+      .map { case (id, t) =>
+        (id, BigDecimal(cos(feat(t), q)).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (id, s) => (-s, id) }.take(5).toSeq
+    assert(got === want)
+  }
+
   test("partition-wise decode produces deterministic features") {
     val feats = MultimodalOps.decodeFeatures(
       MultimodalOps.mediaTable(spark, sf))
