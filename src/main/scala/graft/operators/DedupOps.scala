@@ -105,18 +105,29 @@ object DedupOps {
 
   /** Exact-Jaccard verification of candidate pairs against the true
     * string shingle sets (so hash collisions cannot inflate scores).
-    * The candidate list is LSH-bounded and small, so it is BROADCAST to
-    * both set joins — the corpus-sized set relation streams through two
-    * broadcast-hash joins with no shuffle. (At a scale where candidates
-    * outgrow broadcast, drop the hints and AQE falls back to shuffle
-    * joins on doc_id.) */
+    *
+    * Melt-join-pivot shape: candidate pairs unpivot to one row per
+    * (pair, side), broadcast against a SINGLE scan of the corpus-sized
+    * set relation, then pivot back per pair — half the scans of the
+    * naive two-join form, and the only shuffle is over matched
+    * candidate rows (LSH-bounded, tiny). At a scale where candidates
+    * outgrow broadcast, drop the hint and AQE falls back to a shuffle
+    * join on doc_id — the corpus is still scanned once. */
   def verifyJaccard(candidates: DataFrame, sets: DataFrame,
                     threshold: Double): DataFrame = {
+    val melted = candidates
+      .select(col("da"), col("db"),
+        explode(array(
+          struct(col("da").as("doc_id"), lit("a").as("side")),
+          struct(col("db").as("doc_id"), lit("b").as("side")))).as("m"))
+      .select(col("da"), col("db"), col("m.doc_id"), col("m.side"))
+    val joined = broadcast(melted).join(sets, "doc_id")
+    val paired = joined.groupBy(col("da"), col("db"))
+      .agg(max(when(col("side") === "a", col("s"))).as("sa"),
+           max(when(col("side") === "b", col("s"))).as("sb"))
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("long")
     val jac = inter / (size(col("sa")) + size(col("sb")) - inter)
-    broadcast(broadcast(candidates)
-        .join(sets.select(col("doc_id").as("da"), col("s").as("sa")), "da"))
-      .join(sets.select(col("doc_id").as("db"), col("s").as("sb")), "db")
+    paired
       .select(col("da"), col("db"), round(jac, 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
