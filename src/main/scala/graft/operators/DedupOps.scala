@@ -149,9 +149,11 @@ object DedupOps {
     import s.implicits._
     val sigs = simhashSig(words(s, d))
     // band on 16-bit chunks → candidates → exact hamming verify
+    val chunkBits = 64 / SimhashChunks
+    val chunkMask = (1L << chunkBits) - 1
     val chunks = sigs.select($"doc_id", $"sig",
-        posexplode(expr(
-          "transform(sequence(0,3), c -> shiftright(sig, c*16) & 65535)")))
+        posexplode(expr(s"transform(sequence(0, ${SimhashChunks - 1}), " +
+          s"c -> shiftright(sig, c * $chunkBits) & $chunkMask)")))
       .toDF("doc_id", "sig", "chunk", "key")
     val cands = chunks.groupBy("chunk", "key")
       .agg(collect_set(struct($"doc_id", $"sig")).as("ds"))

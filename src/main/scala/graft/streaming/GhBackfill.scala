@@ -25,6 +25,17 @@ import org.apache.spark.sql.functions._
   */
 object GhBackfill {
 
+  /** F6 — the reference's skip-at-UTC-hour-0 guard
+    * (`update-contributor-scores.js:21-25,172-177`): the last COMPLETE
+    * hour strictly before `now`, or None at the day's first hour when
+    * no complete hour of today exists yet. Driver-side control flow by
+    * design (SURVEY §4.1). */
+  def lastCompleteHour(now: java.time.Instant): Option[(String, Int)] = {
+    val utc = now.atZone(java.time.ZoneOffset.UTC)
+    if (utc.getHour == 0) None
+    else Some((utc.toLocalDate.toString, utc.getHour - 1))
+  }
+
   /** (date, hour) partitions present in the hourly-scores output. */
   def existingHourPartitions(spark: SparkSession, outDir: String): Set[(String, Int)] = {
     val path = new Path(outDir)

@@ -56,6 +56,16 @@ class GhBackfillSpec extends AnyFunSuite with SparkTestSession {
       Set(("2025-08-11", 0)))
   }
 
+  test("F6 guard: no complete hour at UTC midnight hour, else previous") {
+    import java.time.Instant
+    assert(GhBackfill.lastCompleteHour(
+      Instant.parse("2025-08-10T00:30:00Z")).isEmpty)
+    assert(GhBackfill.lastCompleteHour(
+      Instant.parse("2025-08-10T14:05:00Z")) === Some(("2025-08-10", 13)))
+    assert(GhBackfill.lastCompleteHour(
+      Instant.parse("2025-08-10T23:59:59Z")) === Some(("2025-08-10", 22)))
+  }
+
   test("daily summary equals direct daily aggregation") {
     val out = Files.createTempDirectory("graft-bf4").toString + "/hourly"
     GhBackfill.backfillMissingHours(spark, cleanedEvents, out)
