@@ -284,6 +284,25 @@ object CoreQueries {
       .orderBy($"nationkey")
   }
 
+  /** X16 — grouped top-K via the custom bounded-heap
+    * TypedImperativeAggregate (graft.plans.TopKPairs): same result as
+    * Q12's window row_number, but the shuffle carries at most k rows
+    * per group instead of every row — the scale path for per-key
+    * top-K. Shares Q12's oracle SQL. */
+  def groupedTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExpressions.register(s)
+    Tables.customer(s, d)
+      .groupBy($"c_nationkey")
+      .agg(call_function(graft.plans.GraftExpressions.TopKFn,
+        $"c_acctbal", $"c_custkey", lit(3)).as("top"))
+      .select($"c_nationkey".cast("long").as("c_nationkey"),
+        posexplode($"top"))
+      .select($"c_nationkey", ($"pos" + 1).cast("long").as("rn"),
+        $"col.id".as("c_custkey"), round($"col.score", 2).as("acctbal"))
+      .orderBy($"c_nationkey", $"rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_counts"      -> hourlyCounts _,
     "q02_hourly_user_scores" -> hourlyUserScores _,
@@ -304,6 +323,7 @@ object CoreQueries {
     "q17_rollup_agg"         -> rollupAgg _,
     "q18_distinct_agg"       -> distinctAgg _,
     "q19_subquery_agg"       -> subqueryAgg _,
+    "x16_grouped_topk"       -> groupedTopK _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -428,5 +448,14 @@ object CoreQueries {
         |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
         |                   WHERE c2.c_nationkey = c.c_nationkey)
         |GROUP BY c_nationkey ORDER BY nationkey""".stripMargin,
+    // x16 has identical semantics to q12 — same oracle shape.
+    "x16_grouped_topk" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, rn, c_custkey,
+        |       ROUND(c_acctbal, 2) AS acctbal
+        |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |               ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+        |      FROM customer)
+        |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
   )
 }

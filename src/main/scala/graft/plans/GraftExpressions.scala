@@ -25,6 +25,7 @@ object GraftExpressions {
   val SimHashFn = "graft_simhash"
   val HyperplaneFn = "graft_hyperplane_sig"
   val ShinglesFn = "graft_shingles"
+  val TopKFn = "graft_topk"
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
@@ -39,6 +40,11 @@ object GraftExpressions {
       HyperplaneFn, es => HyperplaneSignature(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       ShinglesFn, es => WordShingles(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      TopKFn, es => TopKPairs(es(0), es(1),
+        es(2).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression(),
+      "built-in")
   }
 }
 
