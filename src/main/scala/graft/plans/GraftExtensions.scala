@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: injects every graft function at
+  * session build, so a deployment enables the library with
+  *
+  * {{{
+  *   spark.sql.extensions=graft.plans.GraftExtensions
+  * }}}
+  *
+  * (or `SparkSession.builder().withExtensions(new GraftExtensions)`) and
+  * the functions exist in EVERY session from the start — no per-session
+  * `GraftExpressions.register` call, and catalogs/views can reference
+  * them immediately. The imperative register() path stays for ad-hoc
+  * sessions; both routes build the identical expression trees.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier(GraftExpressions.CosineFn),
+      info(GraftExpressions.CosineFn,
+        "cosine similarity of two double arrays (fused codegen loop)"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier(GraftExpressions.MinHashFn),
+      info(GraftExpressions.MinHashFn,
+        "128-permutation minhash signature of a long-hash array"),
+      (es: Seq[Expression]) => MinHashSignature(es.head)))
+    e.injectFunction((FunctionIdentifier(GraftExpressions.SimHashFn),
+      info(GraftExpressions.SimHashFn,
+        "64-bit simhash of a token-hash array"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
+    e.injectFunction((FunctionIdentifier(GraftExpressions.HyperplaneFn),
+      info(GraftExpressions.HyperplaneFn,
+        "random-hyperplane LSH bucket of a double vector"),
+      (es: Seq[Expression]) => HyperplaneSignature(es.head)))
+    e.injectFunction((FunctionIdentifier(GraftExpressions.ShinglesFn),
+      info(GraftExpressions.ShinglesFn,
+        "distinct word-3-gram shingles of a token array"),
+      (es: Seq[Expression]) => WordShingles(es.head)))
+    e.injectFunction((FunctionIdentifier(GraftExpressions.TopKFn),
+      info(GraftExpressions.TopKFn,
+        "bounded-heap top-k (score, id) pairs per group"),
+      (es: Seq[Expression]) => TopKPairs(es(0), es(1),
+        es(2).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()))
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions entry point must make every function available in a
+  * session built with it — no imperative register() call. */
+class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
+
+  test("withExtensions(GraftExtensions) injects all functions") {
+    spark.sparkContext   // ensure the shared context exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      val cos = s2.sql(
+        "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d))")
+        .head().getDouble(0)
+      assert(cos === 1.0)
+      val sig = s2.sql("SELECT graft_simhash(array(1L, 3L))")
+        .head().getLong(0)
+      // bit 0: set in both (+2) → kept; bit 1: set in one (votes 0,
+      // strictly-positive required) → dropped
+      assert(sig === 1L)
+      val topk = s2.sql(
+        """SELECT g, graft_topk(s, i, 2) FROM
+          |VALUES ('a', 3.0d, 1L), ('a', 9.0d, 2L), ('a', 5.0d, 3L) t(g, s, i)
+          |GROUP BY g""".stripMargin).collect()
+      assert(topk.length === 1)
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
