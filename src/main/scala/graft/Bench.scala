@@ -5,10 +5,19 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line with per-query and total seconds.
   *
+  * Queries are driven through the `noop` sink, not count(): a count lets
+  * Catalyst prune every computed column and eliminate final sorts, so
+  * narrow queries (langid, fingerprints, quality) would measure a
+  * parquet-footer count instead of the query. The noop write forces full
+  * materialization of every output column with zero sink cost.
+  *
   * A warmup pass at the smallest scale factor runs first (not measured):
   * JVM/JIT warmup, whole-stage codegen compilation, and parquet footer
   * caching are one-time costs that would otherwise land arbitrarily on
-  * whichever queries happen to run first and swamp their numbers. */
+  * whichever queries happen to run first and swamp their numbers.
+  *
+  * Failed queries are reported in a "failed" array (and excluded from
+  * per-query timings) instead of masquerading as fast successes. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -22,22 +31,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+            dir: String): Unit =
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+
     val warmupDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir) {
       SparkEntry.queries.foreach { case (_, fn) =>
-        try { fn(spark, warmupDir).count() } catch { case _: Throwable => () }
+        try run(fn, warmupDir) catch { case _: Throwable => () }
       }
     }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { run(fn, sfDir); true } catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val good = results.filter(_._3)
+    val failed = results.filterNot(_._3).map(_._1)
+    val qs = good.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = good.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

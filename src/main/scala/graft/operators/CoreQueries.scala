@@ -276,8 +276,11 @@ object CoreQueries {
     val c = Tables.customer(s, d)
     val natAvg = c.groupBy($"c_nationkey".as("nk"))
       .agg(avg($"c_acctbal").as("nation_avg"))
+    // threshold comparison at integer-cent resolution: raw double avgs
+    // differ between engines in the last ulp (partial-agg merge order),
+    // and a customer sitting exactly on the average would flip sides.
     c.join(broadcast(natAvg), $"c_nationkey" === $"nk")
-      .filter($"c_acctbal" > $"nation_avg")
+      .filter(round($"c_acctbal" * 100) > round($"nation_avg" * 100))
       .groupBy($"c_nationkey".cast("long").as("nationkey"))
       .agg(count("*").as("n_above"),
            round(max($"c_acctbal"), 2).as("max_bal"))
@@ -445,8 +448,9 @@ object CoreQueries {
         |       CAST(count(*) AS BIGINT) AS n_above,
         |       ROUND(max(c_acctbal), 2) AS max_bal
         |FROM customer c
-        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
-        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |WHERE round(c_acctbal * 100) >
+        |      (SELECT round(avg(c2.c_acctbal) * 100) FROM customer c2
+        |       WHERE c2.c_nationkey = c.c_nationkey)
         |GROUP BY c_nationkey ORDER BY nationkey""".stripMargin,
     // x16 has identical semantics to q12 — same oracle shape.
     "x16_grouped_topk" ->

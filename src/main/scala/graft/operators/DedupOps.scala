@@ -245,8 +245,10 @@ object DedupOps {
     "x02_dedup_minhash_lsh" ->
       """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
         |           FROM documents WHERE len(string_split_regex(lower(text), '\s+')) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
-        |       FROM w, generate_series(1, 200) t(i) WHERE i <= len(w) - 2),
+        |sh AS (SELECT DISTINCT doc_id,
+        |       unnest(list_transform(range(1, len(w) - 1),
+        |                             i -> array_to_string(w[i:i+2], ' '))) AS sh
+        |       FROM w),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
         |          FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
@@ -258,8 +260,10 @@ object DedupOps {
     "x04_dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
         |           FROM documents WHERE len(string_split_regex(lower(text), '\s+')) >= 3),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
-        |       FROM w, generate_series(1, 200) t(i) WHERE i <= len(w) - 2),
+        |sh AS (SELECT DISTINCT doc_id,
+        |       unnest(list_transform(range(1, len(w) - 1),
+        |                             i -> array_to_string(w[i:i+2], ' '))) AS sh
+        |       FROM w),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |q AS (SELECT sh FROM sh WHERE doc_id = 0),
         |qn AS (SELECT count(*) AS n FROM q),

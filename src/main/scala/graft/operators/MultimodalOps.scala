@@ -47,7 +47,7 @@ object MultimodalOps {
     * and output shape stay identical. */
   def fakeDecode(r: MediaRow): MediaFeatures = {
     val bytes = r.media
-    val nFrames = bytes.length / 100 + 1
+    val nFrames = (bytes.length + 99) / 100   // ceil; same rule as sampleFrames
     var sum = 0L
     var i = 0
     while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
@@ -89,7 +89,9 @@ object MultimodalOps {
       : Dataset[(Long, Int, Array[Byte])] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      val nFrames = r.media.length / 100 + 1
+      // ceil(len/100): an exact multiple of 100 must NOT produce a
+      // phantom empty trailing frame, and a 0-byte payload has none.
+      val nFrames = (r.media.length + 99) / 100
       (0 until nFrames by everyNth).map { f =>
         val from = f * 100
         val until = math.min(from + 100, r.media.length)
@@ -158,7 +160,7 @@ object MultimodalOps {
     // compute it from the string form.
     "x11_multimodal_meta" ->
       """WITH f AS (SELECT source, octet_length(encode(text)) AS n_bytes,
-        |  octet_length(encode(text)) // 100 + 1 AS n_frames,
+        |  (octet_length(encode(text)) + 99) // 100 AS n_frames,
         |  (SELECT sum(unicode(c)) FROM unnest(string_split(text, '')) t(c))
         |    / CAST(octet_length(encode(text)) AS DOUBLE) AS mean_byte
         |  FROM documents)

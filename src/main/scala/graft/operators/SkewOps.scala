@@ -14,18 +14,24 @@ import org.apache.spark.sql.functions._
   *  phase 2: merge the partials per key (counts/sums re-aggregate
   *           losslessly; the salt never reaches the result).
   *
-  * Salts are derived from a hash of a per-row unique id, so the spread
-  * is even and the plan stays deterministic-in-result (the salt value
-  * itself carries no semantics).
+  * Salts are derived from a hash of the FULL row content — NOT from
+  * monotonically_increasing_id or rand, whose values depend on the task
+  * attempt that computes them: under speculative execution or a fetch-
+  * failure recompute, an attempt-dependent salt can re-bucket rows
+  * between the attempt a reducer already fetched and the recomputed
+  * one, double- or under-counting. A content hash is stable across
+  * retries; identical rows sharing a salt merely skews the spread a
+  * little, never the result.
   */
 object SkewOps {
 
-  private def saltCol(salts: Int): Column =
-    pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong))
+  private def saltCol(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)),
+      lit(salts.toLong))
 
   /** COUNT per key, hot keys spread across `salts` partial groups. */
   def saltedCount(df: DataFrame, key: Column, salts: Int): DataFrame =
-    df.groupBy(key.as("key"), saltCol(salts).as("_salt"))
+    df.groupBy(key.as("key"), saltCol(df, salts).as("_salt"))
       .agg(count("*").as("_partial"))
       .groupBy(col("key"))
       .agg(sum(col("_partial")).as("count"))
@@ -33,18 +39,18 @@ object SkewOps {
   /** SUM of `value` per key, salted two-phase. */
   def saltedSum(df: DataFrame, key: Column, value: Column,
                 salts: Int): DataFrame =
-    df.groupBy(key.as("key"), saltCol(salts).as("_salt"))
+    df.groupBy(key.as("key"), saltCol(df, salts).as("_salt"))
       .agg(sum(value).as("_partial"))
       .groupBy(col("key"))
       .agg(sum(col("_partial")).as("sum"))
 
   /** Inner join of a skewed `big` side against a non-broadcastable
-    * `small` side on `keyName`: big rows get a random-but-even salt,
+    * `small` side on `keyName`: big rows get a content-derived salt,
     * small rows are replicated once per salt value, and the join key
     * becomes (key, salt) — no single reducer owns a hot key. */
   def saltedJoin(big: DataFrame, small: DataFrame, keyName: String,
                  salts: Int): DataFrame = {
-    val saltedBig = big.withColumn("_salt", saltCol(salts))
+    val saltedBig = big.withColumn("_salt", saltCol(big, salts))
     val replicatedSmall = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedBig.join(replicatedSmall, Seq(keyName, "_salt")).drop("_salt")

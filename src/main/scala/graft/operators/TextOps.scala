@@ -24,11 +24,14 @@ object TextOps {
   private val stopFr = "\\b(le|les|la|de|et|un|est|que)\\b"
   private val zhChars = "[\\u4e00-\\u9fff]"
 
-  /** Count of non-overlapping regex matches, via regexp_extract_all —
-    * identical greedy-match semantics in Spark (Java regex) and DuckDB
-    * (RE2) for the character-class/alternation patterns used here. */
+  /** Count of non-overlapping regex matches — regexp_count, which
+    * counts without materializing every match into an array (the
+    * regexp_extract_all form allocates a string per match just to take
+    * its size). Identical greedy-match semantics to DuckDB's
+    * len(regexp_extract_all(...)) for the character-class/alternation
+    * patterns used here. */
   private def nMatches(c: Column, pattern: String): Column =
-    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+    regexp_count(c, lit(pattern)).cast("long")
 
   // ---- language ID ------------------------------------------------------
 

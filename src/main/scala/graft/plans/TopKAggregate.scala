@@ -27,10 +27,26 @@ case class TopKPairs(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKHeap] {
 
+  require(k > 0, s"graft_topk requires k > 0, got $k")
+
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(TopKPairs.entryType, containsNull = false)
   override def prettyName: String = "graft_topk"
+
+  /** Fail at analysis, not with an executor-side ClassCastException:
+    * the function is registered session-wide, so arbitrary SQL can
+    * reach it with any argument types. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (score.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_topk score must be DOUBLE, got ${score.dataType.sql}")
+    else if (id.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_topk id must be BIGINT, got ${id.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   override def createAggregationBuffer(): TopKHeap = new TopKHeap(k)
 
@@ -107,7 +123,8 @@ final class TopKHeap(val k: Int) {
   }
 
   def offer(s: Double, i: Long): Unit = {
-    if (pq.size < k) pq.offer((s, i))
+    if (k <= 0) ()   // defensive: TopKPairs rejects k <= 0 at build time
+    else if (pq.size < k) pq.offer((s, i))
     else if (!worseThanHead(s, i)) { pq.poll(); pq.offer((s, i)) }
   }
 

@@ -48,8 +48,11 @@ object GhBackfill {
         val date = dn.stripPrefix("score_date=")
         fs.listStatus(dateDir.getPath).filter(_.isDirectory).toSeq.flatMap { hourDir =>
           val hn = hourDir.getPath.getName
+          // toIntOption: tolerate foreign dirs (e.g. a
+          // __HIVE_DEFAULT_PARTITION__ from a buggy writer) instead of
+          // letting one of them break every future backfill run.
           if (hn.startsWith("score_hour="))
-            Seq(date -> hn.stripPrefix("score_hour=").toInt)
+            hn.stripPrefix("score_hour=").toIntOption.map(date -> _).toSeq
           else Seq.empty[(String, Int)]
         }
       }
@@ -81,6 +84,7 @@ object GhBackfill {
     val done = if (force) Set.empty[(String, Int)]
                else existingHourPartitions(spark, outDir)
     val withPart = events
+      .filter(col("created_at").isNotNull)   // no hour bucket → no partition
       .withColumn("score_date",
         date_format(date_trunc("hour", col("created_at")), "yyyy-MM-dd"))
       .withColumn("score_hour", hour(col("created_at")))

@@ -72,10 +72,14 @@ object GhIngest {
       .select(col("id"), col("_corrupt_record"))
 
   /** Ingest-path cleaning (F1 + drop corrupt + project): the content of
-    * the Lua insert script minus storage concerns. */
+    * the Lua insert script minus storage concerns. Rows without an
+    * event time are dropped too — every downstream consumer buckets by
+    * `created_at`, and a null would otherwise land in a
+    * __HIVE_DEFAULT_PARTITION__ that poisons partition listings. */
   def cleanEvents(raw: DataFrame): DataFrame =
     raw.filter(col("_corrupt_record").isNull)
       .filter(col("id").isNotNull)
+      .filter(col("created_at").isNotNull)
       .filter(keepIngest(col("actor.login")))
       .drop("_corrupt_record")
 

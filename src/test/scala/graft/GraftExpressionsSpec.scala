@@ -31,6 +31,16 @@ class GraftExpressionsSpec extends AnyFunSuite with SparkTestSession {
     assert(df.as[Double].collect().toSeq === Seq(1.0, 0.0))
   }
 
+  test("CosineSimilarity is NULL on mismatched dimensions (like the HOF)") {
+    GraftExpressions.register(spark)
+    val df = Seq((Seq(1.0, 0.0), Seq(1.0)))
+      .toDF("a", "b")
+      .select(call_function(GraftExpressions.CosineFn, $"a", $"b").as("s"),
+              CoreQueries.cosineSimHof($"a", $"b").as("h"))
+    val r = df.head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("MinHashSignature matches a reference scala implementation") {
     GraftExpressions.register(spark)
     import graft.plans.MinHashSignature.{coefA, coefB, NumHashes, Prime}

@@ -38,11 +38,10 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     val frames = MultimodalOps.sampleFrames(media, 2)
     val byDoc = frames.collect().groupBy(_._1)
     val m = media.filter(_.doc_id == 0L).head()
-    val expected = (m.media.length / 100 + 1 + 1) / 2
-    assert(byDoc(0L).length === expected)
-    assert(byDoc(0L).forall(_._3.length <= 100))
-    assert(byDoc(0L).map(_._2).sorted.toSeq ===
-      (0 until m.media.length / 100 + 1 by 2).toSeq)
+    val nFrames = (m.media.length + 99) / 100
+    assert(byDoc(0L).length === (nFrames + 1) / 2)
+    assert(byDoc(0L).forall(f => f._3.length > 0 && f._3.length <= 100))
+    assert(byDoc(0L).map(_._2).sorted.toSeq === (0 until nFrames by 2).toSeq)
   }
 
   test("stream info reports entry/partition counts (T4 analogue)") {
@@ -89,7 +88,7 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     val feats = MultimodalOps.decodeFeatures(
       MultimodalOps.mediaTable(spark, sf))
     val r = feats.filter(_.doc_id == 0L).head()
-    assert(r.n_frames === r.n_bytes / 100 + 1)
+    assert(r.n_frames === (r.n_bytes + 99) / 100)
     assert(r.mean_byte > 32.0 && r.mean_byte < 127.0)   // printable ASCII
     // decode twice → identical (the stub is deterministic)
     val again = MultimodalOps.decodeFeatures(
