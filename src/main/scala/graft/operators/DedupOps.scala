@@ -18,6 +18,13 @@ import graft.Tables
   *  - embedding cosine: near-dup pairs blocked by label (the blocking
   *                 key stands in for an LSH bucket at scale).
   *
+  * Literature: MinHash resemblance estimation is Broder's (On the
+  * resemblance and containment of documents, 1997); the band/row
+  * analysis follows Leskovec–Rajaraman–Ullman, Mining of Massive
+  * Datasets ch. 3; SimHash is Charikar's similarity-preserving
+  * fingerprint (STOC 2002) with the pigeonhole chunk trick from
+  * Manku–Jain–Sarma (WWW 2007).
+  *
   * The LSH parameters (b=32, r=4) are chosen for the 0.8 threshold:
   * a true pair at j ≥ 0.9 is missed with prob (1-0.9^4)^32 ≈ 1e-15,
   * so the LSH output provably equals the exact all-pairs oracle on any

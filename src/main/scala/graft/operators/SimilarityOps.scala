@@ -21,6 +21,10 @@ import graft.Tables
   * Both are deterministic (seeded hyperplanes / fixed sample) so results
   * are reproducible run to run; accuracy is asserted against the exact
   * baseline in SimilaritySpec rather than a SQL oracle.
+  *
+  * Literature: random-hyperplane signatures are Charikar's rounding
+  * scheme (STOC 2002); the inverted-file coarse quantizer follows the
+  * IVF stage of Jégou–Douze–Schmid (PAMI 2011).
   */
 object SimilarityOps {
 

@@ -22,6 +22,8 @@ import graft.functions.GhFunctions._
   * Scale stance: the groupBy(window, login) shuffles once on
   * (window, login) with map-side partial aggregation; hour-partitioned
   * output gives partition pruning to every downstream serving query.
+  * The micro-batch + watermark + incremental-sink design follows the
+  * Structured Streaming model (Armbrust et al., SIGMOD 2018).
   */
 object GhIngest {
 
