@@ -62,29 +62,59 @@ object SimilarityOps {
       .limit(TopK)
   }
 
-  val CentroidStep = 97   // vec_id ≡ 0 (mod 97) → ~n/97 centroids, ∝ corpus
+  val CentroidStep = 97   // vec_id ≡ 0 (mod 97) → ~n/97 seeds, ∝ corpus
+  val KmeansIters = 2
   val NProbe = 4
 
-  /** IVF: centroids = vectors whose id ≡ 0 (mod a fixed prime) — a
-    * deterministic coarse quantizer standing in for trained k-means,
-    * with centroid count proportional to corpus size and NO driver-side
-    * count() job. Every vector is assigned to its nearest centroid (one
-    * broadcast join + argmin, no shuffle of the big side); a query
-    * probes the NProbe nearest centroid lists only. */
-  def annIvf(s: SparkSession, d: String): DataFrame = {
+  /** Nearest-centroid assignment: argmax cosine over broadcast
+    * centroids — map-side only, no shuffle of the vector corpus. */
+  private def assign(s: SparkSession, emb: DataFrame,
+                     cents: DataFrame): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
-      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
-    val cents = emb.filter($"vec_id" % CentroidStep === 0)
-      .select($"vec_id".as("cid"), $"e".as("ce"))
-    // assign: argmin over broadcast centroids (map-side only)
-    val assigned = emb.crossJoin(broadcast(cents))
+    emb.crossJoin(broadcast(cents))
       .select($"vec_id", $"e", $"cid",
         CoreQueries.cosine(s, $"e", $"ce").as("csim"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy($"vec_id").orderBy($"csim".desc, $"cid")))
       .filter($"rk" === 1).drop("rk", "csim")
+  }
+
+  /** Trained coarse quantizer: modulo-sampled seeds refined with
+    * Lloyd's iterations. The elementwise centroid mean goes through
+    * posexplode → per-(centroid, dimension) avg → rebuild, which is the
+    * shuffle-bounded way to average vectors at corpus scale (never a
+    * per-group collect of all members). Deterministic seeds; the mean
+    * is order-insensitive up to fp rounding, which only ever moves a
+    * vector between near-equidistant lists — candidates change, the
+    * exact re-scoring stage does not. */
+  def kmeansCentroids(s: SparkSession, emb: DataFrame,
+                      iters: Int): DataFrame = {
+    import s.implicits._
+    var cents = emb.filter($"vec_id" % CentroidStep === 0)
+      .select($"vec_id".as("cid"), $"e".as("ce"))
+    var i = 0
+    while (i < iters) {
+      val dims = assign(s, emb, cents)
+        .select($"cid", posexplode($"e"))
+        .groupBy($"cid", $"pos").agg(avg($"col").as("v"))
+      cents = dims
+        .groupBy($"cid")
+        .agg(array_sort(collect_list(struct($"pos", $"v"))).as("pv"))
+        .select($"cid", expr("transform(pv, x -> x.v)").as("ce"))
+      i += 1
+    }
+    cents
+  }
+
+  /** IVF: vectors assigned to their nearest trained centroid; a query
+    * probes only the NProbe nearest centroid lists. */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val cents = kmeansCentroids(s, emb, KmeansIters)
+    val assigned = assign(s, emb, cents)
     val probe = assigned.filter($"vec_id" === 0).select($"e".as("qe"))
     // centroid lists to probe for the query
     val probeCids = cents.crossJoin(broadcast(probe))
