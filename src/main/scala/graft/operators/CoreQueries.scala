@@ -287,6 +287,30 @@ object CoreQueries {
       .orderBy($"nationkey")
   }
 
+  // Q20 — fact-to-dimension join on the part table: revenue per brand.
+  def brandRevenue(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand")
+      .agg(count("*").as("n_items"),
+           round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+             .as("revenue"))
+      .orderBy($"p_brand")
+  }
+
+  // Q21 — supplier dimension stats per nation. Balance total emitted at
+  // integer-cent resolution (order-insensitive across engines).
+  def supplierStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count("*").as("n_suppliers"),
+           round(sum($"s_acctbal") * 100).cast("long").as("bal_cents"))
+      .orderBy($"n_name")
+  }
+
   /** X16 — grouped top-K via the custom bounded-heap
     * TypedImperativeAggregate (graft.plans.TopKPairs): same result as
     * Q12's window row_number, but the shuffle carries at most k rows
@@ -326,6 +350,8 @@ object CoreQueries {
     "q17_rollup_agg"         -> rollupAgg _,
     "q18_distinct_agg"       -> distinctAgg _,
     "q19_subquery_agg"       -> subqueryAgg _,
+    "q20_brand_revenue"      -> brandRevenue _,
+    "q21_supplier_stats"     -> supplierStats _,
     "x16_grouped_topk"       -> groupedTopK _,
   )
 
@@ -452,6 +478,16 @@ object CoreQueries {
         |      (SELECT round(avg(c2.c_acctbal) * 100) FROM customer c2
         |       WHERE c2.c_nationkey = c.c_nationkey)
         |GROUP BY c_nationkey ORDER BY nationkey""".stripMargin,
+    "q20_brand_revenue" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+        |       ROUND(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q21_supplier_stats" ->
+      """SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |       CAST(round(sum(s_acctbal) * 100) AS BIGINT) AS bal_cents
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     // x16 has identical semantics to q12 — same oracle shape.
     "x16_grouped_topk" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, rn, c_custkey,
