@@ -18,12 +18,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def canon(v):
+    # EXACT comparison, floats included: both engines compute the same
+    # arithmetic on the same data, and every query ROUNDs or
+    # integer-scales its float outputs — so bitwise equality is the
+    # contract. Rounding here would mask diffs the driver's hash-compare
+    # would catch.
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        return repr(v)
     return str(v)
 
 
