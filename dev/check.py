@@ -40,20 +40,25 @@ def main(outdir, sfdir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
-    # rows-only checks for queries without an oracle (driver's weaker gate)
-    for qdir in sorted(glob.glob(f"{outdir}/*/")):
-        name = os.path.basename(qdir.rstrip("/"))
-        if name in oracle:
-            continue
-        files = glob.glob(f"{qdir}/*.parquet")
+    # rows-only checks for registered queries without an oracle. Iterate
+    # the REGISTERED list (queries.json), not the directories that
+    # happen to exist: a query that crashed and wrote nothing must FAIL,
+    # and a stale/foreign directory must not count as a pass.
+    registered = json.load(open(f"{outdir}/queries.json"))
+    for name in sorted(set(registered) - set(oracle)):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
         n = (con.execute(f"SELECT count(*) FROM read_parquet({files!r})")
              .fetchone()[0] if files else 0)
         if n > 0:
             print(f"PASS {name} (rows-only, {n} rows)")
             n_pass += 1
         else:
-            print(f"FAIL {name}: rows-only check found no rows")
+            print(f"FAIL {name}: no output or no rows")
             n_fail += 1
+    for stale in sorted(
+            {os.path.basename(p.rstrip("/")) for p in glob.glob(f"{outdir}/*/")}
+            - set(registered)):
+        print(f"WARN stale output dir not in registered queries: {stale}")
     for name in sorted(oracle):
         sql = oracle[name]
         files = glob.glob(f"{outdir}/{name}/*.parquet")

@@ -288,14 +288,20 @@ object CoreQueries {
   }
 
   // Q20 — fact-to-dimension join on the part table: revenue per brand.
+  // Revenue is emitted e4-scaled: price and discount both carry 2
+  // decimals, so per-item revenue has exactly 4 decimals and the TRUE
+  // group total is integral at 1e-4 resolution — rounding the scaled
+  // sum to a whole number is immune to fp merge order, whereas
+  // ROUND(sum, 2) sits on genuine half-cent midpoints. (q19/q21 use
+  // the same integer-scaling rule.)
   def brandRevenue(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, d)
       .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
       .groupBy($"p_brand")
       .agg(count("*").as("n_items"),
-           round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
-             .as("revenue"))
+           round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")) * 10000)
+             .cast("long").as("revenue_e4"))
       .orderBy($"p_brand")
   }
 
@@ -480,7 +486,8 @@ object CoreQueries {
         |GROUP BY c_nationkey ORDER BY nationkey""".stripMargin,
     "q20_brand_revenue" ->
       """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
-        |       ROUND(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |       CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)
+        |         AS revenue_e4
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q21_supplier_stats" ->

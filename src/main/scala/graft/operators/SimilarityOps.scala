@@ -67,27 +67,30 @@ object SimilarityOps {
   val NProbe = 4
 
   /** Nearest-centroid assignment: argmax cosine over broadcast
-    * centroids — map-side only, no shuffle of the vector corpus. */
+    * centroids, taken with a struct-max AGGREGATE (ordering fields
+    * csim DESC then cid ASC via negation, payload carried behind them).
+    * Unlike a row_number window — which would shuffle the whole
+    * corpus×centroids cross product — the aggregate combines map-side,
+    * so only one row per vector reaches the exchange. */
   private def assign(s: SparkSession, emb: DataFrame,
                      cents: DataFrame): DataFrame = {
     import s.implicits._
     emb.crossJoin(broadcast(cents))
       .select($"vec_id", $"e", $"cid",
         CoreQueries.cosine(s, $"e", $"ce").as("csim"))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"vec_id").orderBy($"csim".desc, $"cid")))
-      .filter($"rk" === 1).drop("rk", "csim")
+      .groupBy($"vec_id")
+      .agg(max(struct($"csim", (-$"cid").as("negCid"), $"cid", $"e")).as("m"))
+      .select($"vec_id", $"m.e".as("e"), $"m.cid".as("cid"))
   }
 
   /** Trained coarse quantizer: modulo-sampled seeds refined with
     * Lloyd's iterations. The elementwise centroid mean goes through
-    * posexplode → per-(centroid, dimension) avg → rebuild, which is the
-    * shuffle-bounded way to average vectors at corpus scale (never a
-    * per-group collect of all members). Deterministic seeds; the mean
-    * is order-insensitive up to fp rounding, which only ever moves a
-    * vector between near-equidistant lists — candidates change, the
-    * exact re-scoring stage does not. */
+    * posexplode → per-(centroid, dimension) mean → rebuild, which is
+    * the shuffle-bounded way to average vectors at corpus scale (never
+    * a per-group collect of all members). The mean is computed over
+    * e9-quantized INTEGER coordinates — an exact, order-insensitive
+    * sum — so training (and therefore the whole index) is
+    * deterministic run to run, not subject to fp merge order. */
   def kmeansCentroids(s: SparkSession, emb: DataFrame,
                       iters: Int): DataFrame = {
     import s.implicits._
@@ -97,7 +100,8 @@ object SimilarityOps {
     while (i < iters) {
       val dims = assign(s, emb, cents)
         .select($"cid", posexplode($"e"))
-        .groupBy($"cid", $"pos").agg(avg($"col").as("v"))
+        .groupBy($"cid", $"pos")
+        .agg((sum(round($"col" * 1e9).cast("long")) / 1e9 / count("*")).as("v"))
       cents = dims
         .groupBy($"cid")
         .agg(array_sort(collect_list(struct($"pos", $"v"))).as("pv"))
@@ -108,12 +112,16 @@ object SimilarityOps {
   }
 
   /** IVF: vectors assigned to their nearest trained centroid; a query
-    * probes only the NProbe nearest centroid lists. */
+    * probes only the NProbe nearest centroid lists. The trained
+    * centroid table (tiny: ~n/97 rows) is materialized once with
+    * localCheckpoint — it is referenced from several subplans, and the
+    * non-broadcast references would otherwise re-run the whole training
+    * chain per reference. */
   def annIvf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
-    val cents = kmeansCentroids(s, emb, KmeansIters)
+    val cents = kmeansCentroids(s, emb, KmeansIters).localCheckpoint(true)
     val assigned = assign(s, emb, cents)
     val probe = assigned.filter($"vec_id" === 0).select($"e".as("qe"))
     // centroid lists to probe for the query

@@ -40,10 +40,17 @@ object PipelineDemo {
       }
 
     println(s"[pipeline] input=$input work=$work")
-    GhIngest.startIngest(spark, input, s"$work/bronze", s"$work/ckpt-ingest")
-      .awaitTermination(120000)
-    GhIngest.startScoring(spark, s"$work/bronze", s"$work/hourly",
-      s"$work/ckpt-score").awaitTermination(120000)
+    def await(q: org.apache.spark.sql.streaming.StreamingQuery,
+              what: String): Unit =
+      if (!q.awaitTermination(120000)) {
+        q.stop()
+        sys.error(s"$what did not finish within 120s — results would be " +
+          "incomplete; aborting instead of printing truncated numbers")
+      }
+    await(GhIngest.startIngest(spark, input, s"$work/bronze",
+      s"$work/ckpt-ingest"), "ingest stream")
+    await(GhIngest.startScoring(spark, s"$work/bronze", s"$work/hourly",
+      s"$work/ckpt-score"), "scoring stream")
 
     println("[pipeline] stream info (XINFO analogue):")
     GhIngest.streamInfo(spark, s"$work/bronze").show(false)
