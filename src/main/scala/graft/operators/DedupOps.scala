@@ -208,6 +208,43 @@ object DedupOps {
       .limit(10)
   }
 
+  // ---- near-dup clustering (connected components) -----------------------
+
+  /** Canonical representative per document: connected components over
+    * the exact-verified near-dup pair graph, labeled by the minimum
+    * doc_id in each component (docs with no near-dup represent
+    * themselves). Min-label propagation over the edge list — the
+    * standard distributed connected-components loop: each round is one
+    * join + aggregate on the (tiny, LSH-bounded) edge set, and the
+    * driver only iterates rounds (O(component diameter), capped), never
+    * touches rows. Labels are localCheckpoint'ed per round to keep the
+    * plan from growing with the iteration count. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = dedupMinhashLsh(s, d).select($"da", $"db")
+      .localCheckpoint(true)
+    val edges = pairs.select($"da".as("a"), $"db".as("b"))
+      .unionAll(pairs.select($"db".as("a"), $"da".as("b")))
+    var labels = Tables.documents(s, d)
+      .select($"doc_id", $"doc_id".as("rep"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 15) {
+      val viaNeighbor = edges
+        .join(labels.select($"doc_id".as("b"), $"rep".as("brep")), "b")
+        .groupBy($"a").agg(min($"brep").as("nrep"))
+      val next = labels
+        .join(viaNeighbor.select($"a".as("doc_id"), $"nrep"), Seq("doc_id"), "left")
+        .select($"doc_id", least($"rep", coalesce($"nrep", $"rep")).as("rep"))
+        .localCheckpoint(true)
+      converged = next.join(labels.select($"doc_id", $"rep".as("old")), "doc_id")
+        .filter($"rep" < $"old").isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels.orderBy($"doc_id")
+  }
+
   // ---- embedding-cosine near-dup ----------------------------------------
 
   val CosineThreshold = 0.4
@@ -235,6 +272,7 @@ object DedupOps {
     "x03_dedup_simhash"       -> dedupSimhash _,
     "x04_dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "x05_dedup_embedding"     -> dedupEmbedding _,
+    "x17_dedup_clusters"      -> dedupClusters _,
   )
 
   /** x03 has no SQL oracle (simhash depends on xxhash64); the driver
@@ -264,6 +302,32 @@ object DedupOps {
         |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
         |WHERE ROUND(i / (sa.n + sb.n - i), 4) >= 0.8
         |ORDER BY da, db""".stripMargin,
+    "x17_dedup_clusters" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |      FROM documents WHERE len(string_split_regex(lower(text), '\s+')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id,
+        |       unnest(list_transform(range(1, len(w) - 1),
+        |                             i -> array_to_string(w[i:i+2], ' '))) AS sh
+        |       FROM w),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |          FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT da, db
+        |          FROM inter JOIN sizes sa ON sa.doc_id = da
+        |                     JOIN sizes sb ON sb.doc_id = db
+        |          WHERE ROUND(i / (sa.n + sb.n - i), 4) >= 0.8),
+        |edges AS (SELECT da AS a, db AS b FROM pairs
+        |          UNION SELECT db, da FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |reps AS (SELECT src AS doc_id, min(dst) AS rep FROM reach GROUP BY src)
+        |SELECT d.doc_id, CAST(COALESCE(r.rep, d.doc_id) AS BIGINT) AS rep
+        |FROM documents d LEFT JOIN reps r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "x04_dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
         |           FROM documents WHERE len(string_split_regex(lower(text), '\s+')) >= 3),

@@ -66,6 +66,29 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(df(1L) !== df(3L))
   }
 
+  test("near-dup clusters equal union-find over the exact pair graph") {
+    val got = DedupOps.dedupClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    // driver-side union-find over the same exact pairs
+    val pairs = DedupOps.dedupMinhashLsh(spark, sf)
+      .select($"da", $"db").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = got.keys.map(d => d -> find(d)).toMap
+    assert(got === want)
+    // the planted chains collapse transitively (multi-edge components)
+    val sizes = got.groupBy(_._2).view.mapValues(_.size)
+    assert(pairs.nonEmpty && sizes.values.max >= 3,
+      "fixture should contain a component larger than one pair")
+  }
+
   test("exact dedup is idempotent: dedup(xs ++ xs) has one row per text") {
     val out = DedupOps.dedupExact(spark, sf)
     assert(out.count() ===
