@@ -317,6 +317,23 @@ object CoreQueries {
       .orderBy($"n_name")
   }
 
+  // Q22 — sessionization: 30-minute-gap session windows per user (the
+  // W7 capability the reference lacks). A new session starts when the
+  // gap from the PREVIOUS event is ≥ the gap duration — exactly
+  // Spark's session_window chaining rule, which the oracle reproduces
+  // as gaps-and-islands SQL. All outputs are integral → exact.
+  def sessionization(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sessions = Tables.events(s, d)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count("*").as("n"))
+    sessions.groupBy($"user_id")
+      .agg(count("*").as("n_sessions"),
+           sum($"n").as("n_events"),
+           max($"n").as("max_session_events"))
+      .orderBy($"user_id")
+  }
+
   /** X16 — grouped top-K via the custom bounded-heap
     * TypedImperativeAggregate (graft.plans.TopKPairs): same result as
     * Q12's window row_number, but the shuffle carries at most k rows
@@ -358,6 +375,7 @@ object CoreQueries {
     "q19_subquery_agg"       -> subqueryAgg _,
     "q20_brand_revenue"      -> brandRevenue _,
     "q21_supplier_stats"     -> supplierStats _,
+    "q22_sessionization"     -> sessionization _,
     "x16_grouped_topk"       -> groupedTopK _,
   )
 
@@ -495,6 +513,22 @@ object CoreQueries {
         |       CAST(round(sum(s_acctbal) * 100) AS BIGINT) AS bal_cents
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q22_sessionization" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM o),
+        |g AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(sum(n) AS BIGINT) AS n_events,
+        |       CAST(max(n) AS BIGINT) AS max_session_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     // x16 has identical semantics to q12 — same oracle shape.
     "x16_grouped_topk" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, rn, c_custkey,
