@@ -334,6 +334,26 @@ object CoreQueries {
       .orderBy($"user_id")
   }
 
+  // Q23 — AS-OF JOIN shape: each purchase joined to the user's latest
+  // STRICTLY-PRIOR signup event. Expressed as a running last-non-null
+  // over an event-time window — the compose-existing-ops path for as-of
+  // semantics (one shuffle on the partition key, no range-join blowup).
+  // Time deltas are whole epoch-seconds, so the hash-match is exact.
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("prev_signup_sec",
+        last(when($"event_type" === "signup", $"ts".cast("long")),
+          ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase" && $"prev_signup_sec".isNotNull)
+      .groupBy($"user_id")
+      .agg(count("*").as("n_matched"),
+           sum($"ts".cast("long") - $"prev_signup_sec").as("total_lag_sec"))
+      .orderBy($"user_id")
+  }
+
   /** X16 — grouped top-K via the custom bounded-heap
     * TypedImperativeAggregate (graft.plans.TopKPairs): same result as
     * Q12's window row_number, but the shuffle carries at most k rows
@@ -376,6 +396,7 @@ object CoreQueries {
     "q20_brand_revenue"      -> brandRevenue _,
     "q21_supplier_stats"     -> supplierStats _,
     "q22_sessionization"     -> sessionization _,
+    "q23_asof_join"          -> asofJoin _,
     "x16_grouped_topk"       -> groupedTopK _,
   )
 
@@ -529,6 +550,19 @@ object CoreQueries {
         |       CAST(sum(n) AS BIGINT) AS n_events,
         |       CAST(max(n) AS BIGINT) AS max_session_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q23_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS sec,
+        |    last_value(CASE WHEN event_type = 'signup'
+        |                    THEN floor(epoch(ts))::BIGINT END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_signup_sec
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_matched,
+        |       CAST(sum(sec - prev_signup_sec) AS BIGINT) AS total_lag_sec
+        |FROM p WHERE event_type = 'purchase' AND prev_signup_sec IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // x16 has identical semantics to q12 — same oracle shape.
     "x16_grouped_topk" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, rn, c_custkey,
