@@ -354,6 +354,33 @@ object CoreQueries {
       .orderBy($"user_id")
   }
 
+  // Q24 — pivot: daily event counts spread across one column per type.
+  // Spark's relational pivot operator; the oracle states it as
+  // conditional aggregation (identical semantics, engine-neutral).
+  def pivotCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(dayBucket($"ts").as("day"))
+      .pivot($"event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count($"event_id"))
+      .na.fill(0L)
+      .orderBy($"day")
+  }
+
+  // Q25 — exact linear-interpolation percentiles (median, p90) of the
+  // value measure per event type. Both engines implement the same
+  // continuous-quantile definition; outputs ROUNDed per contract.
+  def percentiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(round(percentile($"value", lit(0.5)), 4).as("p50"),
+           round(percentile($"value", lit(0.9)), 4).as("p90"),
+           count("*").as("n"))
+      .orderBy($"event_type")
+  }
+
   /** X16 — grouped top-K via the custom bounded-heap
     * TypedImperativeAggregate (graft.plans.TopKPairs): same result as
     * Q12's window row_number, but the shuffle carries at most k rows
@@ -397,6 +424,8 @@ object CoreQueries {
     "q21_supplier_stats"     -> supplierStats _,
     "q22_sessionization"     -> sessionization _,
     "q23_asof_join"          -> asofJoin _,
+    "q24_pivot"              -> pivotCounts _,
+    "q25_percentiles"        -> percentiles _,
     "x16_grouped_topk"       -> groupedTopK _,
   )
 
@@ -563,6 +592,20 @@ object CoreQueries {
         |       CAST(sum(sec - prev_signup_sec) AS BIGINT) AS total_lag_sec
         |FROM p WHERE event_type = 'purchase' AND prev_signup_sec IS NOT NULL
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q24_pivot" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q25_percentiles" ->
+      """SELECT event_type,
+        |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(value, 0.9), 4) AS p90,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // x16 has identical semantics to q12 — same oracle shape.
     "x16_grouped_topk" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, rn, c_custkey,
