@@ -319,40 +319,54 @@ object CoreQueries {
 
   // Q22 — sessionization: 30-minute-gap session windows per user (the
   // W7 capability the reference lacks). A new session starts when the
-  // gap from the PREVIOUS event is ≥ the gap duration — exactly
-  // Spark's session_window chaining rule, which the oracle reproduces
-  // as gaps-and-islands SQL. All outputs are integral → exact.
-  def sessionization(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val sessions = Tables.events(s, d)
-      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+  // gap from the PREVIOUS event STRICTLY exceeds the duration (Spark
+  // merges when next.start <= prev.end, so an exactly-30-minute gap
+  // stays one session — pinned in EventTimeSemanticsSpec); the oracle
+  // reproduces the same rule as gaps-and-islands SQL. All outputs are
+  // integral → exact.
+  /** Session stats core over any (user_id, ts) frame — factored out so
+    * the 30-minute boundary semantics are unit-testable on synthetic
+    * timestamps. */
+  def sessionStats(events: DataFrame): DataFrame = {
+    val sessions = events
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count("*").as("n"))
-    sessions.groupBy($"user_id")
+    sessions.groupBy(col("user_id"))
       .agg(count("*").as("n_sessions"),
-           sum($"n").as("n_events"),
-           max($"n").as("max_session_events"))
-      .orderBy($"user_id")
+           sum(col("n")).as("n_events"),
+           max(col("n")).as("max_session_events"))
+      .orderBy(col("user_id"))
   }
+
+  def sessionization(s: SparkSession, d: String): DataFrame =
+    sessionStats(Tables.events(s, d))
 
   // Q23 — AS-OF JOIN shape: each purchase joined to the user's latest
   // STRICTLY-PRIOR signup event. Expressed as a running last-non-null
   // over an event-time window — the compose-existing-ops path for as-of
   // semantics (one shuffle on the partition key, no range-join blowup).
   // Time deltas are whole epoch-seconds, so the hash-match is exact.
-  def asofJoin(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+  /** As-of core over any (user_id, ts, event_id, event_type) frame —
+    * factored out so the strictly-prior boundary is unit-testable. */
+  def asofStats(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.events(s, d)
+    events
       .withColumn("prev_signup_sec",
-        last(when($"event_type" === "signup", $"ts".cast("long")),
+        last(when(col("event_type") === "signup", col("ts").cast("long")),
           ignoreNulls = true).over(w))
-      .filter($"event_type" === "purchase" && $"prev_signup_sec".isNotNull)
-      .groupBy($"user_id")
+      .filter(col("event_type") === "purchase" &&
+        col("prev_signup_sec").isNotNull)
+      .groupBy(col("user_id"))
       .agg(count("*").as("n_matched"),
-           sum($"ts".cast("long") - $"prev_signup_sec").as("total_lag_sec"))
-      .orderBy($"user_id")
+           sum(col("ts").cast("long") - col("prev_signup_sec"))
+             .as("total_lag_sec"))
+      .orderBy(col("user_id"))
   }
+
+  def asofJoin(s: SparkSession, d: String): DataFrame =
+    asofStats(Tables.events(s, d))
 
   // Q24 — pivot: daily event counts spread across one column per type.
   // Spark's relational pivot operator; the oracle states it as
@@ -567,7 +581,7 @@ object CoreQueries {
       """WITH o AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (SELECT user_id,
