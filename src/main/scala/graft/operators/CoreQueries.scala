@@ -395,6 +395,24 @@ object CoreQueries {
       .orderBy($"event_type")
   }
 
+  // Q26 — unpivot/melt: lineitem money columns to (measure, value)
+  // rows via Spark's unpivot operator; totals e4-scaled (2-decimal
+  // inputs → 4-decimal products are NOT involved here, but scaling
+  // keeps all float totals order-insensitive anyway). The oracle
+  // states it as a UNION ALL melt.
+  def unpivotMeasures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount", $"l_tax")
+      .unpivot(Array($"l_orderkey"),
+        Array($"l_extendedprice", $"l_discount", $"l_tax"),
+        "measure", "value")
+      .groupBy($"measure")
+      .agg(count("*").as("n"),
+           round(sum($"value") * 10000).cast("long").as("total_e4"))
+      .orderBy($"measure")
+  }
+
   /** X16 — grouped top-K via the custom bounded-heap
     * TypedImperativeAggregate (graft.plans.TopKPairs): same result as
     * Q12's window row_number, but the shuffle carries at most k rows
@@ -440,6 +458,7 @@ object CoreQueries {
     "q23_asof_join"          -> asofJoin _,
     "q24_pivot"              -> pivotCounts _,
     "q25_percentiles"        -> percentiles _,
+    "q26_unpivot"            -> unpivotMeasures _,
     "x16_grouped_topk"       -> groupedTopK _,
   )
 
@@ -620,6 +639,14 @@ object CoreQueries {
         |  ROUND(quantile_cont(value, 0.9), 4) AS p90,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q26_unpivot" ->
+      """WITH m AS (
+        |  SELECT 'l_extendedprice' AS measure, l_extendedprice AS value FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT measure, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(round(sum(value) * 10000) AS BIGINT) AS total_e4
+        |FROM m GROUP BY measure ORDER BY measure""".stripMargin,
     // x16 has identical semantics to q12 — same oracle shape.
     "x16_grouped_topk" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, rn, c_custkey,
