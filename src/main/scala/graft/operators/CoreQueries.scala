@@ -396,10 +396,13 @@ object CoreQueries {
   }
 
   // Q26 — unpivot/melt: lineitem money columns to (measure, value)
-  // rows via Spark's unpivot operator; totals e4-scaled (2-decimal
-  // inputs → 4-decimal products are NOT involved here, but scaling
-  // keeps all float totals order-insensitive anyway). The oracle
-  // states it as a UNION ALL melt.
+  // rows via Spark's unpivot operator; the oracle states it as a UNION
+  // ALL melt. Totals are e4-scaled because the INPUTS are 2-decimal
+  // values: the true scaled total is integral and accumulated fp error
+  // (~1e-4 at this magnitude/row count) stays far below 0.5, so the
+  // rounded integer is order-insensitive. (Scaling alone guarantees
+  // nothing — the integrality + error-margin argument is what matters;
+  // see q20.)
   def unpivotMeasures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, d)

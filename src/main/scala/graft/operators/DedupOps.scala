@@ -233,15 +233,22 @@ object DedupOps {
       val viaNeighbor = edges
         .join(labels.select($"doc_id".as("b"), $"rep".as("brep")), "b")
         .groupBy($"a").agg(min($"brep").as("nrep"))
+      // carry the previous rep alongside the new one: the SAME
+      // checkpointed frame answers both the next round and the
+      // convergence check, instead of a second full join + action.
       val next = labels
         .join(viaNeighbor.select($"a".as("doc_id"), $"nrep"), Seq("doc_id"), "left")
-        .select($"doc_id", least($"rep", coalesce($"nrep", $"rep")).as("rep"))
+        .select($"doc_id", least($"rep", coalesce($"nrep", $"rep")).as("rep"),
+                $"rep".as("prev_rep"))
         .localCheckpoint(true)
-      converged = next.join(labels.select($"doc_id", $"rep".as("old")), "doc_id")
-        .filter($"rep" < $"old").isEmpty
-      labels = next
+      converged = next.filter($"rep" < $"prev_rep").isEmpty
+      labels = next.drop("prev_rep")
       rounds += 1
     }
+    // a component whose min label needs more hops than the cap would
+    // otherwise return silently-wrong labels; fail loudly instead.
+    require(converged,
+      s"label propagation did not converge within $rounds rounds")
     labels.orderBy($"doc_id")
   }
 
@@ -280,6 +287,24 @@ object DedupOps {
     * a brute-force hamming scan. x02's oracle is the EXACT all-pairs
     * Jaccard — valid because the banded LSH provably reaches recall
     * ~1-1e-15 at the observed similarity gap (see class doc). */
+  /** Shared DuckDB oracle fragments: word-3-gram shingle sets and the
+    * all-pairs intersection counts. One definition keeps the x02/x04/
+    * x17 oracles and the Spark-side threshold/tokenization in lockstep
+    * (the threshold is interpolated from JaccardThreshold). */
+  private val ShingleBaseCtes: String =
+    """w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+      |      FROM documents WHERE len(string_split_regex(lower(text), '\s+')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id,
+      |       unnest(list_transform(range(1, len(w) - 1),
+      |                             i -> array_to_string(w[i:i+2], ' '))) AS sh
+      |       FROM w),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)""".stripMargin
+
+  private val AllPairsCte: String =
+    """inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |          FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "x01_dedup_exact" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, md5(text) AS fp,
@@ -288,36 +313,20 @@ object DedupOps {
         |      UNION ALL SELECT doc_id, text FROM documents)
         |GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "x02_dedup_minhash_lsh" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
-        |           FROM documents WHERE len(string_split_regex(lower(text), '\s+')) >= 3),
-        |sh AS (SELECT DISTINCT doc_id,
-        |       unnest(list_transform(range(1, len(w) - 1),
-        |                             i -> array_to_string(w[i:i+2], ' '))) AS sh
-        |       FROM w),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-        |          FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
-        |          GROUP BY 1, 2)
+      s"""WITH $ShingleBaseCtes,
+        |$AllPairsCte
         |SELECT da, db, ROUND(i / (sa.n + sb.n - i), 4) AS jaccard
         |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
-        |WHERE ROUND(i / (sa.n + sb.n - i), 4) >= 0.8
+        |WHERE ROUND(i / (sa.n + sb.n - i), 4) >= $JaccardThreshold
         |ORDER BY da, db""".stripMargin,
     "x17_dedup_clusters" ->
-      """WITH RECURSIVE
-        |w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
-        |      FROM documents WHERE len(string_split_regex(lower(text), '\s+')) >= 3),
-        |sh AS (SELECT DISTINCT doc_id,
-        |       unnest(list_transform(range(1, len(w) - 1),
-        |                             i -> array_to_string(w[i:i+2], ' '))) AS sh
-        |       FROM w),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-        |          FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
+      s"""WITH RECURSIVE
+        |$ShingleBaseCtes,
+        |$AllPairsCte,
         |pairs AS (SELECT da, db
         |          FROM inter JOIN sizes sa ON sa.doc_id = da
         |                     JOIN sizes sb ON sb.doc_id = db
-        |          WHERE ROUND(i / (sa.n + sb.n - i), 4) >= 0.8),
+        |          WHERE ROUND(i / (sa.n + sb.n - i), 4) >= $JaccardThreshold),
         |edges AS (SELECT da AS a, db AS b FROM pairs
         |          UNION SELECT db, da FROM pairs),
         |reach(src, dst) AS (
@@ -329,13 +338,7 @@ object DedupOps {
         |FROM documents d LEFT JOIN reps r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "x04_dedup_ngram_jaccard" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
-        |           FROM documents WHERE len(string_split_regex(lower(text), '\s+')) >= 3),
-        |sh AS (SELECT DISTINCT doc_id,
-        |       unnest(list_transform(range(1, len(w) - 1),
-        |                             i -> array_to_string(w[i:i+2], ' '))) AS sh
-        |       FROM w),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      s"""WITH $ShingleBaseCtes,
         |q AS (SELECT sh FROM sh WHERE doc_id = 0),
         |qn AS (SELECT count(*) AS n FROM q),
         |inter AS (SELECT s.doc_id, count(*) AS i FROM sh s JOIN q USING (sh)
