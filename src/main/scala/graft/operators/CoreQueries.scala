@@ -368,6 +368,20 @@ object CoreQueries {
   def asofJoin(s: SparkSession, d: String): DataFrame =
     asofStats(Tables.events(s, d))
 
+  // Q27 — CUBE: all grouping-set combinations over (returnflag,
+  // linestatus), completing the grouping family next to Q17's ROLLUP.
+  def cubeAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count("*").as("n"), sum($"l_quantity").as("sum_qty"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("flag"),
+        coalesce($"l_linestatus", lit("ALL")).as("status"),
+        $"n", $"sum_qty")
+      .orderBy($"flag", $"status")
+  }
+
   // Q24 — pivot: daily event counts spread across one column per type.
   // Spark's relational pivot operator; the oracle states it as
   // conditional aggregation (identical semantics, engine-neutral).
@@ -462,6 +476,7 @@ object CoreQueries {
     "q24_pivot"              -> pivotCounts _,
     "q25_percentiles"        -> percentiles _,
     "q26_unpivot"            -> unpivotMeasures _,
+    "q27_cube"               -> cubeAgg _,
     "x16_grouped_topk"       -> groupedTopK _,
   )
 
@@ -650,6 +665,12 @@ object CoreQueries {
         |SELECT measure, CAST(count(*) AS BIGINT) AS n,
         |       CAST(round(sum(value) * 10000) AS BIGINT) AS total_e4
         |FROM m GROUP BY measure ORDER BY measure""".stripMargin,
+    "q27_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |       COALESCE(l_linestatus, 'ALL') AS status,
+        |       CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
     // x16 has identical semantics to q12 — same oracle shape.
     "x16_grouped_topk" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, rn, c_custkey,

@@ -56,6 +56,19 @@ class GhBackfillSpec extends AnyFunSuite with SparkTestSession {
       Set(("2025-08-11", 0)))
   }
 
+  test("partition listing tolerates foreign and malformed directories") {
+    val out = Files.createTempDirectory("graft-bf5").toString + "/hourly"
+    GhBackfill.backfillMissingHours(spark, cleanedEvents, out)
+    // plant junk dirs a buggy writer or another tool might leave behind
+    Files.createDirectories(java.nio.file.Paths.get(
+      s"$out/score_date=2025-08-10/score_hour=__HIVE_DEFAULT_PARTITION__"))
+    Files.createDirectories(java.nio.file.Paths.get(s"$out/_spark_metadata"))
+    val parts = GhBackfill.existingHourPartitions(spark, out)
+    assert(parts === Set(
+      ("2025-08-10", 12), ("2025-08-10", 13), ("2025-08-10", 23),
+      ("2025-08-11", 0)))
+  }
+
   test("F6 guard: no complete hour at UTC midnight hour, else previous") {
     import java.time.Instant
     assert(GhBackfill.lastCompleteHour(
