@@ -142,15 +142,21 @@ object GhIngest {
     * the TTL bounds Redis keys. */
   val DedupWatermark = "5 minutes"
 
-  def streamClean(spark: SparkSession, inputDir: String): DataFrame =
-    cleanEvents(
-      spark.readStream
-        .schema(ghEventSchema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(inputDir))
+  /** Cleaned, deduped streaming read. `maxFilesPerTrigger` bounds how
+    * much input one micro-batch consumes — B2, the analogue of the
+    * reference's poll page size (`per_page=100`, `insert-events.js:20`). */
+  def streamClean(spark: SparkSession, inputDir: String,
+                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
+      .schema(ghEventSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    cleanEvents(reader.json(inputDir))
       .withWatermark("created_at", DedupWatermark)
       .dropDuplicatesWithinWatermark(Seq("id"))
+  }
 
   /** Bronze append sink, partitioned by event date+hour — the analogue
     * of the XADD stream + its retention (drop old partitions instead of
@@ -158,8 +164,9 @@ object GhIngest {
     * then stops, the W5 catch-up semantics. */
   def startIngest(spark: SparkSession, inputDir: String, outDir: String,
                   checkpointDir: String,
-                  availableNow: Boolean = true): StreamingQuery = {
-    val cleaned = streamClean(spark, inputDir)
+                  availableNow: Boolean = true,
+                  maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val cleaned = streamClean(spark, inputDir, maxFilesPerTrigger)
       .withColumn("event_date", date_format(col("created_at"), "yyyy-MM-dd"))
       .withColumn("event_hour", hour(col("created_at")))
     val writer = cleaned.writeStream

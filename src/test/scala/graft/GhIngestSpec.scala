@@ -94,6 +94,24 @@ class GhIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(out.select($"event_date").distinct().count() === 2)
   }
 
+  test("maxFilesPerTrigger paginates the backlog into micro-batches (B2)") {
+    // split the fixture into 3 one-per-file inputs
+    val in = Files.createTempDirectory("graft-paged")
+    val lines = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/gh_events.ndjson")).getLines().toSeq
+    lines.grouped((lines.size + 2) / 3).zipWithIndex.foreach { case (chunk, i) =>
+      Files.write(in.resolve(s"chunk$i.ndjson"),
+        chunk.mkString("\n").getBytes("UTF-8"))
+    }
+    val tmp = Files.createTempDirectory("graft-paged-out").toString
+    val q = GhIngest.startIngest(spark, in.toString, s"$tmp/out", s"$tmp/ckpt",
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination(60000)
+    // one micro-batch per file → at least 3 batches in the progress log
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+    assert(spark.read.parquet(s"$tmp/out").count() === 14)   // same result
+  }
+
   test("streaming/batch parity (W5): backfill equals batch result") {
     val tmp = Files.createTempDirectory("graft-parity").toString
     val q = GhIngest.startIngest(spark, fixtureDir, s"$tmp/out", s"$tmp/ckpt")
