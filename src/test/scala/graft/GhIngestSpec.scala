@@ -112,6 +112,20 @@ class GhIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.read.parquet(s"$tmp/out").count() === 14)   // same result
   }
 
+  test("live ingest picks up files that arrive after the stream starts") {
+    val in = Files.createTempDirectory("graft-live")
+    val tmp = Files.createTempDirectory("graft-live-out").toString
+    val q = GhIngest.startIngest(spark, in.toString, s"$tmp/out", s"$tmp/ckpt",
+      availableNow = false)
+    try {
+      q.processAllAvailable()   // empty input processed cleanly
+      Files.copy(getClass.getResourceAsStream("/gh_events.ndjson"),
+        in.resolve("late.ndjson"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$tmp/out").count() === 14)
+    } finally q.stop()
+  }
+
   test("streaming/batch parity (W5): backfill equals batch result") {
     val tmp = Files.createTempDirectory("graft-parity").toString
     val q = GhIngest.startIngest(spark, fixtureDir, s"$tmp/out", s"$tmp/ckpt")
