@@ -30,14 +30,23 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the JSON line must be the only stdout content a
+    // driver without prefix-stripping has to parse, and repeated
+    // function-registry WARNs were the round-1 noise.
+    spark.sparkContext.setLogLevel("ERROR")
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
             dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
 
-    val warmupDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir) {
+    // Warmup dir is env-overridable for other hosts/layouts, and the
+    // JSON records whether warmup actually ran — a skipped warmup skews
+    // whichever queries run first (JIT + codegen land on them).
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
+      "/root/testdata/sf0.001")
+    val warmedUp =
+      new java.io.File(warmupDir).isDirectory && warmupDir != sfDir
+    if (warmedUp) {
       SparkEntry.queries.foreach { case (_, fn) =>
         try run(fn, warmupDir) catch { case _: Throwable => () }
       }
@@ -54,7 +63,7 @@ object Bench {
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = good.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"warmup":$warmedUp,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

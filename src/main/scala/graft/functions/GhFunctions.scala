@@ -14,10 +14,15 @@ import org.apache.spark.sql.functions._
 object GhFunctions {
 
   /** F1 — ingest-path bot filter (`insert-events.js:42,49-52`):
-    * KEEP rows whose login is present and does not contain the literal
-    * `[bot]` or end in `-bot`. Case-SENSITIVE, per the reference regex. */
+    * SKIP only when a login is present AND matches the bot pattern
+    * (contains literal `[bot]` or ends in `-bot`), case-SENSITIVE.
+    * Rows with a null/absent login are KEPT — the reference's guard
+    * `event.actor && event.actor.login && botPattern.test(...)` falls
+    * through to the insert when the login is missing, so null-login
+    * events DO land in the bronze stream. (They are still excluded
+    * from scoring downstream, where F2 treats null as a bot.) */
   def keepIngest(login: Column): Column =
-    login.isNotNull && !login.rlike("""(\[bot\]|-bot$)""")
+    login.isNull || !login.rlike("""(\[bot\]|-bot$)""")
 
   /** F2 — batch-path bot heuristic (`update-contributor-scores.js:45-68`):
     * TRUE if the login looks like a bot. Null logins count as bots

@@ -178,15 +178,23 @@ object DedupOps {
       .orderBy($"da", $"db")
   }
 
-  /** (doc_id, w: array<string>) → 64-bit SimHash: per bit, majority
-    * vote of token hashes (+1 if the bit is set, −1 if not), packed
-    * into one long by the fused codegen SimHash64 expression. NARROW —
-    * no explode/groupBy; the signature is computed inline per row. */
+  /** (doc_id, w: array<string>) → SimHash: per bit, majority vote of
+    * token hashes (+1 if the bit is set, −1 if not), packed into one
+    * long by the fused codegen SimHash64 expression. NARROW — no
+    * explode/groupBy; the signature is computed inline per row.
+    *
+    * The per-token hash is the top 60 bits of md5 (15 hex chars →
+    * conv base-16), NOT xxhash64: md5 is the one hash every engine
+    * computes identically, which makes the whole simhash pipeline
+    * reproducible in the DuckDB oracle. 60 bits keeps the value inside
+    * a signed long; the 4 always-zero top bits vote uniformly −1 and
+    * never differ between docs, so banding and hamming are unaffected. */
   def simhashSig(docWords: DataFrame): DataFrame = {
     graft.plans.GraftExpressions.register(docWords.sparkSession)
     docWords.select(col("doc_id"),
       call_function(graft.plans.GraftExpressions.SimHashFn,
-        transform(col("w"), t => xxhash64(t))).as("sig"))
+        transform(col("w"),
+          t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))).as("sig"))
   }
 
   // ---- exact n-gram Jaccard vs a probe document -------------------------
@@ -282,11 +290,12 @@ object DedupOps {
     "x17_dedup_clusters"      -> dedupClusters _,
   )
 
-  /** x03 has no SQL oracle (simhash depends on xxhash64); the driver
-    * records a rows-only check for it, and DedupSpec covers it against
-    * a brute-force hamming scan. x02's oracle is the EXACT all-pairs
-    * Jaccard — valid because the banded LSH provably reaches recall
-    * ~1-1e-15 at the observed similarity gap (see class doc). */
+  /** x02's oracle is the EXACT all-pairs Jaccard — valid because the
+    * banded LSH provably reaches recall ~1-1e-15 at the observed
+    * similarity gap (see class doc). x03's oracle is the EXACT
+    * all-pairs hamming scan — valid with NO probabilistic caveat: the
+    * 16-bit-chunk pigeonhole guarantees every pair at hamming ≤ 3
+    * shares a chunk, so the banded output equals all-pairs exactly. */
   /** Shared DuckDB oracle fragments: word-3-gram shingle sets and the
     * all-pairs intersection counts. One definition keeps the x02/x04/
     * x17 oracles and the Spark-side threshold/tokenization in lockstep
@@ -337,6 +346,21 @@ object DedupOps {
         |SELECT d.doc_id, CAST(COALESCE(r.rep, d.doc_id) AS BIGINT) AS rep
         |FROM documents d LEFT JOIN reps r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "x03_dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        |          FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM t),
+        |bits AS (SELECT doc_id, b.range AS b,
+        |           sum(CASE WHEN (hv >> b.range) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM h, range(60) b GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+        |        FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= $SimhashMaxHamming
+        |ORDER BY da, db""".stripMargin,
     "x04_dedup_ngram_jaccard" ->
       s"""WITH $ShingleBaseCtes,
         |q AS (SELECT sh FROM sh WHERE doc_id = 0),

@@ -22,9 +22,12 @@ object MultimodalOps {
   case class MediaRow(doc_id: Long, source: String, media: Array[Byte],
                       width: Int, height: Int, format: String)
 
-  /** Decoded features: fixed-shape per-frame summary. */
+  /** Decoded features: fixed-shape per-frame summary. `byte_sum` (the
+    * raw integer sum of byte values) rides along so aggregates over
+    * many rows can stay in exact integer arithmetic — a ROUNDed float
+    * aggregate of `mean_byte` would depend on partial-merge order. */
   case class MediaFeatures(doc_id: Long, source: String, n_bytes: Long,
-                           n_frames: Long, mean_byte: Double)
+                           n_frames: Long, byte_sum: Long, mean_byte: Double)
 
   /** documents → media table with binary payload + metadata. The width/
     * height/format derivation is arbitrary-but-deterministic so tests
@@ -52,7 +55,8 @@ object MultimodalOps {
     var i = 0
     while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
     val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
-    MediaFeatures(r.doc_id, r.source, bytes.length.toLong, nFrames.toLong, mean)
+    MediaFeatures(r.doc_id, r.source, bytes.length.toLong, nFrames.toLong,
+      sum, mean)
   }
 
   /** Partition-wise decode: one "codec init" per partition (the `val
@@ -101,10 +105,13 @@ object MultimodalOps {
   }
 
   /** FAKE FEATURE-EXTRACT — stands in for an image/audio embedding
-    * model: a 16-bucket byte histogram, L2-normalized to a unit-length
-    * Array[Double]. Deterministic, partition-wise, and shaped exactly
+    * model: a 16-bucket byte histogram as an Array[Double] of RAW
+    * integer counts. Deterministic, partition-wise, and shaped exactly
     * like a real embedding column — so it composes directly with the
-    * similarity operators. */
+    * similarity operators. Counts stay unnormalized on purpose: cosine
+    * is scale-invariant, and integer-valued doubles keep the similarity
+    * arithmetic exact (and therefore SQL-oracle-reproducible); callers
+    * needing unit vectors apply their own L2 step. */
   def featurize(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -113,16 +120,16 @@ object MultimodalOps {
         val hist = new Array[Double](16)
         var i = 0
         while (i < r.media.length) { hist((r.media(i) & 0xff) / 16) += 1.0; i += 1 }
-        val norm = math.sqrt(hist.map(x => x * x).sum)
-        (r.doc_id, if (norm == 0) hist else hist.map(_ / norm))
+        (r.doc_id, hist)
       }
     }.toDF("doc_id", "feat")
   }
 
   /** Media similarity search: decode → featurize → exact cosine top-5
-    * against doc 0's features (the multimodal → ANN composition). No
-    * SQL oracle (the featurizer is the stub model); MultimodalSpec
-    * checks it against a driver-side recompute. */
+    * against doc 0's features (the multimodal → ANN composition). The
+    * stub featurizer is integer-exact over the text bytes, so DuckDB
+    * reproduces the histograms from the string form and the cosine
+    * bit-for-bit (integer dot + norms, one division). */
   def mediaKnn(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.plans.GraftExpressions.register(s)
@@ -137,7 +144,11 @@ object MultimodalOps {
 
   /** Driver-checkable query: per-source feature aggregates. Every value
     * derives from byte lengths/contents of the UTF-8 text, so DuckDB
-    * reproduces it exactly via encode(). */
+    * reproduces it exactly via encode(). All outputs are exact BIGINTs
+    * — `byte_value_sum` carries the corpus byte-value total (the global
+    * mean byte is byte_value_sum/total_bytes, derivable) instead of a
+    * ROUNDed avg whose fp partial-merge order could land on a rounding
+    * midpoint and flip the cross-engine hash. */
   def multimodalMeta(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     decodeFeatures(mediaTable(s, d)).toDF()
@@ -145,7 +156,7 @@ object MultimodalOps {
       .agg(count("*").as("n"),
            sum($"n_bytes").as("total_bytes"),
            sum($"n_frames").as("total_frames"),
-           round(avg($"mean_byte"), 4).as("avg_mean_byte"))
+           sum($"byte_sum").as("byte_value_sum"))
       .orderBy($"source")
   }
 
@@ -155,19 +166,41 @@ object MultimodalOps {
   )
 
   val oracleSql: Map[String, String] = Map(
-    // mean byte of UTF-8 text == mean of ord() over ASCII chars; the
-    // fixture text is ASCII (verified in MultimodalSpec), so DuckDB can
-    // compute it from the string form.
+    // byte values of UTF-8 text == ord() over ASCII chars; the fixture
+    // text is ASCII (verified in MultimodalSpec), so DuckDB can compute
+    // the byte-value sum from the string form. Integer-exact end to end.
     "x11_multimodal_meta" ->
       """WITH f AS (SELECT source, octet_length(encode(text)) AS n_bytes,
         |  (octet_length(encode(text)) + 99) // 100 AS n_frames,
         |  (SELECT sum(unicode(c)) FROM unnest(string_split(text, '')) t(c))
-        |    / CAST(octet_length(encode(text)) AS DOUBLE) AS mean_byte
+        |    AS byte_sum
         |  FROM documents)
         |SELECT source, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
         |  CAST(sum(n_frames) AS BIGINT) AS total_frames,
-        |  ROUND(avg(mean_byte), 4) AS avg_mean_byte
+        |  CAST(sum(byte_sum) AS BIGINT) AS byte_value_sum
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    // 16-bucket byte histograms rebuilt from the (ASCII) text chars;
+    // cosine = integer dot / (sqrt · sqrt) — exactly the arithmetic the
+    // Spark CosineSimilarity loop performs on the same integer counts.
+    "x15_media_knn" ->
+      """WITH ch AS (SELECT doc_id, unicode(c) // 16 AS b
+        |            FROM documents, unnest(string_split(text, '')) t(c)),
+        |hist AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS c
+        |         FROM ch GROUP BY 1, 2),
+        |grid AS (SELECT d.doc_id, r.range AS b
+        |         FROM (SELECT doc_id FROM documents) d, range(16) r),
+        |vec AS (SELECT g.doc_id,
+        |          list(COALESCE(h.c, 0.0) ORDER BY g.b) AS v
+        |        FROM grid g LEFT JOIN hist h
+        |          ON h.doc_id = g.doc_id AND h.b = g.b
+        |        GROUP BY g.doc_id)
+        |SELECT v.doc_id,
+        |  ROUND(list_dot_product(v.v, q.v) /
+        |    (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(q.v, q.v))),
+        |    4) AS sim
+        |FROM vec v, (SELECT v FROM vec WHERE doc_id = 0) q
+        |WHERE v.doc_id <> 0
+        |ORDER BY sim DESC, v.doc_id LIMIT 5""".stripMargin,
   )
 }

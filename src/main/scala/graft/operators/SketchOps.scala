@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -9,20 +9,35 @@ import graft.Tables
   * `approx_count_distinct` is Spark's HyperLogLog++: mergeable partial
   * sketches, one small state per group, no distinct-value shuffle.
   *
-  * No SQL oracle: HLL implementations differ across engines, so the
-  * driver records a rows-only check; SketchSpec bounds the estimation
-  * error against the exact counts instead. */
+  * The raw HLL estimates are engine-specific, so they cannot be
+  * hash-compared directly; instead the query emits the EXACT distinct
+  * counts plus booleans asserting the sketch landed within tolerance.
+  * DuckDB reproduces the exact counts and expects the booleans TRUE —
+  * a full hash-match oracle that genuinely validates the sketch
+  * (SketchSpec additionally bounds the raw estimates). */
 object SketchOps {
+
+  /** 10× the configured rsd: HLL++ at rsd=0.02 is (empirically and per
+    * Heule et al., EDBT 2013) well inside ±5σ; 20% leaves no realistic
+    * flake while still catching a broken sketch outright. */
+  val Tolerance = 0.2
 
   def approxDistinct(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val within = (approx: Column, exact: Column) =>
+      abs(approx.cast("double") / exact - 1.0) <= Tolerance
     Tables.events(s, d)
       .groupBy($"event_type")
       .agg(
         approx_count_distinct($"user_id", rsd = 0.02).as("approx_users"),
         approx_count_distinct(get_json_object($"props", "$.k"), rsd = 0.02)
           .as("approx_props"),
+        countDistinct($"user_id").as("exact_users"),
+        countDistinct(get_json_object($"props", "$.k")).as("exact_props"),
         count("*").as("n"))
+      .select($"event_type", $"exact_users", $"exact_props", $"n",
+        within($"approx_users", $"exact_users").as("users_ok"),
+        within($"approx_props", $"exact_props").as("props_ok"))
       .orderBy($"event_type")
   }
 
@@ -30,5 +45,14 @@ object SketchOps {
     "x13_approx_distinct" -> approxDistinct _,
   )
 
-  val oracleSql: Map[String, String] = Map()
+  val oracleSql: Map[String, String] = Map(
+    "x13_approx_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  CAST(count(DISTINCT json_extract_string(props, '$.k')) AS BIGINT)
+        |    AS exact_props,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  TRUE AS users_ok, TRUE AS props_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
 }

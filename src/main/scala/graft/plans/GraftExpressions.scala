@@ -27,6 +27,24 @@ object GraftExpressions {
   val ShinglesFn = "graft_shingles"
   val TopKFn = "graft_topk"
 
+  /** Shared graft_topk builder for both registration routes: guards the
+    * k argument BEFORE eval() — a non-foldable k (e.g. a column
+    * reference) would otherwise surface as an opaque runtime exception
+    * from eval() during resolution, bypassing TopKPairs'
+    * checkInputDataTypes. */
+  private[plans] def buildTopK(es: Seq[Expression]): Expression = {
+    val kExpr = es(2)
+    if (!kExpr.foldable)
+      throw new IllegalArgumentException(
+        s"$TopKFn: k must be a constant integer, got non-foldable ${kExpr.sql}")
+    kExpr.eval() match {
+      case n: Number => TopKPairs(es(0), es(1), n.intValue())
+        .toAggregateExpression()
+      case other => throw new IllegalArgumentException(
+        s"$TopKFn: k must be a constant integer, got $other")
+    }
+  }
+
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -40,11 +58,7 @@ object GraftExpressions {
       HyperplaneFn, es => HyperplaneSignature(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       ShinglesFn, es => WordShingles(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      TopKFn, es => TopKPairs(es(0), es(1),
-        es(2).eval().asInstanceOf[Number].intValue())
-        .toAggregateExpression(),
-      "built-in")
+    reg.createOrReplaceTempFunction(TopKFn, buildTopK, "built-in")
   }
 }
 

@@ -47,8 +47,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier(GraftExpressions.TopKFn),
       info(GraftExpressions.TopKFn,
         "bounded-heap top-k (score, id) pairs per group"),
-      (es: Seq[Expression]) => TopKPairs(es(0), es(1),
-        es(2).eval().asInstanceOf[Number].intValue())
-        .toAggregateExpression()))
+      (es: Seq[Expression]) => GraftExpressions.buildTopK(es)))
   }
 }

@@ -74,10 +74,13 @@ object GhIngest {
       .select(col("id"), col("_corrupt_record"))
 
   /** Ingest-path cleaning (F1 + drop corrupt + project): the content of
-    * the Lua insert script minus storage concerns. Rows without an
-    * event time are dropped too — every downstream consumer buckets by
-    * `created_at`, and a null would otherwise land in a
-    * __HIVE_DEFAULT_PARTITION__ that poisons partition listings. */
+    * the Lua insert script minus storage concerns. Null-login rows are
+    * KEPT, matching the reference (`insert-events.js:49` only skips
+    * when a login is present AND bot-shaped). One DELIBERATE deviation:
+    * rows without an event time are dropped — the reference would
+    * insert them, but every consumer here buckets by `created_at`, and
+    * a null would land in a __HIVE_DEFAULT_PARTITION__ that poisons
+    * partition listings. */
   def cleanEvents(raw: DataFrame): DataFrame =
     raw.filter(col("_corrupt_record").isNull)
       .filter(col("id").isNotNull)
@@ -85,13 +88,17 @@ object GhIngest {
       .filter(keepIngest(col("actor.login")))
       .drop("_corrupt_record")
 
-  /** Batch dedup by event id — keep the earliest-created row per id
-    * (deterministic, unlike dropDuplicates' arbitrary pick). */
+  /** Batch dedup by event id — keep the earliest-created row per id.
+    * The full-row JSON rendering is the ORDER-BY tiebreaker, making the
+    * pick total (deterministic even when two rows share id AND
+    * timestamp but differ elsewhere — plain dropDuplicates, or a
+    * timestamp-only window, would pick arbitrarily there). */
   def dedupEvents(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     events
       .withColumn("_rn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("created_at"))))
+        Window.partitionBy(col("id"))
+          .orderBy(col("created_at"), to_json(struct(events.columns.map(col): _*)))))
       .filter(col("_rn") === 1).drop("_rn")
   }
 

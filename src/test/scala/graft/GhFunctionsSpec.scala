@@ -24,7 +24,8 @@ class GhFunctionsSpec extends AnyFunSuite with SparkTestSession {
     ("stargazer", true, false),
     ("security-team", true, true),  // contains "security"
     ("builder99", true, true),      // contains "build"
-    (null.asInstanceOf[String], false, true))
+    // F1 keeps null logins (reference inserts them); F2 calls them bots
+    (null.asInstanceOf[String], true, true))
 
   test("F1 ingest filter truth table") {
     val got = corpus.toDF("login", "f1", "f2")

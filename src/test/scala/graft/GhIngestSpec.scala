@@ -28,19 +28,20 @@ class GhIngestSpec extends AnyFunSuite with SparkTestSession {
     assert(raw.count() === 19)   // 18 parsed + 1 corrupt
   }
 
-  test("cleanEvents applies F1 + drops corrupt and null-login rows") {
+  test("cleanEvents applies F1 + drops corrupt, KEEPS null-login rows") {
     val ids = GhIngest.cleanEvents(raw).select($"id").as[String]
       .collect().sorted
-    // dropped: corrupt line, 1002 ([bot]), 1003 (-bot), 1009 (no login)
-    assert(!ids.contains("1002") && !ids.contains("1003") &&
-      !ids.contains("1009"))
+    // dropped: corrupt line, 1002 ([bot]), 1003 (-bot). 1009 (no login)
+    // is KEPT — the reference's guard only skips present+bot logins.
+    assert(!ids.contains("1002") && !ids.contains("1003"))
+    assert(ids.contains("1009"))
     assert(ids.count(_ == "1001") === 2)   // dup survives until dedup
-    assert(ids.length === 15)
+    assert(ids.length === 16)
   }
 
   test("dedupEvents keeps one row per id") {
     val deduped = GhIngest.dedupEvents(GhIngest.cleanEvents(raw))
-    assert(deduped.count() === 14)
+    assert(deduped.count() === 15)
     assert(deduped.filter($"id" === "1001").count() === 1)
   }
 
@@ -88,7 +89,7 @@ class GhIngestSpec extends AnyFunSuite with SparkTestSession {
     val q = GhIngest.startIngest(spark, fixtureDir, s"$tmp/out", s"$tmp/ckpt")
     q.awaitTermination(60000)
     val out = spark.read.parquet(s"$tmp/out")
-    assert(out.count() === 14)                       // dup id dropped
+    assert(out.count() === 15)                       // dup id dropped
     assert(out.filter($"id" === "1001").count() === 1)
     // partitioned by event_date/event_hour → midnight rows split
     assert(out.select($"event_date").distinct().count() === 2)
@@ -109,7 +110,7 @@ class GhIngestSpec extends AnyFunSuite with SparkTestSession {
     q.awaitTermination(60000)
     // one micro-batch per file → at least 3 batches in the progress log
     assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
-    assert(spark.read.parquet(s"$tmp/out").count() === 14)   // same result
+    assert(spark.read.parquet(s"$tmp/out").count() === 15)   // same result
   }
 
   test("live ingest picks up files that arrive after the stream starts") {
@@ -122,7 +123,7 @@ class GhIngestSpec extends AnyFunSuite with SparkTestSession {
       Files.copy(getClass.getResourceAsStream("/gh_events.ndjson"),
         in.resolve("late.ndjson"))
       q.processAllAvailable()
-      assert(spark.read.parquet(s"$tmp/out").count() === 14)
+      assert(spark.read.parquet(s"$tmp/out").count() === 15)
     } finally q.stop()
   }
 

