@@ -18,9 +18,10 @@ import graft.Tables
   *    vectors as centroids; vectors assigned to nearest centroid;
   *    queries probe the nProbe nearest centroid lists.
   *
-  * Both are deterministic (seeded hyperplanes / fixed sample) so results
-  * are reproducible run to run; accuracy is asserted against the exact
-  * baseline in SimilaritySpec rather than a SQL oracle.
+  * Both are deterministic so results are reproducible run to run: the
+  * LSH planes are md5-derived integers over 1e6-quantized coordinates
+  * (exact arithmetic → full DuckDB oracle), the IVF sample/training is
+  * fixed (rows-only check + recall asserted in SimilaritySpec).
   *
   * Literature: random-hyperplane signatures are Charikar's rounding
   * scheme (STOC 2002); the inverted-file coarse quantizer follows the
@@ -33,11 +34,16 @@ object SimilarityOps {
   val ProbeRadius = 2   // scan buckets within hamming-2 of the probe's
   val TopK = 5
 
-  /** Signed-projection signature: bit i = [v · plane_i > 0], computed by
-    * the fused codegen HyperplaneSignature expression (seeded planes). */
+  /** Signed-projection signature: bit p = [quantize(v) · plane_p > 0],
+    * computed by the fused codegen HyperplaneSignature expression over
+    * round(x·1e6) integer coordinates and md5-derived integer planes —
+    * exact arithmetic, so the DuckDB oracle reproduces every bucket
+    * bit-for-bit (and task retries can never flip a borderline sign). */
   def lshSignature(s: SparkSession, v: Column): Column = {
     graft.plans.GraftExpressions.register(s)
-    call_function(graft.plans.GraftExpressions.HyperplaneFn, v)
+    call_function(graft.plans.GraftExpressions.HyperplaneFn,
+      transform(v, x =>
+        round(x * lit(graft.plans.HyperplaneSignature.Quant)).cast("long")))
   }
 
   /** ANN top-K for one probe vector (vec_id 0): scan only the probe's
@@ -66,68 +72,86 @@ object SimilarityOps {
   val KmeansIters = 2
   val NProbe = 4
 
-  /** Nearest-centroid assignment: argmax cosine over broadcast
-    * centroids, taken with a struct-max AGGREGATE (ordering fields
-    * csim DESC then cid ASC via negation, payload carried behind them).
-    * Unlike a row_number window — which would shuffle the whole
-    * corpus×centroids cross product — the aggregate combines map-side,
-    * so only one row per vector reaches the exchange. */
-  private def assign(s: SparkSession, emb: DataFrame,
+  /** round(x·1e6) integer coordinates — the shared quantization of the
+    * LSH and IVF index structures. Index CONSTRUCTION runs on these
+    * exact integers (order-insensitive, retry-stable, SQL-oracle-
+    * reproducible); the final serving similarity still uses the
+    * original doubles. */
+  def quantize(v: Column): Column =
+    transform(v, x =>
+      round(x * lit(graft.plans.HyperplaneSignature.Quant)).cast("long"))
+
+  private def longDot(s: SparkSession, a: Column, b: Column): Column = {
+    graft.plans.GraftExpressions.register(s)
+    call_function(graft.plans.GraftExpressions.LongDotFn, a, b)
+  }
+
+  /** Nearest-centroid assignment by max INTEGER inner product (the
+    * IVF-IP coarse-quantizer flavor), taken with a struct-max
+    * AGGREGATE (ordering fields dot DESC then cid ASC via negation,
+    * payload carried behind them). Unlike a row_number window — which
+    * would shuffle the whole corpus×centroids cross product — the
+    * aggregate combines map-side, so only one row per vector reaches
+    * the exchange. */
+  private def assign(s: SparkSession, qv: DataFrame,
                      cents: DataFrame): DataFrame = {
     import s.implicits._
-    emb.crossJoin(broadcast(cents))
-      .select($"vec_id", $"e", $"cid",
-        CoreQueries.cosine(s, $"e", $"ce").as("csim"))
+    qv.crossJoin(broadcast(cents))
+      .select($"vec_id", $"e", $"q", $"cid",
+        longDot(s, $"q", $"c").as("dot"))
       .groupBy($"vec_id")
-      .agg(max(struct($"csim", (-$"cid").as("negCid"), $"cid", $"e")).as("m"))
-      .select($"vec_id", $"m.e".as("e"), $"m.cid".as("cid"))
+      .agg(max(struct($"dot", (-$"cid").as("negCid"), $"cid", $"e", $"q")).as("m"))
+      .select($"vec_id", $"m.e".as("e"), $"m.q".as("q"), $"m.cid".as("cid"))
   }
 
   /** Trained coarse quantizer: modulo-sampled seeds refined with
-    * Lloyd's iterations. The elementwise centroid mean goes through
-    * posexplode → per-(centroid, dimension) mean → rebuild, which is
-    * the shuffle-bounded way to average vectors at corpus scale (never
-    * a per-group collect of all members). The mean is computed over
-    * e9-quantized INTEGER coordinates — an exact, order-insensitive
-    * sum — so training (and therefore the whole index) is
-    * deterministic run to run, not subject to fp merge order. */
-  def kmeansCentroids(s: SparkSession, emb: DataFrame,
+    * Lloyd's iterations, entirely in exact integer arithmetic —
+    * integer-dot assignment, floor(mean) centroid update on the
+    * quantized coords. The elementwise mean goes through posexplode →
+    * per-(centroid, dimension) mean → rebuild, which is the
+    * shuffle-bounded way to average vectors at corpus scale (never a
+    * per-group collect of all members). Exactness makes training (and
+    * therefore the whole index) deterministic run to run AND
+    * reproducible by the DuckDB oracle's unrolled iterations. */
+  def kmeansCentroids(s: SparkSession, qv: DataFrame,
                       iters: Int): DataFrame = {
     import s.implicits._
-    var cents = emb.filter($"vec_id" % CentroidStep === 0)
-      .select($"vec_id".as("cid"), $"e".as("ce"))
+    var cents = qv.filter($"vec_id" % CentroidStep === 0)
+      .select($"vec_id".as("cid"), $"q".as("c"))
     var i = 0
     while (i < iters) {
-      val dims = assign(s, emb, cents)
-        .select($"cid", posexplode($"e"))
+      val dims = assign(s, qv, cents)
+        .select($"cid", posexplode($"q"))
         .groupBy($"cid", $"pos")
-        .agg((sum(round($"col" * 1e9).cast("long")) / 1e9 / count("*")).as("v"))
+        .agg(floor(sum($"col") / count("*")).cast("long").as("v"))
       cents = dims
         .groupBy($"cid")
         .agg(array_sort(collect_list(struct($"pos", $"v"))).as("pv"))
-        .select($"cid", expr("transform(pv, x -> x.v)").as("ce"))
+        .select($"cid", expr("transform(pv, x -> x.v)").as("c"))
       i += 1
     }
     cents
   }
 
   /** IVF: vectors assigned to their nearest trained centroid; a query
-    * probes only the NProbe nearest centroid lists. The trained
-    * centroid table (tiny: ~n/97 rows) is materialized once with
-    * localCheckpoint — it is referenced from several subplans, and the
-    * non-broadcast references would otherwise re-run the whole training
-    * chain per reference. */
+    * probes only the NProbe nearest centroid lists (integer-dot
+    * ranking), then exact double cosine on the probed lists' members.
+    * The trained centroid table (tiny: ~n/97 rows) is materialized
+    * once with localCheckpoint — it is referenced from several
+    * subplans, and the non-broadcast references would otherwise re-run
+    * the whole training chain per reference. */
   def annIvf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
+    val qv = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
-    val cents = kmeansCentroids(s, emb, KmeansIters).localCheckpoint(true)
-    val assigned = assign(s, emb, cents)
-    val probe = assigned.filter($"vec_id" === 0).select($"e".as("qe"))
-    // centroid lists to probe for the query
+      .withColumn("q", quantize($"e"))
+    val cents = kmeansCentroids(s, qv, KmeansIters).localCheckpoint(true)
+    val assigned = assign(s, qv, cents)
+    val probe = qv.filter($"vec_id" === 0).select($"e".as("qe"), $"q".as("qq"))
+    // centroid lists to probe for the query — ranked by integer dot
     val probeCids = cents.crossJoin(broadcast(probe))
-      .select($"cid", CoreQueries.cosine(s, $"ce", $"qe").as("csim"))
-      .orderBy($"csim".desc, $"cid").limit(NProbe)
+      .select($"cid", longDot(s, $"c", $"qq").as("dot"))
+      .orderBy($"dot".desc, $"cid").limit(NProbe)
       .select($"cid")
     assigned.filter($"vec_id" =!= 0)
       .join(broadcast(probeCids), "cid")
@@ -142,8 +166,82 @@ object SimilarityOps {
     "x12_ann_ivf" -> annIvf _,
   )
 
-  // No SQL oracle: LSH/IVF candidate sets depend on the seeded planes /
-  // sampled centroids. The driver records rows-only checks; recall vs
-  // the exact Q16 baseline is asserted in SimilaritySpec.
-  val oracleSql: Map[String, String] = Map()
+  /** One Lloyd iteration as DuckDB CTEs: integer-dot assignment
+    * (row_number = the struct-max's dot DESC, cid ASC order) then
+    * floor-mean centroid update — the same exact integer arithmetic
+    * the Spark side performs, so the trained index is identical. */
+  private def ivfIterCtes(idx: Int, prev: String): String =
+    s"""a$idx AS (SELECT vec_id, cid, q FROM (
+       |  SELECT v.vec_id, c.cid, v.q,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY list_dot_product(v.q, c.c) DESC, c.cid) AS rn
+       |  FROM qv v CROSS JOIN $prev c) WHERE rn = 1),
+       |m$idx AS (SELECT cid, i.range AS pos,
+       |    CAST(floor(sum(q[i.range + 1]) / count(*)) AS BIGINT) AS v
+       |  FROM a$idx, range($Dim) i GROUP BY 1, 2),
+       |c$idx AS (SELECT cid, list(v ORDER BY pos) AS c FROM m$idx GROUP BY cid)"""
+      .stripMargin
+
+  /** BOTH ANN queries have FULL oracles: every index-construction step
+    * (md5-derived planes, 1e6 quantization, integer dots, floor-mean
+    * k-means) is exact integer arithmetic reproducible in SQL, so
+    * DuckDB recomputes identical buckets/centroids/candidate sets and
+    * the same final cosine top-K. The x12 oracle unrolls the
+    * KmeansIters(=2) Lloyd iterations as CTE pairs. */
+  val oracleSql: Map[String, String] = Map(
+    "x06_ann_lsh" ->
+      s"""WITH planes AS (
+        |  SELECT p.range AS p, i.range AS i,
+        |    ('0x' || substr(md5('p_' || p.range || '_' || i.range), 1, 8))::BIGINT
+        |      % 1001 - 500 AS w
+        |  FROM range($NumPlanes) p, range($Dim) i),
+        |qv AS (
+        |  SELECT vec_id, i.range AS i,
+        |    CAST(round(embedding[i.range + 1]::DOUBLE * 1000000, 0) AS BIGINT) AS q
+        |  FROM embeddings, range($Dim) i),
+        |dots AS (
+        |  SELECT vec_id, p, sum(q * w) AS dot
+        |  FROM qv JOIN planes USING (i) GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
+        |      AS bucket
+        |  FROM dots GROUP BY 1),
+        |probe AS (
+        |  SELECT e.embedding::DOUBLE[] AS qe, s.bucket AS qb
+        |  FROM embeddings e JOIN sig s USING (vec_id) WHERE e.vec_id = 0)
+        |SELECT e.vec_id,
+        |  ROUND(list_dot_product(e.embedding::DOUBLE[], probe.qe) /
+        |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(probe.qe, probe.qe))), 4) AS sim
+        |FROM embeddings e JOIN sig s ON s.vec_id = e.vec_id, probe
+        |WHERE e.vec_id <> 0 AND bit_count(xor(s.bucket, probe.qb)) <= $ProbeRadius
+        |ORDER BY sim DESC, e.vec_id LIMIT $TopK""".stripMargin,
+    "x12_ann_ivf" ->
+      s"""WITH qv AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, q AS c FROM qv
+        |       WHERE vec_id % $CentroidStep = 0),
+        |${ivfIterCtes(1, "c0")},
+        |${ivfIterCtes(2, "c1")},
+        |af AS (SELECT vec_id, cid FROM (
+        |  SELECT v.vec_id, c.cid,
+        |    row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY list_dot_product(v.q, c.c) DESC, c.cid) AS rn
+        |  FROM qv v CROSS JOIN c2 c) WHERE rn = 1),
+        |pq AS (SELECT e, q FROM qv WHERE vec_id = 0),
+        |pc AS (SELECT c2.cid FROM c2, pq
+        |       ORDER BY list_dot_product(c2.c, pq.q) DESC, c2.cid
+        |       LIMIT $NProbe)
+        |SELECT v.vec_id,
+        |  ROUND(list_dot_product(v.e, pq.e) /
+        |    (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(pq.e, pq.e))),
+        |    4) AS sim
+        |FROM af JOIN pc USING (cid) JOIN qv v USING (vec_id), pq
+        |WHERE v.vec_id <> 0
+        |ORDER BY sim DESC, v.vec_id LIMIT $TopK""".stripMargin,
+  )
 }

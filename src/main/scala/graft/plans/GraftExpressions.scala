@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -26,6 +27,7 @@ object GraftExpressions {
   val HyperplaneFn = "graft_hyperplane_sig"
   val ShinglesFn = "graft_shingles"
   val TopKFn = "graft_topk"
+  val LongDotFn = "graft_long_dot"
 
   /** Shared graft_topk builder for both registration routes: guards the
     * k argument BEFORE eval() — a non-foldable k (e.g. a column
@@ -56,6 +58,8 @@ object GraftExpressions {
       SimHashFn, es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       HyperplaneFn, es => HyperplaneSignature(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      LongDotFn, es => LongDotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       ShinglesFn, es => WordShingles(es.head), "built-in")
     reg.createOrReplaceTempFunction(TopKFn, buildTopK, "built-in")
@@ -163,6 +167,53 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |  }
          |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |}
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact integer dot product of two long arrays in one fused loop —
+  * the assignment metric of the quantized IVF coarse quantizer. All
+  * arithmetic is 64-bit integer (inputs are 1e6-quantized coords, so
+  * |a·b| ≤ dim·1e12 ≪ 2^63): order-insensitive, retry-stable, and
+  * bit-reproducible in the DuckDB oracle. NULL on length mismatch,
+  * like CosineSimilarity. */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = GraftExpressions.LongDotFn
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var dot = 0L; var i = 0
+    while (i < n) { dot += x.getLong(i) * y.getLong(i); i += 1 }
+    dot
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $dot;
          |}
          |""".stripMargin
     })
@@ -301,20 +352,44 @@ case class SimHash64(child: Expression)
 object HyperplaneSignature {
   val Dim = 64
   val NumPlanes = 8
-  /** Seeded Gaussian hyperplanes, flattened row-major. */
-  val planes: Array[Double] = {
-    val rng = new scala.util.Random(7)
-    Array.fill(NumPlanes * Dim)(rng.nextGaussian())
+  /** Coordinate quantization scale: vectors are pre-quantized to
+    * round(x·1e6) longs, so the projection below is EXACT integer
+    * arithmetic — order-insensitive, retry-stable, and reproducible in
+    * any SQL engine (the DuckDB oracle recomputes the same buckets). */
+  val Quant = 1e6
+  /** md5-derived integer hyperplane weights in [-500, 500], flattened
+    * row-major: w(p,i) = md5("p_{p}_{i}")[first 8 hex] % 1001 − 500.
+    * md5 is the one hash every engine evaluates identically, which
+    * makes the plane matrix itself oracle-reproducible — unlike a
+    * JVM-seeded RNG. Integer weights keep every dot product exact
+    * (|q·w| ≤ 64·1e6·500 ≈ 3.2e10 ≪ 2^63). */
+  val planes: Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(NumPlanes * Dim) { k =>
+      val hex = md.digest(s"p_${k / Dim}_${k % Dim}".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 1001L - 500L
+    }
   }
 }
 
-/** Random-hyperplane LSH bucket for a double vector: bit i = sign of
-  * the dot product with seeded plane i. One fused O(planes·dim) loop. */
+/** Random-hyperplane LSH bucket for an INTEGER-QUANTIZED vector
+  * (array<long>, coords pre-scaled by round(x·1e6)): bit p = sign of
+  * the exact integer dot product with md5-derived plane p. One fused
+  * O(planes·dim) loop, no floating point anywhere. */
 case class HyperplaneSignature(child: Expression)
     extends UnaryExpression {
   import HyperplaneSignature._
 
   override def dataType: DataType = LongType
+  // strict: a double array passed by mistake would otherwise be
+  // bit-reinterpreted by getLong, not cast
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<bigint> of round(x*1e6)-quantized " +
+        s"coordinates, got ${t.simpleString}")
+  }
   override def nullIntolerant: Boolean = true
   override def prettyName: String = GraftExpressions.HyperplaneFn
 
@@ -324,10 +399,10 @@ case class HyperplaneSignature(child: Expression)
     var sig = 0L
     var p = 0
     while (p < NumPlanes) {
-      var dot = 0.0
+      var dot = 0L
       var i = 0
-      while (i < n) { dot += xs.getDouble(i) * planes(p * Dim + i); i += 1 }
-      if (dot > 0.0) sig |= (1L << p)
+      while (i < n) { dot += xs.getLong(i) * planes(p * Dim + i); i += 1 }
+      if (dot > 0L) sig |= (1L << p)
       p += 1
     }
     sig
@@ -335,7 +410,7 @@ case class HyperplaneSignature(child: Expression)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val pRef = ctx.addReferenceObj("hyperplanes", planes, "double[]")
+      val pRef = ctx.addReferenceObj("hyperplanes", planes, "long[]")
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val p = ctx.freshName("p"); val dot = ctx.freshName("dot")
       val sig = ctx.freshName("sig")
@@ -343,11 +418,11 @@ case class HyperplaneSignature(child: Expression)
          |int $n = java.lang.Math.min($c.numElements(), $Dim);
          |long $sig = 0L;
          |for (int $p = 0; $p < $NumPlanes; $p++) {
-         |  double $dot = 0.0;
+         |  long $dot = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += $c.getDouble($i) * $pRef[$p * $Dim + $i];
+         |    $dot += $c.getLong($i) * $pRef[$p * $Dim + $i];
          |  }
-         |  if ($dot > 0.0) $sig |= (1L << $p);
+         |  if ($dot > 0L) $sig |= (1L << $p);
          |}
          |${ev.value} = $sig;
          |""".stripMargin

@@ -38,8 +38,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => SimHash64(es.head)))
     e.injectFunction((FunctionIdentifier(GraftExpressions.HyperplaneFn),
       info(GraftExpressions.HyperplaneFn,
-        "random-hyperplane LSH bucket of a double vector"),
+        "random-hyperplane LSH bucket of an integer-quantized vector"),
       (es: Seq[Expression]) => HyperplaneSignature(es.head)))
+    e.injectFunction((FunctionIdentifier(GraftExpressions.LongDotFn),
+      info(GraftExpressions.LongDotFn,
+        "exact integer dot product of two long arrays"),
+      (es: Seq[Expression]) => LongDotProduct(es(0), es(1))))
     e.injectFunction((FunctionIdentifier(GraftExpressions.ShinglesFn),
       info(GraftExpressions.ShinglesFn,
         "distinct word-3-gram shingles of a token array"),

@@ -71,7 +71,7 @@ class GraftExpressionsSpec extends AnyFunSuite with SparkTestSession {
   test("HyperplaneSignature is stable and within plane-count bits") {
     GraftExpressions.register(spark)
     val sigs = Tables.embeddings(spark, sf)
-      .select(call_function(GraftExpressions.HyperplaneFn,
+      .select(graft.operators.SimilarityOps.lshSignature(spark,
         $"embedding".cast("array<double>")).as("sig"))
       .as[Long].collect()
     assert(sigs.forall(sg => sg >= 0 &&
