@@ -52,7 +52,15 @@ object Bench {
       }
     }
 
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Optional comma-separated query filter for local iteration
+    // (e.g. SPARK_GRAFT_ONLY=x17_dedup_clusters,x02_dedup_minhash_lsh).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { run(fn, sfDir); true } catch { case _: Throwable => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)

@@ -38,4 +38,17 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Rebalance a compute-bound narrow stage across all cores. Parquet
+    * splits only at row-group boundaries, and the fixture tables are
+    * single-row-group files — without this, fused per-row compute
+    * (128-perm minhash, simhash votes, regex scoring) runs in ONE task
+    * regardless of core count. The round-robin shuffle moves only the
+    * projected input columns (sub-MB here), a fraction of the compute
+    * it unlocks. At production scale inputs arrive as many files, so
+    * the exchange coalesces into ordinary split planning; keeping the
+    * explicit rebalance still protects against stragglers from skewed
+    * file sizes feeding a CPU-heavy map. */
+  def rebalance(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

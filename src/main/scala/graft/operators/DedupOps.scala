@@ -37,10 +37,12 @@ object DedupOps {
   private val Bands = 32
   private val RowsPerBand = 4   // Bands * RowsPerBand == MinHashSignature.NumHashes
 
-  /** doc_id → lowercased word array (the common tokenization). */
+  /** doc_id → lowercased word array (the common tokenization).
+    * Rebalanced: everything downstream (shingling, 128-perm minhash,
+    * simhash votes) is compute-bound per row. */
   private def words(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
+    Tables.rebalance(Tables.documents(s, d))
       .select($"doc_id", split(lower($"text"), "\\s+").as("w"))
   }
 
@@ -223,17 +225,24 @@ object DedupOps {
     * doc_id in each component (docs with no near-dup represent
     * themselves). Min-label propagation over the edge list — the
     * standard distributed connected-components loop: each round is one
-    * join + aggregate on the (tiny, LSH-bounded) edge set, and the
-    * driver only iterates rounds (O(component diameter), capped), never
-    * touches rows. Labels are localCheckpoint'ed per round to keep the
-    * plan from growing with the iteration count. */
+    * join + aggregate, and the driver only iterates rounds
+    * (O(component diameter), capped), never touches rows. Labels are
+    * localCheckpoint'ed per round to keep the plan from growing with
+    * the iteration count.
+    *
+    * The loop runs ONLY over nodes that appear in an edge — an
+    * LSH-bounded set that is vastly smaller than the corpus (near-dup
+    * pairs are rare by construction at 100 TB too). Isolated docs
+    * never enter the iteration; they join their identity label back in
+    * one final broadcast left-join. Round 1 iterated every document
+    * every round, which made the corpus scan the per-round cost. */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = dedupMinhashLsh(s, d).select($"da", $"db")
       .localCheckpoint(true)
     val edges = pairs.select($"da".as("a"), $"db".as("b"))
       .unionAll(pairs.select($"db".as("a"), $"da".as("b")))
-    var labels = Tables.documents(s, d)
+    var labels = edges.select($"a".as("doc_id")).distinct()
       .select($"doc_id", $"doc_id".as("rep"))
     var converged = false
     var rounds = 0
@@ -257,7 +266,11 @@ object DedupOps {
     // otherwise return silently-wrong labels; fail loudly instead.
     require(converged,
       s"label propagation did not converge within $rounds rounds")
-    labels.orderBy($"doc_id")
+    Tables.documents(s, d).select($"doc_id")
+      .join(broadcast(labels.select($"doc_id", $"rep".as("erep"))),
+        Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"erep", $"doc_id").as("rep"))
+      .orderBy($"doc_id")
   }
 
   // ---- embedding-cosine near-dup ----------------------------------------

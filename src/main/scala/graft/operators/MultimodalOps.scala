@@ -34,7 +34,7 @@ object MultimodalOps {
     * and the oracle can reproduce it. */
   def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
     import s.implicits._
-    Tables.documents(s, d)
+    Tables.rebalance(Tables.documents(s, d))
       .select($"doc_id", $"source", $"text".cast("binary").as("media"))
       .withColumn("width", (octet_length($"media") % 64 + 16).cast("int"))
       .withColumn("height", (expr("octet_length(media) div 7") % 48 + 16).cast("int"))

@@ -18,6 +18,11 @@ import graft.Tables
   */
 object TextOps {
 
+  /** Documents scan rebalanced across cores: every query below runs a
+    * battery of regexes per row — compute-bound, not IO-bound. */
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.rebalance(Tables.documents(s, d))
+
   private val stopEn = "\\b(the|a|of|and|to|is|in|it)\\b"
   private val stopDe = "\\b(der|die|das|und|ein|ist|nicht)\\b"
   private val stopEs = "\\b(el|la|los|de|que|y|un|es)\\b"
@@ -53,7 +58,7 @@ object TextOps {
 
   def textLangId(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
+    docs(s, d)
       .select($"doc_id", langIdCol($"text").as("pred_lang"))
       .orderBy($"doc_id")
   }
@@ -74,7 +79,7 @@ object TextOps {
   def textQuality(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val t = $"text"
-    Tables.documents(s, d)
+    docs(s, d)
       .select($"doc_id", nTokensCol(t).as("n_tokens"),
               round(punctRatioCol(t), 4).as("punct_ratio"),
               round(stopRatioCol(t), 4).as("stop_ratio"),
@@ -89,7 +94,7 @@ object TextOps {
 
   def textTokens(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
+    docs(s, d)
       .select($"source",
               size(split(trim($"text"), "\\s+")).cast("long").as("ws_tokens"),
               nMatches($"text", bpeTokenPattern).as("bpe_tokens"))
@@ -110,7 +115,7 @@ object TextOps {
 
   def textFingerprint(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
+    docs(s, d)
       .select($"doc_id", fingerprintCol($"text").as("fp"))
       .orderBy($"doc_id")
   }
@@ -125,7 +130,7 @@ object TextOps {
   def curationPipeline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val t = $"text"
-    Tables.documents(s, d)
+    docs(s, d)
       .select($"doc_id", $"source", fingerprintCol(t).as("fp"),
               langIdCol(t).as("pred_lang"), round(qualityCol(t), 4).as("q"))
       .filter($"pred_lang" === "en" && $"q" >= 0.4)
