@@ -68,6 +68,40 @@ class GraftExpressionsSpec extends AnyFunSuite with SparkTestSession {
     assert(got === want)
   }
 
+  test("LongDotProduct: exact integer dot, NULL on length mismatch") {
+    GraftExpressions.register(spark)
+    val df = Seq((Seq(1000000L, -2000000L), Seq(3L, 4L)),
+                 (Seq(1L, 2L), Seq(1L)))
+      .toDF("a", "b")
+      .select(call_function(GraftExpressions.LongDotFn, $"a", $"b").as("d"))
+    val rows = df.collect()
+    assert(rows(0).getLong(0) === -5000000L)
+    assert(rows(1).isNullAt(0))
+  }
+
+  test("HyperplaneSignature rejects un-quantized (double) input cleanly") {
+    GraftExpressions.register(spark)
+    val err = intercept[Exception] {
+      Tables.embeddings(spark, sf)
+        .select(call_function(GraftExpressions.HyperplaneFn,
+          $"embedding".cast("array<double>")))
+        .collect()
+    }
+    assert(err.getMessage.contains("array<bigint>"))
+  }
+
+  test("hyperplane weights are md5-derived, bounded, and dispersive") {
+    import graft.plans.HyperplaneSignature.{planes, NumPlanes, Dim}
+    assert(planes.length === NumPlanes * Dim)
+    assert(planes.forall(w => w >= -500 && w <= 500))
+    assert(planes.distinct.length > 100)   // not degenerate
+    // spot-check one weight against a from-scratch md5 derivation
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("p_0_0".getBytes("UTF-8"))
+      .take(4).map(b => f"${b & 0xff}%02x").mkString
+    assert(planes(0) === java.lang.Long.parseLong(hex, 16) % 1001L - 500L)
+  }
+
   test("HyperplaneSignature is stable and within plane-count bits") {
     GraftExpressions.register(spark)
     val sigs = Tables.embeddings(spark, sf)

@@ -30,6 +30,19 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
           |VALUES ('a', 3.0d, 1L), ('a', 9.0d, 2L), ('a', 5.0d, 3L) t(g, s, i)
           |GROUP BY g""".stripMargin).collect()
       assert(topk.length === 1)
+      val dot = s2.sql(
+        "SELECT graft_long_dot(array(2L, -3L), array(5L, 7L))")
+        .head().getLong(0)
+      assert(dot === -11L)
+      // a non-constant k must fail with the clean guard message, not an
+      // opaque eval() exception from resolution
+      val err = intercept[Exception] {
+        s2.sql(
+          """SELECT g, graft_topk(s, i, CAST(i AS INT)) FROM
+            |VALUES ('a', 3.0d, 1L) t(g, s, i) GROUP BY g""".stripMargin)
+          .collect()
+      }
+      assert(err.getMessage.contains("must be a constant integer"))
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
