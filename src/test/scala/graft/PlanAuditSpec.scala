@@ -62,6 +62,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("x06: probe pushdown, codegen signature, top-K — no full scan rank") {
+    val f = formatted("x06_ann_lsh")
+    assert(f.contains("EqualTo(vec_id,0)"))
+    val p = plan("x06_ann_lsh")
+    assert(p.contains("graft_hyperplane_sig"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("x12: centroid work rides broadcasts; corpus never sort-merges") {
+    val p = plan("x12_ann_ivf")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("x17: isolated docs rejoin via broadcast, not a corpus shuffle") {
+    val p = plan("x17_dedup_clusters")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("custom expressions appear in codegen'd projections") {
     // q16's BroadcastNestedLoopJoin doesn't do whole-stage codegen (the
     // projection above it still compiles the expression); x05's
