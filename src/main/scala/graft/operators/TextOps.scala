@@ -146,12 +146,72 @@ object TextOps {
       .orderBy($"source")
   }
 
+  // ---- sequence packing (training-batch assembly) ------------------------
+
+  /** Token budget per packed training sequence. */
+  val PackBudget = 2048L
+
+  /** Greedy running-total sequence packing: documents are packed into
+    * bins of ~PackBudget tokens IN doc_id ORDER WITHIN EACH SOURCE —
+    * bin = floor(tokens-before-this-doc / budget), the approximate
+    * packing real pipelines use before truncation. Partitioning the
+    * window by `source` is the scale design: each shard packs
+    * independently (one partitioned window, no global sort), exactly
+    * how a 100 TB corpus is packed per input shard. */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(s, d)
+      .select($"doc_id", $"source", nTokensCol($"text").as("t"))
+      .withColumn("cum", coalesce(sum($"t").over(w), lit(0L)))
+      .withColumn("bin", ($"cum" / PackBudget).cast("long"))
+      .groupBy($"source", $"bin")
+      .agg(count("*").as("n_docs"), sum($"t").as("total_tokens"))
+      .orderBy($"source", $"bin")
+  }
+
+  // ---- deterministic stratified sampling (data mixing) -------------------
+
+  /** Per-source sampling rate in per-mille, derived from the source
+    * name (stand-in for a mixing-weights config table): 100‰–550‰. */
+  private def ratePm(source: Column): Column =
+    lit(100L) + (ascii(expr("right(source, 1)")) % 10).cast("long") * 50L
+
+  /** Content-hash bucket in [0, 1000): md5-derived, so the sample is a
+    * pure function of the data — stable across runs, retries, engines,
+    * and cluster layouts (a rand()-based sample is none of those). */
+  private def hashBucketPm(text: Column): Column =
+    conv(substring(md5(text), 1, 8), 16, 10).cast("long") % 1000L
+
+  /** Deterministic stratified sampling / data mixing: keep a document
+    * iff its content-hash bucket falls under its source's rate. One
+    * narrow scan; the decision is embarrassingly parallel and needs no
+    * state, which is what makes hash-sampling the standard mixing
+    * mechanism at corpus scale. Emits per-source totals so the mix is
+    * auditable. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"source", $"doc_id",
+        ratePm($"source").as("rate_pm"),
+        (hashBucketPm($"text") < ratePm($"source")).as("kept"))
+      .groupBy($"source")
+      .agg(count("*").as("n_total"),
+           sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
+           max($"rate_pm").as("rate_pm"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x07_text_langid"      -> textLangId _,
     "x08_text_quality"     -> textQuality _,
     "x09_text_tokens"      -> textTokens _,
     "x10_text_fingerprint" -> textFingerprint _,
     "x14_curation_pipeline" -> curationPipeline _,
+    "x18_pack_sequences"   -> packSequences _,
+    "x19_stratified_sample" -> stratifiedSample _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -221,5 +281,28 @@ object TextOps {
          |       CAST(round(sum(q) * 10000) AS BIGINT) AS q_sum_e4
          |FROM m WHERE pred_lang = 'en' AND q >= 0.4
          |GROUP BY source ORDER BY source""".stripMargin,
+    "x18_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS t
+         |  FROM documents),
+         |b AS (SELECT source, t,
+         |    COALESCE(sum(t) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      // $PackBudget AS bin
+         |  FROM t)
+         |SELECT source, CAST(bin AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(t) AS BIGINT) AS total_tokens
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x19_stratified_sample" ->
+      """WITH m AS (SELECT source,
+        |    100 + (unicode(right(source, 1)) % 10) * 50 AS rate_pm,
+        |    ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000
+        |      < 100 + (unicode(right(source, 1)) % 10) * 50 AS kept
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(max(rate_pm) AS BIGINT) AS rate_pm
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+/** Invariants of the batch-assembly operators (x18/x19) that the SQL
+  * oracle's hash-match can't express directly. */
+class TextPipelineSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  test("packing partitions the corpus: every doc in exactly one bin") {
+    val packed = TextOps.packSequences(spark, sf)
+    val docTotal = Tables.documents(spark, sf).count()
+    assert(packed.agg(sum($"n_docs")).as[Long].head() === docTotal)
+    // bins are consecutive from 0 within each source
+    val bad = packed
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"source").orderBy($"bin")) - 1)
+      .filter($"bin" =!= $"rn").count()
+    assert(bad === 0)
+  }
+
+  test("packing respects the running-total budget rule") {
+    // a bin other than the last of its source must have crossed the
+    // budget by its end (otherwise the next doc would have joined it)
+    val packed = TextOps.packSequences(spark, sf).collect()
+    val bySource = packed.groupBy(_.getString(0))
+    bySource.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      var cum = 0L
+      sorted.dropRight(1).foreach { r =>
+        cum += r.getLong(3)   // total_tokens
+        assert(cum >= TextOps.PackBudget * (r.getLong(1) + 1),
+          "non-final bin ended before reaching its budget boundary")
+      }
+    }
+  }
+
+  test("stratified sample is bounded, stratified, and deterministic") {
+    val a = TextOps.stratifiedSample(spark, sf).collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val (total, kept, rate) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(kept >= 0 && kept <= total)
+      assert(rate >= 100 && rate <= 550)
+    }
+    val b = TextOps.stratifiedSample(spark, sf).collect()
+    assert(a.toSeq === b.toSeq)
+  }
+}
