@@ -273,6 +273,44 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
+  // ---- benchmark decontamination ----------------------------------------
+
+  /** Stand-in eval-set membership: every 50th doc_id (a real pipeline
+    * joins an actual benchmark corpus here; the operator shape is
+    * identical). */
+  val ContaminationEvalStep = 50
+  /** A train/eval pair counts as contaminated at ≥ this many shared
+    * word-3-gram shingles. */
+  val MinSharedShingles = 5
+  /** Shingles occurring in more than this many docs are boilerplate:
+    * they carry no contamination evidence AND they are exactly the
+    * hot keys that would skew the inverted-index join — one cap serves
+    * both purposes. */
+  val MaxShingleDf = 10
+
+  /** Train↔eval contamination check: inverted-index join on shingles
+    * (never all-pairs — work is proportional to shared-shingle
+    * postings), document-frequency-capped to drop boilerplate and hot
+    * keys, then a shared-shingle count per (train, eval) pair. At
+    * 100 TB this is the standard decontamination sweep: explode to
+    * postings, semi-join the df-capped vocabulary, shuffle on the
+    * shingle, count. */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val inv = shingleSets(s, d).select($"doc_id", explode($"s").as("sh"))
+    val rare = inv.groupBy($"sh").agg(count("*").as("df"))
+      .filter($"df" <= MaxShingleDf).select($"sh")
+    val pruned = inv.join(rare, Seq("sh"), "left_semi")
+    val ev = pruned.filter($"doc_id" % ContaminationEvalStep === 0)
+      .select($"sh", $"doc_id".as("eval_id"))
+    val tr = pruned.filter($"doc_id" % ContaminationEvalStep =!= 0)
+      .select($"sh", $"doc_id".as("train_id"))
+    tr.join(ev, "sh")
+      .groupBy($"train_id", $"eval_id").agg(count("*").as("n_shared"))
+      .filter($"n_shared" >= MinSharedShingles)
+      .orderBy($"train_id", $"eval_id")
+  }
+
   // ---- embedding-cosine near-dup ----------------------------------------
 
   val CosineThreshold = 0.4
@@ -301,6 +339,7 @@ object DedupOps {
     "x04_dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "x05_dedup_embedding"     -> dedupEmbedding _,
     "x17_dedup_clusters"      -> dedupClusters _,
+    "x20_contamination"       -> contamination _,
   )
 
   /** x02's oracle is the EXACT all-pairs Jaccard — valid because the
@@ -385,6 +424,19 @@ object DedupOps {
         |FROM sizes s CROSS JOIN qn LEFT JOIN inter i ON i.doc_id = s.doc_id
         |WHERE s.doc_id <> 0
         |ORDER BY jaccard DESC, s.doc_id LIMIT 10""".stripMargin,
+    "x20_contamination" ->
+      s"""WITH $ShingleBaseCtes,
+        |rare AS (SELECT sh FROM sh GROUP BY sh
+        |         HAVING count(*) <= $MaxShingleDf),
+        |inv AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+        |ev AS (SELECT doc_id AS eval_id, sh FROM inv
+        |       WHERE doc_id % $ContaminationEvalStep = 0),
+        |tr AS (SELECT doc_id AS train_id, sh FROM inv
+        |       WHERE doc_id % $ContaminationEvalStep <> 0)
+        |SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM tr JOIN ev USING (sh)
+        |GROUP BY 1, 2 HAVING count(*) >= $MinSharedShingles
+        |ORDER BY 1, 2""".stripMargin,
     "x05_dedup_embedding" ->
       """SELECT a.vec_id AS va, b.vec_id AS vb,
         |  ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
