@@ -39,26 +39,35 @@ object Bench {
             dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
 
+    // Optional comma-separated query filter for local iteration
+    // (e.g. SPARK_GRAFT_ONLY=x17_dedup_clusters,x02_dedup_minhash_lsh).
+    // Unknown names fail loudly — a typo would otherwise print a
+    // success-looking zero-query JSON.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None => SparkEntry.queries
+    }
+
     // Warmup dir is env-overridable for other hosts/layouts, and the
     // JSON records whether warmup actually ran — a skipped warmup skews
-    // whichever queries run first (JIT + codegen land on them).
+    // whichever queries run first (JIT + codegen land on them). Only
+    // the SELECTED queries warm up, so a filtered run stays quick.
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
       "/root/testdata/sf0.001")
     val warmedUp =
       new java.io.File(warmupDir).isDirectory && warmupDir != sfDir
     if (warmedUp) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try run(fn, warmupDir) catch { case _: Throwable => () }
       }
-    }
-
-    // Optional comma-separated query filter for local iteration
-    // (e.g. SPARK_GRAFT_ONLY=x17_dedup_clusters,x02_dedup_minhash_lsh).
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
-      case None => SparkEntry.queries
     }
     // Per-query time = MIN over SPARK_GRAFT_REPS runs (default 2): the
     // minimum is the standard interference-robust estimator for a

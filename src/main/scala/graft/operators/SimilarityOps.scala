@@ -18,10 +18,12 @@ import graft.Tables
   *    vectors as centroids; vectors assigned to nearest centroid;
   *    queries probe the nProbe nearest centroid lists.
   *
-  * Both are deterministic so results are reproducible run to run: the
-  * LSH planes are md5-derived integers over 1e6-quantized coordinates
-  * (exact arithmetic → full DuckDB oracle), the IVF sample/training is
-  * fixed (rows-only check + recall asserted in SimilaritySpec).
+  * Both are deterministic so results are reproducible run to run, and
+  * BOTH carry full DuckDB hash-match oracles: the LSH planes are
+  * md5-derived integers over 1e6-quantized coordinates, and the IVF
+  * training is exact integer arithmetic (integer-dot assignment,
+  * floor-mean updates), so SQL reproduces the identical index.
+  * SimilaritySpec additionally asserts recall vs the exact baseline.
   *
   * Literature: random-hyperplane signatures are Charikar's rounding
   * scheme (STOC 2002); the inverted-file coarse quantizer follows the
@@ -34,16 +36,23 @@ object SimilarityOps {
   val ProbeRadius = 2   // scan buckets within hamming-2 of the probe's
   val TopK = 5
 
+  /** round(x·1e6) integer coordinates — the shared quantization of the
+    * LSH and IVF index structures. Index CONSTRUCTION runs on these
+    * exact integers (order-insensitive, retry-stable, SQL-oracle-
+    * reproducible); the final serving similarity still uses the
+    * original doubles. */
+  def quantize(v: Column): Column =
+    transform(v, x =>
+      round(x * lit(graft.plans.HyperplaneSignature.Quant)).cast("long"))
+
   /** Signed-projection signature: bit p = [quantize(v) · plane_p > 0],
     * computed by the fused codegen HyperplaneSignature expression over
-    * round(x·1e6) integer coordinates and md5-derived integer planes —
+    * the quantized integer coordinates and md5-derived integer planes —
     * exact arithmetic, so the DuckDB oracle reproduces every bucket
     * bit-for-bit (and task retries can never flip a borderline sign). */
   def lshSignature(s: SparkSession, v: Column): Column = {
     graft.plans.GraftExpressions.register(s)
-    call_function(graft.plans.GraftExpressions.HyperplaneFn,
-      transform(v, x =>
-        round(x * lit(graft.plans.HyperplaneSignature.Quant)).cast("long")))
+    call_function(graft.plans.GraftExpressions.HyperplaneFn, quantize(v))
   }
 
   /** ANN top-K for one probe vector (vec_id 0): scan only the probe's
@@ -72,15 +81,6 @@ object SimilarityOps {
   val KmeansIters = 2
   val NProbe = 4
 
-  /** round(x·1e6) integer coordinates — the shared quantization of the
-    * LSH and IVF index structures. Index CONSTRUCTION runs on these
-    * exact integers (order-insensitive, retry-stable, SQL-oracle-
-    * reproducible); the final serving similarity still uses the
-    * original doubles. */
-  def quantize(v: Column): Column =
-    transform(v, x =>
-      round(x * lit(graft.plans.HyperplaneSignature.Quant)).cast("long"))
-
   private def longDot(s: SparkSession, a: Column, b: Column): Column = {
     graft.plans.GraftExpressions.register(s)
     call_function(graft.plans.GraftExpressions.LongDotFn, a, b)
@@ -92,16 +92,17 @@ object SimilarityOps {
     * payload carried behind them). Unlike a row_number window — which
     * would shuffle the whole corpus×centroids cross product — the
     * aggregate combines map-side, so only one row per vector reaches
-    * the exchange. */
+    * the exchange. Takes (vec_id, q) ONLY: the double vectors never
+    * ride the training shuffles (they rejoin once, at serving). */
   private def assign(s: SparkSession, qv: DataFrame,
                      cents: DataFrame): DataFrame = {
     import s.implicits._
     qv.crossJoin(broadcast(cents))
-      .select($"vec_id", $"e", $"q", $"cid",
+      .select($"vec_id", $"q", $"cid",
         longDot(s, $"q", $"c").as("dot"))
       .groupBy($"vec_id")
-      .agg(max(struct($"dot", (-$"cid").as("negCid"), $"cid", $"e", $"q")).as("m"))
-      .select($"vec_id", $"m.e".as("e"), $"m.q".as("q"), $"m.cid".as("cid"))
+      .agg(max(struct($"dot", (-$"cid").as("negCid"), $"cid", $"q")).as("m"))
+      .select($"vec_id", $"m.q".as("q"), $"m.cid".as("cid"))
   }
 
   /** Trained coarse quantizer: modulo-sampled seeds refined with
@@ -142,19 +143,24 @@ object SimilarityOps {
     * the whole training chain per reference. */
   def annIvf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val qv = Tables.embeddings(s, d)
+    val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
-      .withColumn("q", quantize($"e"))
+    val qv = emb.select($"vec_id", quantize($"e").as("q"))
     val cents = kmeansCentroids(s, qv, KmeansIters).localCheckpoint(true)
     val assigned = assign(s, qv, cents)
-    val probe = qv.filter($"vec_id" === 0).select($"e".as("qe"), $"q".as("qq"))
+    val probe = emb.filter($"vec_id" === 0).select($"e".as("qe"))
+    val probeQ = qv.filter($"vec_id" === 0).select($"q".as("qq"))
     // centroid lists to probe for the query — ranked by integer dot
-    val probeCids = cents.crossJoin(broadcast(probe))
+    val probeCids = cents.crossJoin(broadcast(probeQ))
       .select($"cid", longDot(s, $"c", $"qq").as("dot"))
       .orderBy($"dot".desc, $"cid").limit(NProbe)
       .select($"cid")
-    assigned.filter($"vec_id" =!= 0)
+    // candidate ids (probed lists only) broadcast against the corpus:
+    // the double vectors are read once here, never during training
+    val candidates = assigned.filter($"vec_id" =!= 0)
       .join(broadcast(probeCids), "cid")
+      .select($"vec_id")
+    emb.join(broadcast(candidates), "vec_id")
       .crossJoin(broadcast(probe))
       .select($"vec_id", round(CoreQueries.cosine(s, $"e", $"qe"), 4).as("sim"))
       .orderBy($"sim".desc, $"vec_id")

@@ -24,8 +24,12 @@ object SketchOps {
 
   def approxDistinct(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // exact == 0 (e.g. a group where every value is null) would make
+    // the ratio NaN and report a perfectly-correct sketch as not-ok —
+    // an all-null group is "within tolerance" iff the sketch also says 0
     val within = (approx: Column, exact: Column) =>
-      abs(approx.cast("double") / exact - 1.0) <= Tolerance
+      when(exact === 0L, approx === 0L)
+        .otherwise(abs(approx.cast("double") / exact - 1.0) <= Tolerance)
     Tables.events(s, d)
       .groupBy($"event_type")
       .agg(

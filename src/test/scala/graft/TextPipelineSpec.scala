@@ -13,13 +13,12 @@ class TextPipelineSpec extends AnyFunSuite with SparkTestSession {
     val packed = TextOps.packSequences(spark, sf)
     val docTotal = Tables.documents(spark, sf).count()
     assert(packed.agg(sum($"n_docs")).as[Long].head() === docTotal)
-    // bins are consecutive from 0 within each source
-    val bad = packed
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy($"source").orderBy($"bin")) - 1)
-      .filter($"bin" =!= $"rn").count()
-    assert(bad === 0)
+    // every source starts at bin 0 (cum-before of the first doc is 0);
+    // bins may legitimately SKIP indices when one doc spans multiple
+    // budgets, so consecutiveness is NOT asserted
+    val firstBins = packed.groupBy($"source").agg(min($"bin").as("b"))
+      .filter($"b" =!= 0L).count()
+    assert(firstBins === 0)
   }
 
   test("packing respects the running-total budget rule") {
