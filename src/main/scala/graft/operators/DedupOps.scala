@@ -273,6 +273,34 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
+  // ---- repetition filter (quality gate) ----------------------------------
+
+  /** Docs whose duplicate-3-gram ratio exceeds this are repetitive
+    * (boilerplate, spam, generation loops). */
+  val MaxDupShingleRatio = 0.2
+
+  /** Repetition quality gate: per doc, the fraction of word-3-gram
+    * occurrences that are repeats of an earlier shingle —
+    * (total − distinct) / total. A single narrow map stage (the
+    * shingle set is the same per-row array the dedup path uses; total
+    * is just len(words) − 2) — the C4/Gopher-style repetition rule at
+    * corpus scale. Emits every doc's ratio plus its gate decision (a
+    * production pass would filter on `flagged`; emitting all rows
+    * keeps the oracle check meaningful on a mostly-clean corpus). */
+  def repetitionFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = words(s, d).filter(size($"w") >= 3)
+    graft.plans.GraftExpressions.register(s)
+    w.select($"doc_id",
+        (size($"w") - 2).cast("long").as("total"),
+        size(call_function(graft.plans.GraftExpressions.ShinglesFn, $"w"))
+          .cast("long").as("distinct_sh"))
+      .select($"doc_id", $"total",
+        round(($"total" - $"distinct_sh") / $"total", 4).as("dup_ratio"))
+      .withColumn("flagged", $"dup_ratio" > MaxDupShingleRatio)
+      .orderBy($"doc_id")
+  }
+
   // ---- benchmark decontamination ----------------------------------------
 
   /** Stand-in eval-set membership: every 50th doc_id (a real pipeline
@@ -340,6 +368,7 @@ object DedupOps {
     "x05_dedup_embedding"     -> dedupEmbedding _,
     "x17_dedup_clusters"      -> dedupClusters _,
     "x20_contamination"       -> contamination _,
+    "x21_repetition_filter"   -> repetitionFilter _,
   )
 
   /** x02's oracle is the EXACT all-pairs Jaccard — valid because the
@@ -424,6 +453,14 @@ object DedupOps {
         |FROM sizes s CROSS JOIN qn LEFT JOIN inter i ON i.doc_id = s.doc_id
         |WHERE s.doc_id <> 0
         |ORDER BY jaccard DESC, s.doc_id LIMIT 10""".stripMargin,
+    "x21_repetition_filter" ->
+      s"""WITH $ShingleBaseCtes
+        |SELECT w.doc_id, CAST(len(w.w) - 2 AS BIGINT) AS total,
+        |  ROUND((len(w.w) - 2 - sizes.n) / (len(w.w) - 2), 4) AS dup_ratio,
+        |  ROUND((len(w.w) - 2 - sizes.n) / (len(w.w) - 2), 4)
+        |    > $MaxDupShingleRatio AS flagged
+        |FROM w JOIN sizes USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "x20_contamination" ->
       s"""WITH $ShingleBaseCtes,
         |rare AS (SELECT sh FROM sh GROUP BY sh
