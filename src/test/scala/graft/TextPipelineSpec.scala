@@ -37,6 +37,46 @@ class TextPipelineSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("packing matches a sequential per-source reference fold") {
+    val got = TextOps.packSequences(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val toks = Tables.documents(spark, sf)
+      .select($"doc_id", $"source",
+        size(split(trim($"text"), "\\s+")).cast("long").as("t"))
+      .as[(Long, String, Long)].collect()
+    val want = toks.groupBy(_._2).flatMap { case (src, rows) =>
+      var cum = 0L
+      val bins = rows.sortBy(_._1).map { case (_, _, t) =>
+        val bin = cum / TextOps.PackBudget
+        cum += t
+        (bin, t)
+      }
+      bins.groupBy(_._1).map { case (bin, xs) =>
+        ((src, bin), (xs.length.toLong, xs.map(_._2).sum))
+      }
+    }
+    assert(got === want)
+  }
+
+  test("sample keep-decision matches a driver-side md5 recompute") {
+    val kept = TextOps.stratifiedSample(spark, sf)
+      .select($"source", $"n_kept").as[(String, Long)].collect().toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(text: String): Long = {
+      val hex = md.digest(text.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 1000L
+    }
+    val want = docs.groupBy(_._1).map { case (src, rows) =>
+      val rate = 100L + (src.last.toLong % 10) * 50L
+      src -> rows.count(r => bucket(r._2) < rate).toLong
+    }
+    assert(kept === want)
+  }
+
   test("stratified sample is bounded, stratified, and deterministic") {
     val a = TextOps.stratifiedSample(spark, sf).collect()
     assert(a.nonEmpty)
