@@ -23,6 +23,21 @@ class GhIngestSpec extends AnyFunSuite with SparkTestSession {
   }
   private lazy val raw = GhIngest.readEventsJson(spark, fixtureDir)
 
+  test("S2: gzip-compressed hour files decompress natively on read") {
+    // the reference hand-rolls gunzip+tempfile for GHArchive dumps
+    // (update-contributor-scores.js:71-96); Spark's reader handles the
+    // .json.gz directly — same fixture, gzipped, must parse identically
+    val dir = Files.createTempDirectory("graft-gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("2025-08-10-12.json.gz")))
+    val src = getClass.getResourceAsStream("/gh_events.ndjson")
+    src.transferTo(out); out.close(); src.close()
+    val gz = GhIngest.readEventsJson(spark, dir.toString)
+    assert(gz.count() === raw.count())
+    assert(GhIngest.cleanEvents(gz).count() ===
+      GhIngest.cleanEvents(raw).count())
+  }
+
   test("PERMISSIVE read quarantines exactly the malformed line") {
     assert(GhIngest.corruptRecords(raw).count() === 1)
     assert(raw.count() === 19)   // 18 parsed + 1 corrupt
