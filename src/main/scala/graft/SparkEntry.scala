@@ -25,10 +25,12 @@ object SparkEntry {
     CoreQueries.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       TextOps.queries ++ MultimodalOps.queries ++ SketchOps.queries
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the seeded-LSH/simhash ops
-    * (x03, x06, x12) → driver records rows-only checks; those are
-    * covered against exact baselines in the scalatest suite. */
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
+    * on the same parquet tables. EVERY registered query has an oracle:
+    * the index-building ops (x03/x06/x12) construct their structures in
+    * exact engine-neutral arithmetic precisely so SQL can reproduce
+    * them, and the HLL sketch (x13) emits exact counts plus
+    * within-tolerance booleans. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ DedupOps.oracleSql ++ SimilarityOps.oracleSql ++
       TextOps.oracleSql ++ MultimodalOps.oracleSql ++ SketchOps.oracleSql

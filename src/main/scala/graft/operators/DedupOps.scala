@@ -46,18 +46,25 @@ object DedupOps {
       .select($"doc_id", split(lower($"text"), "\\s+").as("w"))
   }
 
-  /** doc_id → DISTINCT word-3-gram shingle set, computed NARROWLY as an
-    * array column — no explode, no shuffle. The exploded inverted-index
-    * form exists only transiently inside the LSH banding step; every
-    * set-vs-set comparison works directly on these arrays. */
-  private def shingleSets(s: SparkSession, d: String): DataFrame = {
+  /** doc_id → (token array, DISTINCT word-3-gram shingle set), computed
+    * NARROWLY as array columns — no explode, no shuffle. The single
+    * definition of tokenize + ≥3-words guard + shingling that every
+    * shingle consumer shares (so none can drift from ShingleBaseCtes). */
+  private def shingleFrames(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.plans.GraftExpressions.register(s)
     words(s, d)
       .filter(size($"w") >= 3)
-      .select($"doc_id",
+      .select($"doc_id", $"w",
         call_function(graft.plans.GraftExpressions.ShinglesFn, $"w").as("s"))
   }
+
+  /** doc_id → DISTINCT shingle set only (the common projection; the
+    * exploded inverted-index form exists only transiently inside the
+    * LSH banding step — every set-vs-set comparison works directly on
+    * these arrays). */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    shingleFrames(s, d).drop("w")
 
   // ---- exact dedup ------------------------------------------------------
 
@@ -289,12 +296,10 @@ object DedupOps {
     * keeps the oracle check meaningful on a mostly-clean corpus). */
   def repetitionFilter(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = words(s, d).filter(size($"w") >= 3)
-    graft.plans.GraftExpressions.register(s)
-    w.select($"doc_id",
+    shingleFrames(s, d)
+      .select($"doc_id",
         (size($"w") - 2).cast("long").as("total"),
-        size(call_function(graft.plans.GraftExpressions.ShinglesFn, $"w"))
-          .cast("long").as("distinct_sh"))
+        size($"s").cast("long").as("distinct_sh"))
       .select($"doc_id", $"total",
         round(($"total" - $"distinct_sh") / $"total", 4).as("dup_ratio"))
       .withColumn("flagged", $"dup_ratio" > MaxDupShingleRatio)
