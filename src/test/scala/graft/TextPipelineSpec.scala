@@ -77,6 +77,24 @@ class TextPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(kept === want)
   }
 
+  test("streaming curation equals the batch gates + dedup (parity)") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft-curation")
+    val in = root.resolve("in"); Files.createDirectories(in)
+    Files.copy(Paths.get(s"$sf/documents.parquet"),
+      in.resolve("documents.parquet"))
+    val q = graft.streaming.DocCuration.startCuration(
+      spark, in.toString, s"$root/out", s"$root/ckpt")
+    assert(q.awaitTermination(120000))
+    val streamed = spark.read.parquet(s"$root/out")
+      .select($"fp").as[String].collect().toSet
+    val batch = graft.streaming.DocCuration.curateBatch(
+        Tables.documents(spark, sf))
+      .select($"fp").as[String].collect().toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("stratified sample is bounded, stratified, and deterministic") {
     val a = TextOps.stratifiedSample(spark, sf).collect()
     assert(a.nonEmpty)
