@@ -61,6 +61,48 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     assert(once.distinct === once)
   }
 
+  test("LongDotProduct ≡ BigInt model on random quantized vectors") {
+    graft.plans.GraftExpressions.register(spark)
+    val rng = new scala.util.Random(17)
+    // quantized-coordinate range: |x| ≤ 1e6 (round(±1.0 · 1e6))
+    val rows = Seq.fill(200)((
+      Seq.fill(64)(rng.nextLong() % 1000000L),
+      Seq.fill(64)(rng.nextLong() % 1000000L)))
+    val got = rows.toDF("a", "b")
+      .select(call_function(graft.plans.GraftExpressions.LongDotFn,
+        $"a", $"b").as("d"))
+      .as[Long].collect().toSeq
+    val want = rows.map { case (a, b) =>
+      a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum.toLong
+    }
+    assert(got === want)   // also proves no silent 64-bit overflow here
+  }
+
+  test("quantize matches half-away-from-zero rounding incl. negatives") {
+    val xs = Seq(0.0000005, -0.0000005, 0.0000014999, -0.0000014999,
+      0.9999995, -0.9999995, 0.123456749, -0.123456749, 1.0, -1.0)
+    val got = xs.map(x => Seq(x)).toDF("v")
+      .select(graft.operators.SimilarityOps.quantize($"v").as("q"))
+      .as[Seq[Long]].collect().map(_.head).toSeq
+    val want = xs.map(x => BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    assert(got === want)
+  }
+
+  test("md5 token-hash column ≡ JVM MessageDigest model (x03 hash)") {
+    val toks = Seq("the", "quick", "Brown", "fox", "", "déjà", "42")
+    val got = toks.toDF("t")
+      .select(conv(substring(md5($"t"), 1, 15), 16, 10).cast("long").as("h"))
+      .as[Long].collect().toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = toks.map { t =>
+      val hex = md.digest(t.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    assert(got === want)
+  }
+
   test("minhash similarity estimate correlates with exact jaccard") {
     // deterministic pseudo-random shingle-hash sets with controlled overlap
     graft.plans.GraftExpressions.register(spark)
