@@ -81,6 +81,10 @@ object SimilarityOps {
   val KmeansIters = 2
   val NProbe = 4
 
+  /** The quantization scale as an integer literal for oracle SQL —
+    * interpolated so the SQL can never drift from quantize(). */
+  private val QuantL: Long = graft.plans.HyperplaneSignature.Quant.toLong
+
   private def longDot(s: SparkSession, a: Column, b: Column): Column = {
     graft.plans.GraftExpressions.register(s)
     call_function(graft.plans.GraftExpressions.LongDotFn, a, b)
@@ -203,7 +207,7 @@ object SimilarityOps {
         |  FROM range($NumPlanes) p, range($Dim) i),
         |qv AS (
         |  SELECT vec_id, i.range AS i,
-        |    CAST(round(embedding[i.range + 1]::DOUBLE * 1000000, 0) AS BIGINT) AS q
+        |    CAST(round(embedding[i.range + 1]::DOUBLE * $QuantL, 0) AS BIGINT) AS q
         |  FROM embeddings, range($Dim) i),
         |dots AS (
         |  SELECT vec_id, p, sum(q * w) AS dot
@@ -227,7 +231,7 @@ object SimilarityOps {
       s"""WITH qv AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS e,
         |    list_transform(embedding::DOUBLE[],
-        |      x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS q
+        |      x -> CAST(round(x * $QuantL, 0) AS BIGINT)) AS q
         |  FROM embeddings),
         |c0 AS (SELECT vec_id AS cid, q AS c FROM qv
         |       WHERE vec_id % $CentroidStep = 0),

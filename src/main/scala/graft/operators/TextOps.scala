@@ -174,10 +174,18 @@ object TextOps {
 
   // ---- deterministic stratified sampling (data mixing) -------------------
 
+  /** Per-source sampling-rate formula constants (per-mille): rate =
+    * Base + (last-char-code mod Mod) · Step → 100‰–550‰. Named so the
+    * DuckDB oracle interpolates the SAME values. */
+  val SampleBasePm = 100L
+  val SampleStepPm = 50L
+  val SampleMod = 10L
+
   /** Per-source sampling rate in per-mille, derived from the source
-    * name (stand-in for a mixing-weights config table): 100‰–550‰. */
+    * name (stand-in for a mixing-weights config table). */
   private def ratePm(source: Column): Column =
-    lit(100L) + (ascii(expr("right(source, 1)")) % 10).cast("long") * 50L
+    lit(SampleBasePm) +
+      (ascii(expr("right(source, 1)")) % SampleMod).cast("long") * SampleStepPm
 
   /** Content-hash bucket in [0, 1000): md5-derived, so the sample is a
     * pure function of the data — stable across runs, retries, engines,
@@ -295,10 +303,10 @@ object TextOps {
          |  CAST(sum(t) AS BIGINT) AS total_tokens
          |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x19_stratified_sample" ->
-      """WITH m AS (SELECT source,
-        |    100 + (unicode(right(source, 1)) % 10) * 50 AS rate_pm,
+      s"""WITH m AS (SELECT source,
+        |    $SampleBasePm + (unicode(right(source, 1)) % $SampleMod) * $SampleStepPm AS rate_pm,
         |    ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000
-        |      < 100 + (unicode(right(source, 1)) % 10) * 50 AS kept
+        |      < $SampleBasePm + (unicode(right(source, 1)) % $SampleMod) * $SampleStepPm AS kept
         |  FROM documents)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_total,
         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
