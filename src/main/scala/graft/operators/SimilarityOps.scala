@@ -55,26 +55,40 @@ object SimilarityOps {
     call_function(graft.plans.GraftExpressions.HyperplaneFn, quantize(v))
   }
 
-  /** ANN top-K for one probe vector (vec_id 0): scan only the probe's
-    * LSH bucket and its hamming-1 neighbor buckets, then exact cosine
-    * on the survivors. */
-  def annLsh(s: SparkSession, d: String): DataFrame = {
+  /** ANN top-K against an arbitrary (vec_id, e: array<double>) frame —
+    * scan only buckets within ProbeRadius of the probe's, then exact
+    * cosine on the survivors.
+    *
+    * Recall characteristics (Charikar bounds): per plane, collision
+    * prob = 1 − θ/π. For a REAL near-dup (cos ≥ 0.9, θ ≈ 26°) the
+    * probe finds it within hamming-2 w.p. ≈ 0.97; on this fixture's
+    * adversarially neighbor-free random vectors (max cos ≈ 0.37) the
+    * same math gives ≈ 0.35 — low recall there is the data, not the
+    * index, and SimilaritySpec proves the ≥ 0.9 case on planted
+    * neighbors. */
+  def annLshFrame(s: SparkSession, emb0: DataFrame,
+                  probeId: Long = 0L): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
-      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
-      .withColumn("bucket", lshSignature(s, $"e"))
-    val probe = emb.filter($"vec_id" === 0)
+    val emb = emb0.withColumn("bucket", lshSignature(s, $"e"))
+    val probe = emb.filter($"vec_id" === probeId)
       .select($"e".as("qe"), $"bucket".as("qb"))
     // multiprobe: hamming(bucket, query bucket) ≤ ProbeRadius — with 8
     // planes this scans ~37/256 ≈ 14% of buckets. (In a real index the
     // probed bucket keys join against a bucket-partitioned table; the
     // bit-trick filter here has identical candidate-set semantics.)
-    emb.filter($"vec_id" =!= 0)
+    emb.filter($"vec_id" =!= probeId)
       .crossJoin(broadcast(probe))
       .filter(bit_count($"bucket".bitwiseXOR($"qb")) <= ProbeRadius)
       .select($"vec_id", round(CoreQueries.cosine(s, $"e", $"qe"), 4).as("sim"))
       .orderBy($"sim".desc, $"vec_id")
       .limit(TopK)
+  }
+
+  /** ANN top-K for one probe vector (vec_id 0) over the driver table. */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    annLshFrame(s, Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e")))
   }
 
   val CentroidStep = 97   // vec_id ≡ 0 (mod 97) → ~n/97 seeds, ∝ corpus

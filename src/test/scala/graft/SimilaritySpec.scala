@@ -47,4 +47,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     val b = SimilarityOps.annLsh(spark, sf).as[(Long, Double)].collect().toSeq
     assert(a === b)
   }
+
+  test("LSH recall on PLANTED near-neighbors (cos ≥ 0.9) is high") {
+    // the driver fixture's embeddings are random (max cos ≈ 0.37 — no
+    // true neighbors to find); this corpus plants 5 genuine near-dups
+    // of the probe, the case the index exists for
+    val rng = new scala.util.Random(23)
+    val dim = SimilarityOps.Dim
+    val probe = Array.fill(dim)(rng.nextGaussian())
+    def noisy(scale: Double): Seq[Double] =
+      probe.map(x => x + rng.nextGaussian() * scale).toSeq
+    val planted = (1L to 5L).map(i => (i, noisy(0.12)))   // cos ≈ 0.97
+    val fillers = (6L to 300L).map(i =>
+      (i, Seq.fill(dim)(rng.nextGaussian())))
+    val emb = ((0L, probe.toSeq) +: (planted ++ fillers))
+      .toDF("vec_id", "e")
+    val got = SimilarityOps.annLshFrame(spark, emb)
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = got.count(_ <= 5L)
+    assert(recall >= 4, s"planted-neighbor recall $recall/5 too low")
+  }
 }
