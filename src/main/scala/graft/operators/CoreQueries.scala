@@ -382,6 +382,30 @@ object CoreQueries {
       .orderBy($"flag", $"status")
   }
 
+  // Q28 — RANGE-frame windowed analytic: 7-day trailing moving average
+  // of order revenue. The window runs over the PRE-AGGREGATED daily
+  // table (one row per day — a compressed domain, so the global RANGE
+  // window is deliberate, not a corpus-wide sort; at 100 TB the
+  // groupBy does the heavy lifting and the window sees ~365 rows/yr).
+  // Frame sums are integer cents: DuckDB evaluates window aggregates
+  // with a segment tree whose summation ORDER differs from Spark's
+  // running frame — exact integers make the order irrelevant.
+  def movingAvg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, d)
+      .groupBy($"o_orderdate".as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"),
+           count("*").as("n_orders"))
+      .withColumn("day_i", datediff($"day", to_date(lit("1992-01-01"))))
+    val w7 = Window.orderBy($"day_i").rangeBetween(-6, 0)
+    daily
+      .select(date_format($"day", "yyyy-MM-dd").as("day"), $"n_orders",
+        round(sum($"cents").over(w7) / 100.0 / sum($"n_orders").over(w7), 2)
+          .as("mavg7"))
+      .orderBy($"day")
+  }
+
   // Q24 — pivot: daily event counts spread across one column per type.
   // Spark's relational pivot operator; the oracle states it as
   // conditional aggregation (identical semantics, engine-neutral).
@@ -477,6 +501,7 @@ object CoreQueries {
     "q25_percentiles"        -> percentiles _,
     "q26_unpivot"            -> unpivotMeasures _,
     "q27_cube"               -> cubeAgg _,
+    "q28_moving_avg"         -> movingAvg _,
     "x16_grouped_topk"       -> groupedTopK _,
   )
 
@@ -671,6 +696,23 @@ object CoreQueries {
         |       CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
+    "q28_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    o_orderdate::DATE - DATE '1992-01-01' AS day_i
+        |  FROM orders GROUP BY o_orderdate),
+        |w AS (
+        |  SELECT day, n_orders,
+        |    sum(cents) OVER (ORDER BY day_i
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS c7,
+        |    sum(n_orders) OVER (ORDER BY day_i
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n7
+        |  FROM daily)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n_orders,
+        |       ROUND(c7 / 100.0 / n7, 2) AS mavg7
+        |FROM w ORDER BY day""".stripMargin,
     // x16 has identical semantics to q12 — same oracle shape.
     "x16_grouped_topk" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, rn, c_custkey,
