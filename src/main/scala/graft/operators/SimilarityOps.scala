@@ -91,6 +91,43 @@ object SimilarityOps {
       .select($"vec_id", $"embedding".cast("array<double>").as("e")))
   }
 
+  val KnnJoinQueries = 20L   // vec_id < 20 act as the query batch
+  val KnnJoinK = 3
+
+  /** Batch ANN — k-NN JOIN: top-k neighbors for EVERY query vector in
+    * one plan, the shape that matters at corpus scale (per-query
+    * serving loops don't). Each query explodes to its bucket plus the
+    * 8 single-bit-flip probe buckets (multiprobe hamming ≤ 1), then an
+    * EQUI-JOIN on the bucket key — never a cross join — feeds exact
+    * cosine and a per-query row_number. Work is proportional to
+    * probed-bucket occupancy; the bucket is the shuffle key. A
+    * candidate's bucket is a single value, so a (query, candidate)
+    * pair matches at most one probe — no dedup step needed. */
+  def knnJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      .withColumn("bucket", lshSignature(s, $"e"))
+    val probes = emb.filter($"vec_id" < KnnJoinQueries)
+      .select($"vec_id".as("qid"), $"e".as("qe"),
+        explode(array(
+          ($"bucket" +: (0 until NumPlanes).map(p =>
+            $"bucket".bitwiseXOR(lit(1L << p)))): _*)).as("pb"))
+    val cands = probes.join(
+        emb.select($"vec_id".as("cid"), $"e".as("ce"), $"bucket".as("pb")),
+        "pb")
+      .filter($"cid" =!= $"qid")
+      .select($"qid", $"cid",
+        round(CoreQueries.cosine(s, $"qe", $"ce"), 4).as("sim"))
+    cands
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"sim".desc, $"cid")))
+      .filter($"rn" <= KnnJoinK)
+      .select($"qid", $"rn".cast("long").as("rn"), $"cid", $"sim")
+      .orderBy($"qid", $"rn")
+  }
+
   val CentroidStep = 97   // vec_id ≡ 0 (mod 97) → ~n/97 seeds, ∝ corpus
   val KmeansIters = 2
   val NProbe = 4
@@ -186,8 +223,9 @@ object SimilarityOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x06_ann_lsh" -> annLsh _,
-    "x12_ann_ivf" -> annIvf _,
+    "x06_ann_lsh"  -> annLsh _,
+    "x12_ann_ivf"  -> annIvf _,
+    "x22_knn_join" -> knnJoin _,
   )
 
   /** One Lloyd iteration as DuckDB CTEs: integer-dot assignment
@@ -241,6 +279,48 @@ object SimilarityOps {
         |FROM embeddings e JOIN sig s ON s.vec_id = e.vec_id, probe
         |WHERE e.vec_id <> 0 AND bit_count(xor(s.bucket, probe.qb)) <= $ProbeRadius
         |ORDER BY sim DESC, e.vec_id LIMIT $TopK""".stripMargin,
+    "x22_knn_join" ->
+      s"""WITH planes AS (
+        |  SELECT p.range AS p, i.range AS i,
+        |    ('0x' || substr(md5('p_' || p.range || '_' || i.range), 1, 8))::BIGINT
+        |      % 1001 - 500 AS w
+        |  FROM range($NumPlanes) p, range($Dim) i),
+        |qv AS (
+        |  SELECT vec_id, i.range AS i,
+        |    CAST(round(embedding[i.range + 1]::DOUBLE * $QuantL, 0) AS BIGINT) AS q
+        |  FROM embeddings, range($Dim) i),
+        |dots AS (
+        |  SELECT vec_id, p, sum(q * w) AS dot
+        |  FROM qv JOIN planes USING (i) GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
+        |      AS bucket
+        |  FROM dots GROUP BY 1),
+        |probes AS (
+        |  SELECT s.vec_id AS qid, e.embedding::DOUBLE[] AS qe,
+        |    CASE WHEN r.range = 0 THEN s.bucket
+        |         ELSE xor(s.bucket, 1::BIGINT << (r.range - 1)) END AS pb
+        |  FROM sig s JOIN embeddings e USING (vec_id),
+        |       range(${NumPlanes + 1}) r
+        |  WHERE s.vec_id < $KnnJoinQueries),
+        |cands AS (
+        |  SELECT p.qid,
+        |    c.vec_id AS cid,
+        |    ROUND(list_dot_product(p.qe, c.embedding::DOUBLE[]) /
+        |      (sqrt(list_dot_product(p.qe, p.qe)) *
+        |       sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+        |      4) AS sim
+        |  FROM probes p
+        |  JOIN sig cs ON cs.bucket = p.pb
+        |  JOIN embeddings c ON c.vec_id = cs.vec_id
+        |  WHERE cs.vec_id <> p.qid)
+        |SELECT qid, rn, cid, sim FROM (
+        |  SELECT qid, cid, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, cid) AS BIGINT) AS rn
+        |  FROM cands)
+        |WHERE rn <= $KnnJoinK ORDER BY qid, rn""".stripMargin,
     "x12_ann_ivf" ->
       s"""WITH qv AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS e,
