@@ -48,6 +48,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(a === b)
   }
 
+  test("knn join: per-query ranks are consecutive, sims non-increasing") {
+    val rows = SimilarityOps.knnJoin(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, _, cid, _) =>
+      assert(qid < SimilarityOps.KnnJoinQueries && cid != qid)
+    }
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to sorted.length).toSeq)
+      assert(sorted.length <= SimilarityOps.KnnJoinK)
+      val sims = sorted.map(_._4).toSeq
+      assert(sims === sims.sorted.reverse)
+    }
+  }
+
   test("LSH recall on PLANTED near-neighbors (cos ≥ 0.9) is high") {
     // the driver fixture's embeddings are random (max cos ≈ 0.37 — no
     // true neighbors to find); this corpus plants 5 genuine near-dups
