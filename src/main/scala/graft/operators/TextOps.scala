@@ -212,6 +212,32 @@ object TextOps {
       .orderBy($"source")
   }
 
+  // ---- train/val/test split assignment -----------------------------------
+
+  /** Split boundaries in per-mille of the content-hash space:
+    * [0, 900) → train, [900, 950) → val, [950, 1000) → test. */
+  val TrainPm = 900L
+  val ValPm = 950L
+
+  /** Deterministic split assignment: every document lands in exactly
+    * one of train/val/test by its md5 content-hash bucket — a pure
+    * function of the text, so the split survives reshuffles, retries,
+    * re-ingestion, and engine changes (row-number- or rand()-based
+    * splits survive none of those). Content-keyed splitting also keeps
+    * EXACT duplicates on the same side of the boundary, preventing the
+    * classic train/test leak. Emits per-(source, split) counts. */
+  def splitAssign(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val b = hashBucketPm($"text")
+    docs(s, d)
+      .select($"source",
+        when(b < TrainPm, "train").when(b < ValPm, "val")
+          .otherwise("test").as("split"))
+      .groupBy($"source", $"split")
+      .agg(count("*").as("n"))
+      .orderBy($"source", $"split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x07_text_langid"      -> textLangId _,
     "x08_text_quality"     -> textQuality _,
@@ -220,6 +246,7 @@ object TextOps {
     "x14_curation_pipeline" -> curationPipeline _,
     "x18_pack_sequences"   -> packSequences _,
     "x19_stratified_sample" -> stratifiedSample _,
+    "x23_split_assign"     -> splitAssign _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -312,5 +339,16 @@ object TextOps {
         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(max(rate_pm) AS BIGINT) AS rate_pm
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "x23_split_assign" ->
+      s"""WITH m AS (SELECT source,
+        |  CASE
+        |    WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000 < $TrainPm
+        |      THEN 'train'
+        |    WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 1000 < $ValPm
+        |      THEN 'val'
+        |    ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT source, split, CAST(count(*) AS BIGINT) AS n
+        |FROM m GROUP BY source, split ORDER BY source, split""".stripMargin,
   )
 }
