@@ -94,15 +94,25 @@ object SimilarityOps {
   val KnnJoinQueries = 20L   // vec_id < 20 act as the query batch
   val KnnJoinK = 3
 
+  /** XOR masks enumerating every bucket within ProbeRadius of a base
+    * bucket — the SAME candidate-set rule annLsh's bit-count filter
+    * applies, expressed as an explodable list so the batch path can
+    * use an equi-join. (cb within hamming-r of bucket ⟺ cb = bucket
+    * XOR m for a mask m with bit_count(m) ≤ r.) */
+  private val ProbeMasks: Seq[Long] =
+    (0L until (1L << NumPlanes))
+      .filter(m => java.lang.Long.bitCount(m) <= ProbeRadius)
+
   /** Batch ANN — k-NN JOIN: top-k neighbors for EVERY query vector in
     * one plan, the shape that matters at corpus scale (per-query
-    * serving loops don't). Each query explodes to its bucket plus the
-    * 8 single-bit-flip probe buckets (multiprobe hamming ≤ 1), then an
-    * EQUI-JOIN on the bucket key — never a cross join — feeds exact
-    * cosine and a per-query row_number. Work is proportional to
-    * probed-bucket occupancy; the bucket is the shuffle key. A
-    * candidate's bucket is a single value, so a (query, candidate)
-    * pair matches at most one probe — no dedup step needed. */
+    * serving loops don't). Each query explodes to the ProbeMasks
+    * buckets (identical multiprobe radius — and therefore identical
+    * recall math — to annLsh), then an EQUI-JOIN on the bucket key —
+    * never a cross join — feeds exact cosine and a per-query
+    * row_number. Work is proportional to probed-bucket occupancy; the
+    * bucket is the shuffle key. A candidate's bucket is a single value
+    * and the masks are distinct, so a (query, candidate) pair matches
+    * at most one probe — no dedup step needed. */
   def knnJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -111,9 +121,8 @@ object SimilarityOps {
       .withColumn("bucket", lshSignature(s, $"e"))
     val probes = emb.filter($"vec_id" < KnnJoinQueries)
       .select($"vec_id".as("qid"), $"e".as("qe"),
-        explode(array(
-          ($"bucket" +: (0 until NumPlanes).map(p =>
-            $"bucket".bitwiseXOR(lit(1L << p)))): _*)).as("pb"))
+        explode(array(ProbeMasks.map(m =>
+          $"bucket".bitwiseXOR(lit(m))): _*)).as("pb"))
     val cands = probes.join(
         emb.select($"vec_id".as("cid"), $"e".as("ce"), $"bucket".as("pb")),
         "pb")
@@ -244,7 +253,30 @@ object SimilarityOps {
        |c$idx AS (SELECT cid, list(v ORDER BY pos) AS c FROM m$idx GROUP BY cid)"""
       .stripMargin
 
-  /** BOTH ANN queries have FULL oracles: every index-construction step
+  /** Shared oracle CTE chain computing each vector's LSH bucket —
+    * planes, quantized coords, integer dots, signature. ONE definition
+    * feeding both the x06 and x22 oracles (same anti-drift convention
+    * as DedupOps.ShingleBaseCtes and ivfIterCtes below). */
+  private def sigCtes: String =
+    s"""planes AS (
+       |  SELECT p.range AS p, i.range AS i,
+       |    ('0x' || substr(md5('p_' || p.range || '_' || i.range), 1, 8))::BIGINT
+       |      % 1001 - 500 AS w
+       |  FROM range($NumPlanes) p, range($Dim) i),
+       |qv AS (
+       |  SELECT vec_id, i.range AS i,
+       |    CAST(round(embedding[i.range + 1]::DOUBLE * $QuantL, 0) AS BIGINT) AS q
+       |  FROM embeddings, range($Dim) i),
+       |dots AS (
+       |  SELECT vec_id, p, sum(q * w) AS dot
+       |  FROM qv JOIN planes USING (i) GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT vec_id,
+       |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
+       |      AS bucket
+       |  FROM dots GROUP BY 1)""".stripMargin
+
+  /** ALL ANN queries have FULL oracles: every index-construction step
     * (md5-derived planes, 1e6 quantization, integer dots, floor-mean
     * k-means) is exact integer arithmetic reproducible in SQL, so
     * DuckDB recomputes identical buckets/centroids/candidate sets and
@@ -252,23 +284,7 @@ object SimilarityOps {
     * KmeansIters(=2) Lloyd iterations as CTE pairs. */
   val oracleSql: Map[String, String] = Map(
     "x06_ann_lsh" ->
-      s"""WITH planes AS (
-        |  SELECT p.range AS p, i.range AS i,
-        |    ('0x' || substr(md5('p_' || p.range || '_' || i.range), 1, 8))::BIGINT
-        |      % 1001 - 500 AS w
-        |  FROM range($NumPlanes) p, range($Dim) i),
-        |qv AS (
-        |  SELECT vec_id, i.range AS i,
-        |    CAST(round(embedding[i.range + 1]::DOUBLE * $QuantL, 0) AS BIGINT) AS q
-        |  FROM embeddings, range($Dim) i),
-        |dots AS (
-        |  SELECT vec_id, p, sum(q * w) AS dot
-        |  FROM qv JOIN planes USING (i) GROUP BY 1, 2),
-        |sig AS (
-        |  SELECT vec_id,
-        |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
-        |      AS bucket
-        |  FROM dots GROUP BY 1),
+      s"""WITH $sigCtes,
         |probe AS (
         |  SELECT e.embedding::DOUBLE[] AS qe, s.bucket AS qb
         |  FROM embeddings e JOIN sig s USING (vec_id) WHERE e.vec_id = 0)
@@ -280,30 +296,14 @@ object SimilarityOps {
         |WHERE e.vec_id <> 0 AND bit_count(xor(s.bucket, probe.qb)) <= $ProbeRadius
         |ORDER BY sim DESC, e.vec_id LIMIT $TopK""".stripMargin,
     "x22_knn_join" ->
-      s"""WITH planes AS (
-        |  SELECT p.range AS p, i.range AS i,
-        |    ('0x' || substr(md5('p_' || p.range || '_' || i.range), 1, 8))::BIGINT
-        |      % 1001 - 500 AS w
-        |  FROM range($NumPlanes) p, range($Dim) i),
-        |qv AS (
-        |  SELECT vec_id, i.range AS i,
-        |    CAST(round(embedding[i.range + 1]::DOUBLE * $QuantL, 0) AS BIGINT) AS q
-        |  FROM embeddings, range($Dim) i),
-        |dots AS (
-        |  SELECT vec_id, p, sum(q * w) AS dot
-        |  FROM qv JOIN planes USING (i) GROUP BY 1, 2),
-        |sig AS (
-        |  SELECT vec_id,
-        |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
-        |      AS bucket
-        |  FROM dots GROUP BY 1),
+      s"""WITH $sigCtes,
         |probes AS (
         |  SELECT s.vec_id AS qid, e.embedding::DOUBLE[] AS qe,
-        |    CASE WHEN r.range = 0 THEN s.bucket
-        |         ELSE xor(s.bucket, 1::BIGINT << (r.range - 1)) END AS pb
+        |    xor(s.bucket, r.range) AS pb
         |  FROM sig s JOIN embeddings e USING (vec_id),
-        |       range(${NumPlanes + 1}) r
-        |  WHERE s.vec_id < $KnnJoinQueries),
+        |       range(${1L << NumPlanes}) r
+        |  WHERE s.vec_id < $KnnJoinQueries
+        |    AND bit_count(r.range) <= $ProbeRadius),
         |cands AS (
         |  SELECT p.qid,
         |    c.vec_id AS cid,

@@ -48,12 +48,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(a === b)
   }
 
-  test("knn join: per-query ranks are consecutive, sims non-increasing") {
+  test("knn join: every query answered; sims are true cosines") {
     val rows = SimilarityOps.knnJoin(spark, sf)
       .as[(Long, Long, Long, Double)].collect()
-    assert(rows.nonEmpty)
-    rows.foreach { case (qid, _, cid, _) =>
+    // every query vector produced neighbors (a broken bucket join that
+    // drops queries would still satisfy the per-group invariants)
+    assert(rows.map(_._1).distinct.length.toLong ===
+      SimilarityOps.KnnJoinQueries)
+    // ground truth: exact cosine recomputed driver-side
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    rows.foreach { case (qid, _, cid, sim) =>
       assert(qid < SimilarityOps.KnnJoinQueries && cid != qid)
+      val want = BigDecimal(cos(emb(qid), emb(cid)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(sim === want, s"cosine mismatch for ($qid, $cid)")
     }
     rows.groupBy(_._1).foreach { case (_, g) =>
       val sorted = g.sortBy(_._2)
