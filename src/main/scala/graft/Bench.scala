@@ -22,14 +22,29 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // Post-shuffle partitions coalesce by the data's actual size
+      // instead of stopping at the core count: the aggregate/join
+      // stages downstream of a big scan are usually orders of magnitude
+      // smaller than their input, and scheduling 32 near-empty tasks
+      // per stage is pure overhead. CPU-heavy narrow stages are
+      // unaffected — `Tables.rebalance` uses an explicit partition
+      // count, which AQE never coalesces.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Extra session confs for A/B experiments:
+    // SPARK_GRAFT_CONF="spark.x=1;spark.y=2".
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k.trim, v.trim)
+    })
+    val spark = builder.getOrCreate()
     // ERROR, not WARN: the JSON line must be the only stdout content a
     // driver without prefix-stripping has to parse, and repeated
     // function-registry WARNs were the round-1 noise.

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -51,4 +51,18 @@ object Tables {
     * file sizes feeding a CPU-heavy map. */
   def rebalance(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Presentation sort for PROVABLY SMALL results — grouped aggregates
+    * over bounded-cardinality keys (event types, languages, brands,
+    * nations, months, sources). Such results stay at a few hundred rows
+    * at ANY corpus scale, so a distributed range sort — a sampling job
+    * plus a range exchange — is pure scheduling overhead on every call;
+    * one final task sorts the rows with no extra shuffle and the same
+    * total order. Corpus-sized ordered outputs (per-document tables,
+    * per-user stats, time series) must keep a full `orderBy` — only
+    * bounded-key aggregates may use this. */
+  implicit class SmallResult(private val df: DataFrame) {
+    def smallOrdered(cols: Column*): DataFrame =
+      df.coalesce(1).sortWithinPartitions(cols: _*)
+  }
 }

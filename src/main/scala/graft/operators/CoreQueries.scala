@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.Tables.SmallResult
 
 /** The declared query inventory (SURVEY.md §2.13, Q1–Q16).
   *
@@ -107,7 +108,7 @@ object CoreQueries {
       .select((get_json_object($"props", "$.k").cast("long") % 10).as("bucket"))
       .groupBy($"bucket")
       .agg(count("*").as("n"))
-      .orderBy($"bucket")
+      .smallOrdered($"bucket")
   }
 
   // Q8 — 10 most recent events (T3 serving query).
@@ -131,7 +132,7 @@ object CoreQueries {
         round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc"),
         round(avg($"l_quantity"), 2).as("avg_qty"),
         count("*").as("n"))
-      .orderBy($"l_returnflag", $"l_linestatus")
+      .smallOrdered($"l_returnflag", $"l_linestatus")
   }
 
   // Q10 — 4-way star join; region/nation/customer broadcast under AQE.
@@ -144,7 +145,7 @@ object CoreQueries {
       .groupBy($"r_name")
       .agg(count("*").as("n_orders"),
            round(sum($"o_totalprice"), 2).as("sum_price"))
-      .orderBy($"r_name")
+      .smallOrdered($"r_name")
   }
 
   // Q11 — semi/anti join counts in one row.
@@ -182,7 +183,7 @@ object CoreQueries {
     val intersectPart = nk.intersect(
       Tables.region(s, d).filter($"r_regionkey" < 2)
         .select($"r_regionkey".cast("long").as("key")))
-    exceptPart.union(intersectPart).distinct().orderBy($"key")
+    exceptPart.union(intersectPart).distinct().smallOrdered($"key")
   }
 
   // Q14 — date extraction + aggregate.
@@ -192,7 +193,7 @@ object CoreQueries {
       .groupBy(month($"o_orderdate").cast("long").as("month"))
       .agg(count("*").as("n"),
            round(avg($"o_totalprice"), 2).as("avg_price"))
-      .orderBy($"month")
+      .smallOrdered($"month")
   }
 
   // Q15 — text stats per language.
@@ -203,7 +204,7 @@ object CoreQueries {
       .agg(count("*").as("n"),
            round(avg($"n_chars"), 2).as("avg_chars"),
            max(length($"text")).cast("long").as("max_len"))
-      .orderBy($"lang")
+      .smallOrdered($"lang")
   }
 
   /** Sequential left-fold dot product over double arrays — same
@@ -252,7 +253,7 @@ object CoreQueries {
         coalesce($"l_returnflag", lit("ALL")).as("flag"),
         coalesce($"l_linestatus", lit("ALL")).as("status"),
         $"n", $"sum_qty")
-      .orderBy($"flag", $"status")
+      .smallOrdered($"flag", $"status")
   }
 
   // Q18 — distinct aggregates: exact distinct-user and distinct-day
@@ -264,7 +265,7 @@ object CoreQueries {
       .agg(countDistinct($"user_id").as("n_users"),
            countDistinct(dayBucket($"ts")).as("n_days"),
            count("*").as("n"))
-      .orderBy($"event_type")
+      .smallOrdered($"event_type")
   }
 
   // Q19 — correlated-subquery shape: customers above their nation's
@@ -284,7 +285,7 @@ object CoreQueries {
       .groupBy($"c_nationkey".cast("long").as("nationkey"))
       .agg(count("*").as("n_above"),
            round(max($"c_acctbal"), 2).as("max_bal"))
-      .orderBy($"nationkey")
+      .smallOrdered($"nationkey")
   }
 
   // Q20 — fact-to-dimension join on the part table: revenue per brand.
@@ -302,7 +303,7 @@ object CoreQueries {
       .agg(count("*").as("n_items"),
            round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")) * 10000)
              .cast("long").as("revenue_e4"))
-      .orderBy($"p_brand")
+      .smallOrdered($"p_brand")
   }
 
   // Q21 — supplier dimension stats per nation. Balance total emitted at
@@ -314,7 +315,7 @@ object CoreQueries {
       .groupBy($"n_name")
       .agg(count("*").as("n_suppliers"),
            round(sum($"s_acctbal") * 100).cast("long").as("bal_cents"))
-      .orderBy($"n_name")
+      .smallOrdered($"n_name")
   }
 
   // Q22 — sessionization: 30-minute-gap session windows per user (the
@@ -379,7 +380,7 @@ object CoreQueries {
         coalesce($"l_returnflag", lit("ALL")).as("flag"),
         coalesce($"l_linestatus", lit("ALL")).as("status"),
         $"n", $"sum_qty")
-      .orderBy($"flag", $"status")
+      .smallOrdered($"flag", $"status")
   }
 
   // Q28 — RANGE-frame windowed analytic: 7-day trailing moving average
@@ -417,7 +418,7 @@ object CoreQueries {
         Seq("click", "error", "purchase", "signup", "view"))
       .agg(count($"event_id"))
       .na.fill(0L)
-      .orderBy($"day")
+      .smallOrdered($"day")
   }
 
   // Q25 — exact linear-interpolation percentiles (median, p90) of the
@@ -430,7 +431,7 @@ object CoreQueries {
       .agg(round(percentile($"value", lit(0.5)), 4).as("p50"),
            round(percentile($"value", lit(0.9)), 4).as("p90"),
            count("*").as("n"))
-      .orderBy($"event_type")
+      .smallOrdered($"event_type")
   }
 
   // Q26 — unpivot/melt: lineitem money columns to (measure, value)
@@ -451,7 +452,7 @@ object CoreQueries {
       .groupBy($"measure")
       .agg(count("*").as("n"),
            round(sum($"value") * 10000).cast("long").as("total_e4"))
-      .orderBy($"measure")
+      .smallOrdered($"measure")
   }
 
   /** X16 — grouped top-K via the custom bounded-heap
@@ -470,7 +471,7 @@ object CoreQueries {
         posexplode($"top"))
       .select($"c_nationkey", ($"pos" + 1).cast("long").as("rn"),
         $"col.id".as("c_custkey"), round($"col.score", 2).as("acctbal"))
-      .orderBy($"c_nationkey", $"rn")
+      .smallOrdered($"c_nationkey", $"rn")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

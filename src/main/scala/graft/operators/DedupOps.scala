@@ -150,7 +150,13 @@ object DedupOps {
 
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sets = shingleSets(s, d)
+    // The tokenize+shingle stage feeds BOTH the signature branch and the
+    // exact-verify join. A lazy localCheckpoint materializes it on first
+    // use so the regex+shingling compute (the dominant narrow cost) runs
+    // once instead of twice — the single-job analogue of persisting the
+    // shingle table, which is exactly what a 100 TB pipeline does before
+    // fanning out to multiple dedup consumers.
+    val sets = shingleSets(s, d).localCheckpoint(false)
     verifyJaccard(lshCandidates(minhashSignatures(sets)), sets,
         JaccardThreshold)
       .orderBy($"da", $"db")
@@ -249,24 +255,39 @@ object DedupOps {
       .localCheckpoint(true)
     val edges = pairs.select($"da".as("a"), $"db".as("b"))
       .unionAll(pairs.select($"db".as("a"), $"da".as("b")))
-    var labels = edges.select($"a".as("doc_id")).distinct()
-      .select($"doc_id", $"doc_id".as("rep"))
+    // 1-hop initialization: rep = min(self, neighbors) in ONE aggregate.
+    // For the common near-dup shape (small dense clusters) this is
+    // already the fixed point, so the loop below typically runs a single
+    // verification round instead of propagating from identity labels.
+    var labels = edges.groupBy($"a")
+      .agg(least($"a", min($"b")).as("rep"))
+      .select($"a".as("doc_id"), $"rep")
     var converged = false
     var rounds = 0
     while (!converged && rounds < 15) {
       val viaNeighbor = edges
         .join(labels.select($"doc_id".as("b"), $"rep".as("brep")), "b")
         .groupBy($"a").agg(min($"brep").as("nrep"))
-      // carry the previous rep alongside the new one: the SAME
-      // checkpointed frame answers both the next round and the
-      // convergence check, instead of a second full join + action.
+      // The convergence test rides the SAME action that materializes the
+      // round's labels: an Observation on the checkpoint job counts
+      // changed labels, so each round is exactly ONE job — not a
+      // checkpoint plus a separate isEmpty scan. (Serial driver rounds
+      // are the scale-limiting axis of distributed CC; halving the
+      // per-round action count attacks it directly.)
+      val obs = org.apache.spark.sql.Observation(s"cc_changed_$rounds")
       val next = labels
         .join(viaNeighbor.select($"a".as("doc_id"), $"nrep"), Seq("doc_id"), "left")
         .select($"doc_id", least($"rep", coalesce($"nrep", $"rep")).as("rep"),
                 $"rep".as("prev_rep"))
+        .observe(obs, sum(when($"rep" < $"prev_rep", 1L).otherwise(0L))
+          .as("changed"))
+        .drop("prev_rep")
         .localCheckpoint(true)
-      converged = next.filter($"rep" < $"prev_rep").isEmpty
-      labels = next.drop("prev_rep")
+      // sum() over an empty frame observes NULL — an empty label set is
+      // trivially converged.
+      converged = Option(obs.get("changed"))
+        .forall(_.asInstanceOf[Long] == 0L)
+      labels = next
       rounds += 1
     }
     // a component whose min label needs more hops than the cap would
@@ -330,7 +351,13 @@ object DedupOps {
     * shingle, count. */
   def contamination(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val inv = shingleSets(s, d).select($"doc_id", explode($"s").as("sh"))
+    // The postings relation feeds both the df count and the pruned join;
+    // lazily checkpointing the PRE-explode shingle sets (one compact row
+    // per doc) runs the regex+shingle compute once — the explode itself
+    // is cheap to repeat, and the df-count aggregate keeps its skew-safe
+    // map-side partial aggregation.
+    val inv = shingleSets(s, d).localCheckpoint(false)
+      .select($"doc_id", explode($"s").as("sh"))
     val rare = inv.groupBy($"sh").agg(count("*").as("df"))
       .filter($"df" <= MaxShingleDf).select($"sh")
     val pruned = inv.join(rare, Seq("sh"), "left_semi")

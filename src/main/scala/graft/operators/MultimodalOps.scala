@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Tables.SmallResult
 
 /** Multimodal-column plumbing: media (image/audio/video) carried as
   * opaque `binary` columns with typed metadata, processed partition-wise.
@@ -157,7 +158,7 @@ object MultimodalOps {
            sum($"n_bytes").as("total_bytes"),
            sum($"n_frames").as("total_frames"),
            sum($"byte_sum").as("byte_value_sum"))
-      .orderBy($"source")
+      .smallOrdered($"source")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

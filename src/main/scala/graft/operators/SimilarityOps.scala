@@ -172,12 +172,15 @@ object SimilarityOps {
   /** Trained coarse quantizer: modulo-sampled seeds refined with
     * Lloyd's iterations, entirely in exact integer arithmetic —
     * integer-dot assignment, floor(mean) centroid update on the
-    * quantized coords. The elementwise mean goes through posexplode →
-    * per-(centroid, dimension) mean → rebuild, which is the
-    * shuffle-bounded way to average vectors at corpus scale (never a
-    * per-group collect of all members). Exactness makes training (and
-    * therefore the whole index) deterministic run to run AND
-    * reproducible by the DuckDB oracle's unrolled iterations. */
+    * quantized coords. The centroid rebuild is ONE aggregate with a
+    * fixed-width bank of per-dimension sums (Dim is a compile-time
+    * constant): one shuffle per iteration carrying 64 long partials
+    * per (mapper, centroid) — strictly less traffic and half the
+    * stages of a posexplode → per-(cid, dim) mean → re-collect
+    * rebuild, and still never a per-group collect of raw members.
+    * Exactness makes training (and therefore the whole index)
+    * deterministic run to run AND reproducible by the DuckDB oracle's
+    * unrolled iterations. */
   def kmeansCentroids(s: SparkSession, qv: DataFrame,
                       iters: Int): DataFrame = {
     import s.implicits._
@@ -185,14 +188,11 @@ object SimilarityOps {
       .select($"vec_id".as("cid"), $"q".as("c"))
     var i = 0
     while (i < iters) {
-      val dims = assign(s, qv, cents)
-        .select($"cid", posexplode($"q"))
-        .groupBy($"cid", $"pos")
-        .agg(floor(sum($"col") / count("*")).cast("long").as("v"))
-      cents = dims
+      cents = assign(s, qv, cents)
         .groupBy($"cid")
-        .agg(array_sort(collect_list(struct($"pos", $"v"))).as("pv"))
-        .select($"cid", expr("transform(pv, x -> x.v)").as("c"))
+        .agg(array((0 until Dim).map(j =>
+          floor(sum(element_at($"q", j + 1)) / count("*")).cast("long")): _*)
+          .as("c"))
       i += 1
     }
     cents

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Tables.SmallResult
 
 /** Sketch-based aggregates — the approximate path for cardinalities at
   * 100 TB, where exact COUNT(DISTINCT) shuffles every distinct value.
@@ -30,19 +31,32 @@ object SketchOps {
     val within = (approx: Column, exact: Column) =>
       when(exact === 0L, approx === 0L)
         .otherwise(abs(approx.cast("double") / exact - 1.0) <= Tolerance)
-    Tables.events(s, d)
-      .groupBy($"event_type")
-      .agg(
-        approx_count_distinct($"user_id", rsd = 0.02).as("approx_users"),
-        approx_count_distinct(get_json_object($"props", "$.k"), rsd = 0.02)
-          .as("approx_props"),
-        countDistinct($"user_id").as("exact_users"),
-        countDistinct(get_json_object($"props", "$.k")).as("exact_props"),
-        count("*").as("n"))
+    // Sketches and exact counts run as SEPARATE aggregations joined on
+    // the 5-row group key. Mixing them in one agg plans the
+    // distinct-rewrite Expand with the HLL++ partial state (2 × ~3 KB
+    // sketches) allocated per FIRST-STAGE group — i.e. one sketch
+    // buffer per distinct (event_type, user_id) pair, gigabytes of
+    // buffer churn for kilobytes of answer (measured: +0.7 s at sf0.1).
+    // Split, the sketch pass has 5 groups (the true production query,
+    // one narrow scan, no distinct-value shuffle) and the exact pass
+    // carries only count buffers through its Expand. The branches scan
+    // independently — measured faster than sharing one repartition
+    // exchange, whose shuffle costs more than the second columnar scan.
+    val ev = Tables.events(s, d)
+      .select($"event_type", $"user_id",
+        get_json_object($"props", "$.k").as("pk"))
+    val sketch = ev.groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", rsd = 0.02).as("approx_users"),
+           approx_count_distinct($"pk", rsd = 0.02).as("approx_props"),
+           count("*").as("n"))
+    val exact = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"),
+           countDistinct($"pk").as("exact_props"))
+    sketch.join(broadcast(exact), "event_type")
       .select($"event_type", $"exact_users", $"exact_props", $"n",
         within($"approx_users", $"exact_users").as("users_ok"),
         within($"approx_props", $"exact_props").as("props_ok"))
-      .orderBy($"event_type")
+      .smallOrdered($"event_type")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

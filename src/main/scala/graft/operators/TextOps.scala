@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Tables.SmallResult
 
 /** Text-analysis operators for a large-scale training-data pipeline:
   * language ID (stopword/charclass heuristic), quality scoring,
@@ -102,7 +103,7 @@ object TextOps {
       .agg(count("*").as("n_docs"),
            sum($"ws_tokens").as("ws_tokens"),
            sum($"bpe_tokens").as("bpe_tokens"))
-      .orderBy($"source")
+      .smallOrdered($"source")
   }
 
   // ---- fingerprinting ---------------------------------------------------
@@ -143,7 +144,7 @@ object TextOps {
       .agg(count("*").as("n_kept"),
            countDistinct($"fp").as("n_unique"),
            round(sum($"q") * 10000).cast("long").as("q_sum_e4"))
-      .orderBy($"source")
+      .smallOrdered($"source")
   }
 
   // ---- sequence packing (training-batch assembly) ------------------------
@@ -209,7 +210,7 @@ object TextOps {
       .agg(count("*").as("n_total"),
            sum(when($"kept", 1L).otherwise(0L)).as("n_kept"),
            max($"rate_pm").as("rate_pm"))
-      .orderBy($"source")
+      .smallOrdered($"source")
   }
 
   // ---- train/val/test split assignment -----------------------------------
@@ -235,7 +236,7 @@ object TextOps {
           .otherwise("test").as("split"))
       .groupBy($"source", $"split")
       .agg(count("*").as("n"))
-      .orderBy($"source", $"split")
+      .smallOrdered($"source", $"split")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
