@@ -29,9 +29,16 @@ object Tables {
     * reader rejects outright. Read it as raw nanos (legacy conf) and
     * integer-divide down to microseconds — exactly what DuckDB does on
     * read (its parquet ns → TIMESTAMP[µs]), so both engines see
-    * identical truncated values for ordering and bucketing. */
+    * identical truncated values for ordering and bucketing.
+    *
+    * The nanosAsLong conf should be set at session-build time (the
+    * Bench/Verify mains and the test harness do); the guarded set here
+    * is a convenience fallback for ad-hoc sessions — a no-op when the
+    * conf is already correct, so repeated loads never churn session
+    * state. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val k = "spark.sql.legacy.parquet.nanosAsLong"
+    if (s.conf.getOption(k).forall(_ != "true")) s.conf.set(k, "true")
     import org.apache.spark.sql.functions.{expr, timestamp_micros}
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -383,14 +383,18 @@ object CoreQueries {
       .smallOrdered($"flag", $"status")
   }
 
-  // Q28 — RANGE-frame windowed analytic: 7-day trailing moving average
-  // of order revenue. The window runs over the PRE-AGGREGATED daily
-  // table (one row per day — a compressed domain, so the global RANGE
-  // window is deliberate, not a corpus-wide sort; at 100 TB the
-  // groupBy does the heavy lifting and the window sees ~365 rows/yr).
-  // Frame sums are integer cents: DuckDB evaluates window aggregates
-  // with a segment tree whose summation ORDER differs from Spark's
-  // running frame — exact integers make the order irrelevant.
+  // Q28 — RANGE-frame windowed analytic: 7-day trailing revenue frame.
+  // The window runs over the PRE-AGGREGATED daily table (one row per
+  // day — a compressed domain, so the global RANGE window is
+  // deliberate, not a corpus-wide sort; at 100 TB the groupBy does the
+  // heavy lifting and the window sees ~365 rows/yr). Frame sums are
+  // integer cents: DuckDB evaluates window aggregates with a segment
+  // tree whose summation ORDER differs from Spark's running frame —
+  // exact integers make the order irrelevant. The frame sums are
+  // emitted AS integers (c7_cents, n7_orders) rather than a ROUNDed
+  // quotient: a double ratio of exact integers can land exactly on a
+  // decimal midpoint, where Spark's and DuckDB's ROUND disagree —
+  // consumers derive mavg7 = c7_cents / 100.0 / n7_orders.
   def movingAvg(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -402,8 +406,8 @@ object CoreQueries {
     val w7 = Window.orderBy($"day_i").rangeBetween(-6, 0)
     daily
       .select(date_format($"day", "yyyy-MM-dd").as("day"), $"n_orders",
-        round(sum($"cents").over(w7) / 100.0 / sum($"n_orders").over(w7), 2)
-          .as("mavg7"))
+        sum($"cents").over(w7).as("c7_cents"),
+        sum($"n_orders").over(w7).as("n7_orders"))
       .orderBy($"day")
   }
 
@@ -712,7 +716,7 @@ object CoreQueries {
         |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS n7
         |  FROM daily)
         |SELECT strftime(day, '%Y-%m-%d') AS day, n_orders,
-        |       ROUND(c7 / 100.0 / n7, 2) AS mavg7
+        |       CAST(c7 AS BIGINT) AS c7_cents, CAST(n7 AS BIGINT) AS n7_orders
         |FROM w ORDER BY day""".stripMargin,
     // x16 has identical semantics to q12 — same oracle shape.
     "x16_grouped_topk" ->

@@ -190,6 +190,20 @@ case class LongDotProduct(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = GraftExpressions.LongDotFn
 
+  // strict on BOTH children: an array<double> argument would otherwise
+  // be bit-reinterpreted by ArrayData.getLong into garbage dots — the
+  // same hazard HyperplaneSignature guards against, and this function
+  // is user-reachable as graft_long_dot through both registration
+  // routes.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<bigint> arguments of quantized " +
+          s"coordinates, got (${l.simpleString}, ${r.simpleString})")
+    }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

@@ -118,6 +118,55 @@ object GhBackfill {
     old.length
   }
 
+  /** The reference's count-bounded stream trim (`XADD MAXLEN ~ 1000`,
+    * `insert-events-into-db.lua:33`) as approximate size-bounded
+    * retention on a (date, hour)-partitioned table: drop OLDEST
+    * partitions as long as the rows that remain still number at least
+    * `maxEvents`. Approximate at partition granularity exactly as
+    * `MAXLEN ~` trims whole radix-tree nodes — never a row-level
+    * rewrite. Complements the date-cutoff expiry
+    * (`expireHourPartitions`), which is the time-based retention
+    * analogue. Row counts come from ONE partition-columns-only
+    * aggregate (satisfied from parquet row-group metadata, no data
+    * pages read); the deletes are driver-side metadata ops. Returns
+    * the number of partitions dropped. */
+  def trimToMaxEvents(spark: SparkSession, dir: String, maxEvents: Long,
+                      dateCol: String = "event_date",
+                      hourCol: String = "event_hour"): Int = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return 0
+    // cast: partition inference may type the date dir as DATE; the
+    // directory name needed for the delete is its string form
+    val counts = spark.read.parquet(dir)
+      .groupBy(col(dateCol).cast("string").as(dateCol), col(hourCol))
+      .count()
+      .collect()
+      .map(r => ((r.getString(0), r.getAs[Number](1).intValue()),
+        r.getLong(2)))
+      .sortBy { case ((dt, h), _) => (dt, h) }   // oldest first
+    var excess = counts.map(_._2).sum - maxEvents
+    var dropped = 0
+    // strictly oldest-first: stop at the first partition that cannot be
+    // dropped — trimming a newer partition past a kept older one would
+    // cut a hole in the middle of the stream, which MAXLEN never does
+    var blocked = false
+    counts.foreach { case ((dt, h), n) =>
+      if (!blocked && n <= excess) {
+        fs.delete(new Path(path, s"$dateCol=$dt/$hourCol=$h"), true)
+        excess -= n
+        dropped += 1
+      } else blocked = true
+    }
+    // prune date directories the hour deletes emptied, so partition
+    // listings never see hollow dates
+    fs.listStatus(path).filter(_.isDirectory)
+      .filter(st => st.getPath.getName.startsWith(s"$dateCol="))
+      .filter(st => fs.listStatus(st.getPath).isEmpty)
+      .foreach(st => fs.delete(st.getPath, true))
+    dropped
+  }
+
   /** Upsert (hour, login, score) rows carrying FULL current scores into
     * the hourly table: keep the untouched rows of touched partitions
     * (anti-join on the upsert keys), add the new values, overwrite only

@@ -89,16 +89,22 @@ object GhIngest {
       .drop("_corrupt_record")
 
   /** Batch dedup by event id — keep the earliest-created row per id.
-    * The full-row JSON rendering is the ORDER-BY tiebreaker, making the
-    * pick total (deterministic even when two rows share id AND
-    * timestamp but differ elsewhere — plain dropDuplicates, or a
-    * timestamp-only window, would pick arbitrarily there). */
+    * The remaining columns, packed as ONE struct, are the ORDER-BY
+    * tiebreaker (struct ordering is lexicographic over its fields), so
+    * the pick is total — deterministic even when two rows share id AND
+    * timestamp but differ elsewhere, where plain dropDuplicates or a
+    * timestamp-only window would pick arbitrarily. A struct comparison
+    * costs field reads only where prefixes tie; rendering every row to
+    * JSON for the same totality serialized the whole bronze row per
+    * comparison. */
   def dedupEvents(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val tiebreak = struct(
+      events.columns.filterNot(_ == "created_at").map(col).toIndexedSeq: _*)
     events
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("id"))
-          .orderBy(col("created_at"), to_json(struct(events.columns.map(col): _*)))))
+          .orderBy(col("created_at"), tiebreak)))
       .filter(col("_rn") === 1).drop("_rn")
   }
 

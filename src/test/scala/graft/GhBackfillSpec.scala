@@ -56,6 +56,44 @@ class GhBackfillSpec extends AnyFunSuite with SparkTestSession {
       Set(("2025-08-11", 0)))
   }
 
+  test("size-bounded trim (MAXLEN ~ analogue) drops oldest, keeps >= max") {
+    val out = Files.createTempDirectory("graft-bf-trim").toString + "/bronze"
+    // 4 hour-partitions of known sizes, oldest first: 10, 20, 30, 40
+    val rows = for {
+      (h, n) <- Seq((0, 10), (1, 20), (2, 30), (3, 40))
+      i <- 0 until n
+    } yield (s"e$h-$i", "2025-08-10", h)
+    rows.toDF("id", "event_date", "event_hour")
+      .write.partitionBy("event_date", "event_hour").parquet(out)
+
+    // total 100, max 60 -> excess 40: hour 0 (10) and hour 1 (20) drop;
+    // hour 2 (30 > remaining excess 10) blocks further trimming
+    val dropped = graft.streaming.GhBackfill.trimToMaxEvents(spark, out, 60)
+    assert(dropped === 2)
+    val left = spark.read.parquet(out)
+    assert(left.count() === 70)   // >= max, as MAXLEN ~ guarantees
+    assert(left.select($"event_hour").distinct().as[Int].collect().toSet
+      === Set(2, 3))
+
+    // already within bounds -> no-op
+    assert(graft.streaming.GhBackfill.trimToMaxEvents(spark, out, 60) === 0)
+    assert(spark.read.parquet(out).count() === 70)
+  }
+
+  test("size-bounded trim never cuts a hole past a kept older partition") {
+    val out = Files.createTempDirectory("graft-bf-trim2").toString + "/bronze"
+    // oldest partition too big to drop; newer small ones must SURVIVE
+    val rows = for {
+      (h, n) <- Seq((0, 50), (1, 5), (2, 45))
+      i <- 0 until n
+    } yield (s"e$h-$i", "2025-08-10", h)
+    rows.toDF("id", "event_date", "event_hour")
+      .write.partitionBy("event_date", "event_hour").parquet(out)
+    // total 100, max 60 -> excess 40 < 50: nothing droppable oldest-first
+    assert(graft.streaming.GhBackfill.trimToMaxEvents(spark, out, 60) === 0)
+    assert(spark.read.parquet(out).count() === 100)
+  }
+
   test("partition listing tolerates foreign and malformed directories") {
     val out = Files.createTempDirectory("graft-bf5").toString + "/hourly"
     GhBackfill.backfillMissingHours(spark, cleanedEvents, out)

@@ -79,6 +79,18 @@ class GraftExpressionsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(1).isNullAt(0))
   }
 
+  test("LongDotProduct rejects un-quantized (double) input cleanly") {
+    GraftExpressions.register(spark)
+    val err = intercept[Exception] {
+      Tables.embeddings(spark, sf)
+        .select(call_function(GraftExpressions.LongDotFn,
+          $"embedding".cast("array<double>"),
+          $"embedding".cast("array<double>")))
+        .collect()
+    }
+    assert(err.getMessage.contains("array<bigint>"))
+  }
+
   test("HyperplaneSignature rejects un-quantized (double) input cleanly") {
     GraftExpressions.register(spark)
     val err = intercept[Exception] {

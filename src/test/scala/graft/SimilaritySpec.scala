@@ -51,10 +51,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
   test("knn join: every query answered; sims are true cosines") {
     val rows = SimilarityOps.knnJoin(spark, sf)
       .as[(Long, Long, Long, Double)].collect()
-    // every query vector produced neighbors (a broken bucket join that
-    // drops queries would still satisfy the per-group invariants)
-    assert(rows.map(_._1).distinct.length.toLong ===
-      SimilarityOps.KnnJoinQueries)
+    // the answered-query set must equal the set DERIVED FROM THE
+    // FIXTURE: queries with at least one other vector in a probed
+    // bucket (hamming ≤ ProbeRadius). That is an invariant of the
+    // operator — asserting "all 20 answered" outright would be a
+    // property of this particular random fixture (a regenerated corpus
+    // can leave a query's probed buckets empty), and a broken bucket
+    // join that drops queries still fails this form.
+    val buckets = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      .withColumn("b", SimilarityOps.lshSignature(spark, $"e"))
+      .select($"vec_id", $"b").as[(Long, Long)].collect()
+    val expectAnswered = buckets
+      .filter(_._1 < SimilarityOps.KnnJoinQueries)
+      .filter { case (q, qb) => buckets.exists { case (c, cb) =>
+        c != q && java.lang.Long.bitCount(qb ^ cb) <= SimilarityOps.ProbeRadius } }
+      .map(_._1).toSet
+    assert(rows.map(_._1).toSet === expectAnswered)
     // ground truth: exact cosine recomputed driver-side
     val emb = Tables.embeddings(spark, sf)
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))

@@ -10,6 +10,7 @@ trait SparkTestSession {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // catalog tables (bucketing tests) land in a temp dir, not ./spark-warehouse
       .config("spark.sql.warehouse.dir",
