@@ -58,11 +58,17 @@ object GhIngest {
     * of failing the job — the analogue of the reference's per-line
     * try/catch (`update-contributor-scores.js:147-150`). */
   def readEventsJson(spark: SparkSession, path: String): DataFrame =
+    readEventsJson(spark, Seq(path))
+
+  /** Multi-path form — the archive pipeline reads exactly the hour
+    * files its fetch walk landed, not whatever else the directory
+    * holds. */
+  def readEventsJson(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read
       .schema(ghEventSchema)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(path)
+      .json(paths: _*)
 
   /** Rows unusable downstream: failed to parse fully (PERMISSIVE mode
     * keeps any prefix fields it managed to read) or missing the event
