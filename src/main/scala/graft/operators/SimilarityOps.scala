@@ -84,11 +84,51 @@ object SimilarityOps {
       .limit(TopK)
   }
 
-  /** ANN top-K for one probe vector (vec_id 0) over the driver table. */
+  /** Bucket-partitioned serving index for a corpus dir: (vec_id, e)
+    * partitioned BY the LSH bucket, written once and reused by every
+    * probe — the materialized form of the signature computation. The
+    * bucket is stored as INT (its domain is [0, 2^NumPlanes)), which is
+    * also what parquet partition-value inference yields on read, so
+    * probe joins hit the raw partition attribute (a cast there would
+    * defeat partition pruning). */
+  def ensureAnnIndex(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft-ann-index-$safe-v1").toString
+    val done = new java.io.File(path, "_SUCCESS")
+    if (!done.isFile) {
+      Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        .withColumn("bucket", lshSignature(s, $"e").cast("int"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    }
+    path
+  }
+
+  /** ANN top-K for one probe vector (vec_id 0), served from the
+    * materialized index: the probe row explodes to its ProbeMasks
+    * bucket keys (same candidate rule as annLshFrame) and equi-joins
+    * the bucket-PARTITIONED index — dynamic partition pruning keeps the
+    * index scan to the probed bucket directories, so a probe reads
+    * ~|probed buckets|/2^NumPlanes of the corpus instead of recomputing
+    * signatures corpus-wide. The probe's own signature is computed
+    * in-plan from the raw table (pushdown-filtered single-row scan);
+    * nothing is collected to the driver. */
   def annLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    annLshFrame(s, Tables.embeddings(s, d)
-      .select($"vec_id", $"embedding".cast("array<double>").as("e")))
+    val idx = s.read.parquet(ensureAnnIndex(s, d))
+    val probe = Tables.embeddings(s, d)
+      .filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>").as("qe"),
+        lshSignature(s, $"embedding".cast("array<double>")).as("qb"))
+      .select($"qe", explode(array(ProbeMasks.map(m =>
+        $"qb".bitwiseXOR(lit(m)).cast("int")): _*)).as("bucket"))
+    idx.join(broadcast(probe), "bucket")
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id", round(CoreQueries.cosine(s, $"e", $"qe"), 4).as("sim"))
+      .orderBy($"sim".desc, $"vec_id")
+      .limit(TopK)
   }
 
   val KnnJoinQueries = 20L   // vec_id < 20 act as the query batch

@@ -63,11 +63,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("x06: probe pushdown, codegen signature, top-K — no full scan rank") {
+    // the signature expression now lives in the broadcast PROBE subtree
+    // (the corpus side reads the materialized index instead of
+    // recomputing signatures) — the formatted mode prints subqueries,
+    // the executed-plan string truncates them.
     val f = formatted("x06_ann_lsh")
     assert(f.contains("EqualTo(vec_id,0)"))
+    assert(f.contains("graft_hyperplane_sig"))
     val p = plan("x06_ann_lsh")
-    assert(p.contains("graft_hyperplane_sig"))
     assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("x06: serving probe scan is bucket-pruned on the materialized index") {
+    // the corpus side must be the bucket-PARTITIONED index scan with a
+    // dynamic partition-pruning filter fed by the probe's exploded
+    // bucket keys — i.e. a probe reads only probed bucket directories,
+    // never the whole index (and never recomputes corpus signatures).
+    val p = plan("x06_ann_lsh")
+    assert(p.contains("graft-ann-index"), "must scan the materialized index")
+    assert(p.contains("dynamicpruning"),
+      "index scan must carry a dynamic partition-pruning filter")
   }
 
   test("x12: centroid work rides broadcasts; corpus never sort-merges") {

@@ -42,6 +42,19 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(got.map(-_._2).toSeq === got.map(-_._2).toSeq.sorted)
   }
 
+  test("index-served annLsh equals the in-memory multiprobe filter") {
+    // same candidate rule, two execution shapes: the bucket-partitioned
+    // index equi-join (serving path) must return exactly what the
+    // bit-count filter over in-plan signatures returns
+    val served = SimilarityOps.annLsh(spark, sf)
+      .as[(Long, Double)].collect().toSeq
+    val inMem = SimilarityOps.annLshFrame(spark,
+      Tables.embeddings(spark, sf)
+        .select($"vec_id", $"embedding".cast("array<double>").as("e")))
+      .as[(Long, Double)].collect().toSeq
+    assert(served === inMem)
+  }
+
   test("ann searches are deterministic across invocations") {
     val a = SimilarityOps.annLsh(spark, sf).as[(Long, Double)].collect().toSeq
     val b = SimilarityOps.annLsh(spark, sf).as[(Long, Double)].collect().toSeq
