@@ -37,14 +37,16 @@ object DedupOps {
   private val Bands = 32
   private val RowsPerBand = 4   // Bands * RowsPerBand == MinHashSignature.NumHashes
 
-  /** doc_id → lowercased word array (the common tokenization).
-    * Rebalanced: everything downstream (shingling, 128-perm minhash,
-    * simhash votes) is compute-bound per row. */
-  private def words(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    Tables.rebalance(Tables.documents(s, d))
-      .select($"doc_id", split(lower($"text"), "\\s+").as("w"))
-  }
+  /** doc_id → lowercased word array for an arbitrary (doc_id, text)
+    * frame (the common tokenization). Rebalanced: everything downstream
+    * (shingling, 128-perm minhash, simhash votes) is compute-bound per
+    * row. */
+  private def wordsOf(docs: DataFrame): DataFrame =
+    Tables.rebalance(docs)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
+
+  private def words(s: SparkSession, d: String): DataFrame =
+    wordsOf(Tables.documents(s, d))
 
   /** doc_id → (token array, DISTINCT word-3-gram shingle set), computed
     * NARROWLY as array columns — no explode, no shuffle. The single
@@ -65,6 +67,18 @@ object DedupOps {
     * these arrays). */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
     shingleFrames(s, d).drop("w")
+
+  /** Shingle sets for an arbitrary (doc_id, text) frame — the SAME
+    * tokenize + ≥3-words + distinct word-3-gram rules as the corpus
+    * pipeline, so frame-based operators (contaminationFrames) cannot
+    * drift from the corpus queries. */
+  private def shingleSetsOf(docs: DataFrame): DataFrame = {
+    graft.plans.GraftExpressions.register(docs.sparkSession)
+    wordsOf(docs)
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        call_function(graft.plans.GraftExpressions.ShinglesFn, col("w")).as("s"))
+  }
 
   // ---- exact dedup ------------------------------------------------------
 
@@ -342,33 +356,62 @@ object DedupOps {
     * both purposes. */
   val MaxShingleDf = 10
 
-  /** Train↔eval contamination check: inverted-index join on shingles
-    * (never all-pairs — work is proportional to shared-shingle
-    * postings), document-frequency-capped to drop boilerplate and hot
-    * keys, then a shared-shingle count per (train, eval) pair. At
-    * 100 TB this is the standard decontamination sweep: explode to
-    * postings, semi-join the df-capped vocabulary, shuffle on the
-    * shingle, count. */
+  /** Train↔eval contamination check over ARBITRARY (doc_id, text)
+    * frames: inverted-index join on shingles (never all-pairs — work is
+    * proportional to shared-shingle postings), document-frequency-capped
+    * over BOTH sides' postings to drop boilerplate and hot keys, then a
+    * shared-shingle count per (train, eval) pair. At 100 TB this is the
+    * standard decontamination sweep: explode to postings, semi-join the
+    * df-capped vocabulary, shuffle on the shingle, count. Both postings
+    * relations feed the df count and the join; lazily checkpointing the
+    * PRE-explode shingle sets (one compact row per doc) runs the
+    * regex+shingle compute once per side. */
+  def contaminationFrames(train: DataFrame, eval: DataFrame): DataFrame = {
+    val tp = shingleSetsOf(train).localCheckpoint(false)
+      .select(col("doc_id").as("train_id"), explode(col("s")).as("sh"))
+    val ep = shingleSetsOf(eval).localCheckpoint(false)
+      .select(col("doc_id").as("eval_id"), explode(col("s")).as("sh"))
+    val rare = tp.select(col("sh")).unionAll(ep.select(col("sh")))
+      .groupBy(col("sh")).agg(count("*").as("df"))
+      .filter(col("df") <= MaxShingleDf).select(col("sh"))
+    // prune BOTH sides: capped shingles are exactly the hot join keys,
+    // and the guard has to hold for whichever side is bigger
+    tp.join(rare, Seq("sh"), "left_semi")
+      .join(ep.join(rare, Seq("sh"), "left_semi"), "sh")
+      .groupBy(col("train_id"), col("eval_id")).agg(count("*").as("n_shared"))
+      .filter(col("n_shared") >= MinSharedShingles)
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  /** x20 harness: the modulo split of the corpus into train/eval — the
+    * oracle-reproducible stand-in driving contaminationFrames. */
   def contamination(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // The postings relation feeds both the df count and the pruned join;
-    // lazily checkpointing the PRE-explode shingle sets (one compact row
-    // per doc) runs the regex+shingle compute once — the explode itself
-    // is cheap to repeat, and the df-count aggregate keeps its skew-safe
-    // map-side partial aggregation.
-    val inv = shingleSets(s, d).localCheckpoint(false)
-      .select($"doc_id", explode($"s").as("sh"))
-    val rare = inv.groupBy($"sh").agg(count("*").as("df"))
-      .filter($"df" <= MaxShingleDf).select($"sh")
-    val pruned = inv.join(rare, Seq("sh"), "left_semi")
-    val ev = pruned.filter($"doc_id" % ContaminationEvalStep === 0)
-      .select($"sh", $"doc_id".as("eval_id"))
-    val tr = pruned.filter($"doc_id" % ContaminationEvalStep =!= 0)
-      .select($"sh", $"doc_id".as("train_id"))
-    tr.join(ev, "sh")
-      .groupBy($"train_id", $"eval_id").agg(count("*").as("n_shared"))
-      .filter($"n_shared" >= MinSharedShingles)
-      .orderBy($"train_id", $"eval_id")
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    contaminationFrames(
+      docs.filter($"doc_id" % ContaminationEvalStep =!= 0),
+      docs.filter($"doc_id" % ContaminationEvalStep === 0))
+  }
+
+  /** How many leading words of a doc the x24 eval fixture keeps. */
+  val EvalTruncWords = 40
+
+  /** x24 — decontamination against a GENUINELY DISTINCT eval frame:
+    * the eval set is the 40-word prefix of every 50th-plus-one
+    * document (a benchmark whose items leaked into the training
+    * corpus), checked against the FULL corpus as train side. Each
+    * leaked prefix shares its ~38 shingles with its source doc (df ≈ 2
+    * — rare), so the sweep must recover every (source, eval) pair plus
+    * any near-dups of sources. Exercises the two-frame signature with
+    * frames of different shapes and row counts. */
+  def contaminationEval(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val eval = docs.filter($"doc_id" % ContaminationEvalStep === 1)
+      .select($"doc_id",
+        concat_ws(" ", slice(split($"text", "\\s+"), 1, EvalTruncWords))
+          .as("text"))
+    contaminationFrames(docs, eval)
   }
 
   // ---- embedding-cosine near-dup ----------------------------------------
@@ -401,6 +444,7 @@ object DedupOps {
     "x17_dedup_clusters"      -> dedupClusters _,
     "x20_contamination"       -> contamination _,
     "x21_repetition_filter"   -> repetitionFilter _,
+    "x24_contamination_eval"  -> contaminationEval _,
   )
 
   /** x02's oracle is the EXACT all-pairs Jaccard — valid because the
@@ -504,6 +548,34 @@ object DedupOps {
         |       WHERE doc_id % $ContaminationEvalStep <> 0)
         |SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared
         |FROM tr JOIN ev USING (sh)
+        |GROUP BY 1, 2 HAVING count(*) >= $MinSharedShingles
+        |ORDER BY 1, 2""".stripMargin,
+    "x24_contamination_eval" ->
+      s"""WITH ev_docs AS (
+        |  SELECT doc_id,
+        |    array_to_string((string_split_regex(text, '\\s+'))[1:$EvalTruncWords], ' ') AS text
+        |  FROM documents WHERE doc_id % $ContaminationEvalStep = 1),
+        |tw AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+        |       FROM documents
+        |       WHERE len(string_split_regex(lower(text), '\\s+')) >= 3),
+        |ew AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+        |       FROM ev_docs
+        |       WHERE len(string_split_regex(lower(text), '\\s+')) >= 3),
+        |tsh AS (SELECT DISTINCT doc_id,
+        |          unnest(list_transform(range(1, len(w) - 1),
+        |                                i -> array_to_string(w[i:i+2], ' '))) AS sh
+        |        FROM tw),
+        |esh AS (SELECT DISTINCT doc_id,
+        |          unnest(list_transform(range(1, len(w) - 1),
+        |                                i -> array_to_string(w[i:i+2], ' '))) AS sh
+        |        FROM ew),
+        |rare AS (SELECT sh
+        |         FROM (SELECT sh FROM tsh UNION ALL SELECT sh FROM esh)
+        |         GROUP BY sh HAVING count(*) <= $MaxShingleDf),
+        |tp AS (SELECT doc_id AS train_id, sh FROM tsh JOIN rare USING (sh)),
+        |ep AS (SELECT doc_id AS eval_id, sh FROM esh JOIN rare USING (sh))
+        |SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM tp JOIN ep USING (sh)
         |GROUP BY 1, 2 HAVING count(*) >= $MinSharedShingles
         |ORDER BY 1, 2""".stripMargin,
     "x05_dedup_embedding" ->

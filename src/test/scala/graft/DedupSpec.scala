@@ -89,6 +89,22 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       "fixture should contain a component larger than one pair")
   }
 
+  test("contaminationFrames on distinct frames finds planted leaks only") {
+    val w = (1 to 60).map(i => s"w$i")
+    val train = Seq(
+      (1L, w.mkString(" ")),                          // leak source
+      (2L, w.map(_ + "x").mkString(" ")),             // disjoint vocab
+      (3L, (1 to 60).map(i => s"z$i").mkString(" "))) // disjoint vocab
+      .toDF("doc_id", "text")
+    // the eval "benchmark" holds a 40-word prefix of doc 1
+    val eval = Seq((100L, w.take(40).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = DedupOps.contaminationFrames(train, eval)
+      .as[(Long, Long, Long)].collect().toSeq
+    // 40-word prefix → 38 shingles, every one shared with (only) doc 1
+    assert(got === Seq((1L, 100L, 38L)))
+  }
+
   test("exact dedup is idempotent: dedup(xs ++ xs) has one row per text") {
     val out = DedupOps.dedupExact(spark, sf)
     assert(out.count() ===
