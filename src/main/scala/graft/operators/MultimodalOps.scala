@@ -71,6 +71,47 @@ object MultimodalOps {
     }
   }
 
+  /** REAL DECODE for image rows — `javax.imageio` (pure JDK, no native
+    * deps): PNG/JPEG payloads are decoded to pixels and summarized over
+    * the DECODED raster (n_frames = 1 image; byte_sum = sum of RGB
+    * channel byte values; mean_byte = byte_sum / (w·h·3)). Non-image
+    * formats and undecodable payloads fall back to the deterministic
+    * stub, so mixed corpora flow through ONE code path. This is the
+    * "swap only the body" upgrade the stub advertises: the schema,
+    * partition-wise batching, and output shape are exactly
+    * `decodeFeatures`'s. */
+  def realDecode(r: MediaRow): MediaFeatures = {
+    val isImage = r.format == "png" || r.format == "jpeg"
+    val img = if (!isImage) null
+      else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+      catch { case _: java.io.IOException => null }
+    if (img == null) fakeDecode(r)
+    else {
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      val nChan = img.getWidth.toLong * img.getHeight * 3L
+      MediaFeatures(r.doc_id, r.source, r.media.length.toLong, 1L, sum,
+        if (nChan == 0) 0.0 else sum.toDouble / nChan)
+    }
+  }
+
+  /** decodeFeatures with the real image codec behind it (same
+    * partition-wise plan shape; `ImageIO` readers are looked up once
+    * per JVM and reused across the partition's rows). */
+  def decodeFeaturesReal(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows => rows.map(realDecode) }
+  }
+
   /** FAKE RESIZE — stands in for an image resize: deterministic byte
     * subsampling to ≤ (w·h) payload bytes, metadata updated to the
     * target dims. Schema/partitioning identical to a real resize. */

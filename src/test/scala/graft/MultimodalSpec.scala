@@ -96,4 +96,39 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       MultimodalOps.mediaTable(spark, sf)).filter(_.doc_id == 0L).head()
     assert(r === again)
   }
+
+  test("real codec: a genuine PNG decodes through the partition-wise path") {
+    import spark.implicits._
+    // render a 4×3 image with known pixels and encode it as real PNG
+    val img = new java.awt.image.BufferedImage(4, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var expected = 0L
+    for (y <- 0 until 3; x <- 0 until 4) {
+      val (r, g, b) = (x * 60, y * 80, (x + y) * 30)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      expected += r + g + b
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+
+    val rows = Seq(
+      MultimodalOps.MediaRow(1L, "s1", png, 4, 3, "png"),
+      // a webm row must take the stub fallback untouched
+      MultimodalOps.MediaRow(2L, "s1", Array[Byte](1, 2, 3), 1, 1, "webm"),
+      // a CORRUPT "png" payload must fall back, not crash the task
+      MultimodalOps.MediaRow(3L, "s1", Array[Byte](9, 9), 1, 1, "png"))
+      .toDS()
+    val got = MultimodalOps.decodeFeaturesReal(rows)
+      .collect().map(f => f.doc_id -> f).toMap
+
+    assert(got(1L).n_frames === 1L)
+    assert(got(1L).byte_sum === expected)
+    assert(got(1L).n_bytes === png.length.toLong)
+    assert(got(1L).mean_byte === expected.toDouble / (4 * 3 * 3))
+    assert(got(2L) === MultimodalOps.fakeDecode(
+      MultimodalOps.MediaRow(2L, "s1", Array[Byte](1, 2, 3), 1, 1, "webm")))
+    assert(got(3L) === MultimodalOps.fakeDecode(
+      MultimodalOps.MediaRow(3L, "s1", Array[Byte](9, 9), 1, 1, "png")))
+  }
 }
