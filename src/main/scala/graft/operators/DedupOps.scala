@@ -207,6 +207,21 @@ object DedupOps {
       .orderBy($"da", $"db")
   }
 
+  /** (doc_id, chunk, key) — the 16-bit simhash chunk bands of each doc,
+    * the SAME banding key space dedupSimhash buckets on (pigeonhole:
+    * hamming ≤ 3 ⇒ some chunk equal), exposed for the streaming
+    * near-dup gate: two docs within hamming-3 always share at least one
+    * (chunk, key) row. */
+  def simhashBands(docs: DataFrame): DataFrame = {
+    val chunkBits = 64 / SimhashChunks
+    val chunkMask = (1L << chunkBits) - 1
+    simhashSig(wordsOf(docs.select(col("doc_id"), col("text"))))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${SimhashChunks - 1}), " +
+          s"c -> shiftright(sig, c * $chunkBits) & $chunkMask)")))
+      .toDF("doc_id", "chunk", "key")
+  }
+
   /** (doc_id, w: array<string>) → SimHash: per bit, majority vote of
     * token hashes (+1 if the bit is set, −1 if not), packed into one
     * long by the fused codegen SimHash64 expression. NARROW — no

@@ -57,4 +57,87 @@ object DocCuration {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  // ---- near-dup gate (streaming) ----------------------------------------
+
+  /** One micro-batch of the NEAR-DUP curation gate. Rules, applied in
+    * order (all deterministic, all relational — no driver data path):
+    *
+    *  1. quality/language gates + exact-fingerprint dedup within the
+    *     batch (min doc_id per fp — `curateBatch`'s rule);
+    *  2. drop any doc sharing a simhash chunk band with a PREVIOUSLY
+    *     KEPT doc (the state table — simhash pigeonhole: every pair at
+    *     hamming ≤ 3 shares a band, so the gate catches everything the
+    *     batch x03 path catches);
+    *  3. within the batch, drop any doc sharing a band with a
+    *     smaller-doc_id doc that survived step 2. (In a band-collision
+    *     CHAIN this drops slightly more than one-at-a-time greedy
+    *     arrival would — the conservative direction for a dedup gate,
+    *     and deterministic under any batch partitioning.)
+    *
+    * Survivors append to the sink; ONLY survivors' bands append to the
+    * state — a doc dropped as a near-dup must not itself suppress
+    * future docs. State is a plain (chunk, key) parquet table: the join
+    * is band-keyed and mergeable, the shape that scales (a 24/7 run
+    * would date-partition the state and expire old partitions exactly
+    * like the reference's TTLs; `AvailableNow` backfills bound it per
+    * run). */
+  def processNearDupBatch(batch: DataFrame, outDir: String,
+                          stateDir: String): Unit = {
+    val s = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val gated = batch.select(col("doc_id"), col("source"), col("text"),
+        TextOps.fingerprintCol(col("text")).as("fp"),
+        TextOps.langIdCol(col("text")).as("pred_lang"),
+        round(TextOps.qualityCol(col("text")), 4).as("q"))
+      .filter(col("pred_lang") === "en" && col("q") >= 0.4)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .filter(col("_rn") === 1).drop("_rn")
+    val bands = graft.operators.DedupOps
+      .simhashBands(gated.select(col("doc_id"), col("text")))
+      .localCheckpoint(true)   // consumed by 3 subplans; compute once
+    val statePath = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val hitState =
+      if (!fs.exists(statePath)) bands.select(col("doc_id")).limit(0)
+      else bands.join(s.read.parquet(stateDir).select(col("chunk"), col("key")),
+        Seq("chunk", "key"), "left_semi").select(col("doc_id")).distinct()
+    val b1 = gated.join(hitState, Seq("doc_id"), "left_anti")
+    val bands1 = bands.join(b1.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val drop2 = bands1
+      .join(bands1.groupBy(col("chunk"), col("key"))
+        .agg(min(col("doc_id")).as("_mn")), Seq("chunk", "key"))
+      .filter(col("doc_id") > col("_mn"))
+      .select(col("doc_id")).distinct()
+    // materialize survivors BEFORE the two appends: both writes must see
+    // the same kept set, and the sink write must not re-read the state
+    // dir it is about to modify
+    val kept = b1.join(drop2, Seq("doc_id"), "left_anti").localCheckpoint(true)
+    kept.drop("text").write.mode("append").parquet(outDir)
+    bands.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .write.mode("append").parquet(stateDir)
+  }
+
+  /** Streaming curation with the near-dup gate: gates → exact-fp dedup
+    * → simhash-band state gate → append sink, state in `stateDir`.
+    * `maxFilesPerTrigger` bounds a micro-batch (B2). */
+  def startNearDupCuration(spark: SparkSession, inputDir: String,
+                           outDir: String, checkpointDir: String,
+                           stateDir: String,
+                           maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val schema = spark.read.parquet(inputDir).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader.parquet(inputDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processNearDupBatch(batch, outDir, stateDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

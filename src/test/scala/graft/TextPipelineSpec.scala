@@ -95,6 +95,86 @@ class TextPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(batch.nonEmpty)
   }
 
+  /** English, punctuation-free, stopword-heavy → passes both gates. */
+  private def enDoc(id: Long, content: String): (Long, String, String) =
+    (id, "s1", s"the $content sat on the mat and it is a fine day in " +
+      s"the sun of summer and the $content is in the end of it all")
+
+  test("near-dup gate: batch rules match a sequential reference fold") {
+    import java.nio.file.Files
+    val batches = Seq(
+      Seq(enDoc(1, "cat"), enDoc(2, "quasar"), enDoc(3, "harbor")),
+      // 4 = word-order shuffle of 1 (same simhash, same fp — but fp
+      // dedup is per-batch, so only the BAND STATE can catch it here)
+      Seq((4L, "s1", enDoc(1, "cat")._3.split(" ").reverse.mkString(" ")),
+        enDoc(5, "violin")),
+      Seq(enDoc(6, "quasar"), enDoc(7, "glacier")))
+    val all = batches.flatten.toDF("doc_id", "source", "text")
+    // expectations derive from the operator's own band table — the test
+    // pins the GATE semantics (state handling, batch rules), while the
+    // x03 oracle separately pins what simhash banding finds
+    val bandMap = graft.operators.DedupOps
+      .simhashBands(all.select($"doc_id", $"text"))
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    var stateRef = Set.empty[(Int, Long)]
+    val keptRef = scala.collection.mutable.ArrayBuffer[Long]()
+    batches.foreach { b =>
+      val b1 = b.map(_._1).filter(id => (bandMap(id) & stateRef).isEmpty)
+      val kept = b1.filter(id => !b1.exists(o =>
+        o < id && (bandMap(o) & bandMap(id)).nonEmpty))
+      keptRef ++= kept
+      stateRef ++= kept.flatMap(bandMap)
+    }
+
+    val root = Files.createTempDirectory("graft-ndgate")
+    val out = s"$root/out"; val state = s"$root/state"
+    batches.foreach { b =>
+      graft.streaming.DocCuration.processNearDupBatch(
+        b.toDF("doc_id", "source", "text"), out, state)
+    }
+    val got = spark.read.parquet(out).select($"doc_id").as[Long]
+      .collect().sorted.toSeq
+    assert(got === keptRef.sorted.toSeq)
+    // the shuffled cross-batch copy is a GUARANTEED band collision
+    // (simhash is token-order invariant) — the state must have caught it
+    assert(!got.contains(4L))
+    assert(got.contains(1L))
+    // state holds exactly the survivors' bands
+    val stateGot = spark.read.parquet(state)
+      .select($"chunk", $"key").as[(Int, Long)].collect().toSet
+    assert(stateGot === stateRef)
+  }
+
+  test("near-dup gate runs end-to-end as a stream over file drops") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-ndstream")
+    val in = s"$root/in"
+    // doc 11 uses an unrelated sentence — the shared enDoc template
+    // would make it a true near-dup of 10 and the gate would (rightly)
+    // drop one of them
+    Seq(enDoc(10, "cat"),
+      (11L, "s1", "it is a good day and the rain is far from the hills " +
+        "of the north and it is the time of harvest in the valley and " +
+        "all of it is going to plan for the winter stores"))
+      .toDF("doc_id", "source", "text")
+      .coalesce(1).write.parquet(in)
+    // second file: a shuffled copy of doc 10 — whichever batch order the
+    // file source picks, exactly one of {10, 12} survives
+    Seq((12L, "s1", enDoc(10, "cat")._3.split(" ").reverse.mkString(" ")))
+      .toDF("doc_id", "source", "text")
+      .coalesce(1).write.mode("append").parquet(in)
+    val q = graft.streaming.DocCuration.startNearDupCuration(
+      spark, in, s"$root/out", s"$root/ckpt", s"$root/state",
+      maxFilesPerTrigger = Some(1))
+    assert(q.awaitTermination(120000))
+    val kept = spark.read.parquet(s"$root/out")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept.contains(11L))
+    assert((kept & Set(10L, 12L)).size === 1)
+    assert(spark.read.parquet(s"$root/state").count() > 0)
+  }
+
   test("stratified sample is bounded, stratified, and deterministic") {
     val a = TextOps.stratifiedSample(spark, sf).collect()
     assert(a.nonEmpty)
