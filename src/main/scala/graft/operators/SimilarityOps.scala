@@ -153,19 +153,34 @@ object SimilarityOps {
     * bucket is the shuffle key. A candidate's bucket is a single value
     * and the masks are distinct, so a (query, candidate) pair matches
     * at most one probe — no dedup step needed. */
-  def knnJoin(s: SparkSession, d: String): DataFrame = {
+  def knnJoin(s: SparkSession, d: String): DataFrame =
+    knnJoinFrame(s, Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+
+  /** k-NN join over an arbitrary (vec_id, e) frame. `salts` > 1 turns
+    * the bucket equi-join into SkewOps.saltedJoin on the bucket key:
+    * candidate rows take a content-derived salt and probe rows
+    * replicate per salt, so a HOT LSH BUCKET — real at 100 TB, where a
+    * dense embedding region can put a large corpus fraction in one
+    * bucket — spreads across `salts` reducers instead of saturating
+    * one. Results are identical (the salt never reaches the ranking);
+    * the default stays unsalted, which AQE's skew-join split already
+    * covers for moderate skew. */
+  def knnJoinFrame(s: SparkSession, emb0: DataFrame,
+                   salts: Int = 1): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val emb = Tables.embeddings(s, d)
-      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
-      .withColumn("bucket", lshSignature(s, $"e"))
+    val emb = emb0.withColumn("bucket", lshSignature(s, $"e"))
     val probes = emb.filter($"vec_id" < KnnJoinQueries)
       .select($"vec_id".as("qid"), $"e".as("qe"),
         explode(array(ProbeMasks.map(m =>
           $"bucket".bitwiseXOR(lit(m))): _*)).as("pb"))
-    val cands = probes.join(
-        emb.select($"vec_id".as("cid"), $"e".as("ce"), $"bucket".as("pb")),
-        "pb")
+    val candSide = emb
+      .select($"vec_id".as("cid"), $"e".as("ce"), $"bucket".as("pb"))
+    val joined =
+      if (salts <= 1) probes.join(candSide, "pb")
+      else SkewOps.saltedJoin(candSide, probes, "pb", salts)
+    val cands = joined
       .filter($"cid" =!= $"qid")
       .select($"qid", $"cid",
         round(CoreQueries.cosine(s, $"qe", $"ce"), 4).as("sim"))

@@ -38,6 +38,37 @@ class SkewOpsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("salted k-NN join == plain on a 90%-hot-bucket corpus, and spreads it") {
+    import graft.operators.SimilarityOps
+    // 90% of vectors are IDENTICAL → they land in one LSH bucket, the
+    // exact shape that saturates a single reducer in the bucket
+    // equi-join at corpus scale
+    val rng = new scala.util.Random(7)
+    val hot = Seq.fill(SimilarityOps.Dim)(rng.nextGaussian())
+    val rows = (0L until 300L).map { i =>
+      (i, if (i % 10 != 0) hot
+          else Seq.fill(SimilarityOps.Dim)(rng.nextGaussian()))
+    }
+    val emb = rows.toDF("vec_id", "e")
+    val plain = SimilarityOps.knnJoinFrame(spark, emb)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val salted = SimilarityOps.knnJoinFrame(spark, emb, salts = 8)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(plain.nonEmpty)
+    assert(salted === plain)   // the salt must never reach the ranking
+    // the hot bucket is real, and the content-derived salt fans its
+    // candidate rows out across reducers (identical vectors still salt
+    // apart — vec_id is part of the hashed row)
+    val b = emb.withColumn("bucket", SimilarityOps.lshSignature(spark, $"e"))
+    val hotBucket = b.groupBy($"bucket").count()
+      .orderBy($"count".desc).first().getLong(0)
+    assert(b.filter($"bucket" === hotBucket).count() >= 250)
+    val spread = b.filter($"bucket" === hotBucket)
+      .select(pmod(xxhash64(struct($"vec_id", $"e", $"bucket")), lit(8L)))
+      .distinct().count()
+    assert(spread >= 4)
+  }
+
   test("saltedJoin == plain inner join") {
     val dim = (Seq("hot") ++ (0 until 50).map(i => s"k$i"))
       .zipWithIndex.toDF("key", "attr")
