@@ -20,9 +20,13 @@ import graft.Tables.SmallResult
 object TextOps {
 
   /** Documents scan rebalanced across cores: every query below runs a
-    * battery of regexes per row — compute-bound, not IO-bound. */
-  private def docs(s: SparkSession, d: String): DataFrame =
+    * battery of per-row text scans — compute-bound, not IO-bound.
+    * Registers the custom set-count expressions the column helpers
+    * reference. */
+  private def docs(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExpressions.register(s)
     Tables.rebalance(Tables.documents(s, d))
+  }
 
   private val stopEn = "\\b(the|a|of|and|to|is|in|it)\\b"
   private val stopDe = "\\b(der|die|das|und|ein|ist|nicht)\\b"
@@ -39,16 +43,35 @@ object TextOps {
   private def nMatches(c: Column, pattern: String): Column =
     regexp_count(c, lit(pattern)).cast("long")
 
+  /** Stopword count via the fused WordSetCount byte scan — provably
+    * equivalent to `regexp_count(c, "\\b(w1|…)\\b")` for all-word-char
+    * alternatives (see the expression's doc + property test), at a
+    * fraction of the regex engine's per-row cost. The word list is
+    * DERIVED from the regex constant the oracle SQL interpolates, so
+    * the two can never drift. (call_function resolves at analysis —
+    * the query entry points register the functions on their session.) */
+  private def nStopwords(c: Column, pattern: String): Column = {
+    val csv = pattern.stripPrefix("\\b(").stripSuffix(")\\b")
+      .replace("|", ",")
+    call_function(graft.plans.GraftExpressions.WordSetCountFn, c, lit(csv))
+  }
+
+  /** ASCII char-class count via the CharSetCount byte table —
+    * equivalent to `regexp_count(c, "[chars]")` for ASCII sets. */
+  private def nCharsOf(c: Column, charClass: String): Column =
+    call_function(graft.plans.GraftExpressions.CharSetCountFn, c,
+      lit(charClass.stripPrefix("[").stripSuffix("]")))
+
   // ---- language ID ------------------------------------------------------
 
   /** Stopword-vote language ID. Ties resolve in fixed priority order
     * (en, de, es, fr, zh); zero evidence → "und". */
   def langIdCol(text: Column): Column = {
     val t = lower(text)
-    val en = nMatches(t, stopEn)
-    val de = nMatches(t, stopDe)
-    val es = nMatches(t, stopEs)
-    val fr = nMatches(t, stopFr)
+    val en = nStopwords(t, stopEn)
+    val de = nStopwords(t, stopDe)
+    val es = nStopwords(t, stopEs)
+    val fr = nStopwords(t, stopFr)
     val zh = nMatches(t, zhChars)
     val mx = greatest(en, de, es, fr, zh)
     when(mx === 0, "und")
@@ -67,8 +90,8 @@ object TextOps {
   // ---- quality scoring --------------------------------------------------
 
   def nTokensCol(t: Column): Column = size(split(trim(t), "\\s+")).cast("long")
-  def punctRatioCol(t: Column): Column = nMatches(t, "[.,;:!?]") / length(t)
-  def stopRatioCol(t: Column): Column = nMatches(lower(t), stopEn) / nTokensCol(t)
+  def punctRatioCol(t: Column): Column = nCharsOf(t, "[.,;:!?]") / length(t)
+  def stopRatioCol(t: Column): Column = nStopwords(lower(t), stopEn) / nTokensCol(t)
 
   /** Composite quality score in [0,1]: length, stopword density, and
     * punctuation sanity, equally reproducible in DuckDB SQL. */

@@ -28,6 +28,21 @@ object GraftExpressions {
   val ShinglesFn = "graft_shingles"
   val TopKFn = "graft_topk"
   val LongDotFn = "graft_long_dot"
+  val WordSetCountFn = "graft_word_set_count"
+  val CharSetCountFn = "graft_char_set_count"
+
+  /** Shared guard for the two set-count builders: the set argument must
+    * be a constant string (it compiles into the expression). */
+  private def foldableString(e: Expression, fn: String): String = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: the set argument must be a constant string, got ${e.sql}")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: the set argument must be a constant string, got $other")
+    }
+  }
 
   /** Shared graft_topk builder for both registration routes: guards the
     * k argument BEFORE eval() — a non-foldable k (e.g. a column
@@ -62,8 +77,157 @@ object GraftExpressions {
       LongDotFn, es => LongDotProduct(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       ShinglesFn, es => WordShingles(es.head), "built-in")
+    reg.createOrReplaceTempFunction(WordSetCountFn,
+      es => WordSetCount(es(0), foldableString(es(1), WordSetCountFn)),
+      "built-in")
+    reg.createOrReplaceTempFunction(CharSetCountFn,
+      es => CharSetCount(es(0), foldableString(es(1), CharSetCountFn)),
+      "built-in")
     reg.createOrReplaceTempFunction(TopKFn, buildTopK, "built-in")
   }
+}
+
+object WordSetCount {
+  private[plans] def isWordByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+      (b >= '0' && b <= '9') || b == '_'
+}
+
+/** Count of maximal ASCII word-character runs whose content is in a
+  * constant word set — `regexp_count(t, "\\b(w1|…|wn)\\b")` under
+  * ASCII-boundary (RE2/DuckDB) semantics: a boundary exists only
+  * between an ASCII `[A-Za-z0-9_]` and anything else, so a bounded
+  * alternative matches iff an entire run equals it. One fused byte
+  * scan replaces the backtracking alternation — the hot stopword
+  * counters in the language-ID and quality batteries, where the regex
+  * engine is the dominant per-row cost.
+  *
+  * Boundary fine print: Java's `\b` is Unicode-aware even without
+  * UNICODE_CHARACTER_CLASS, so Spark's `regexp_count` declines a match
+  * when a set word abuts a non-ASCII LETTER ("日the日"), while RE2 —
+  * and therefore the DuckDB oracle — accepts it. This expression
+  * implements the RE2 semantics, which REMOVES a latent cross-engine
+  * divergence the regex form carried (never fired: the fixture corpus
+  * is ASCII, asserted in MultimodalSpec). Equivalence is
+  * property-tested in GraftExpressionsSpec: against regexp_count on
+  * ASCII strings, and against a byte-level reference on Unicode
+  * adjacency. */
+case class WordSetCount(child: Expression, wordsCsv: String)
+    extends UnaryExpression {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = GraftExpressions.WordSetCountFn
+
+  @transient private lazy val wordSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    wordsCsv.split(",").foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val t = v.asInstanceOf[UTF8String]
+    val bytes = t.getBytes
+    val n = bytes.length
+    var count = 0L
+    var i = 0
+    while (i < n) {
+      if (WordSetCount.isWordByte(bytes(i))) {
+        val start = i
+        while (i < n && WordSetCount.isWordByte(bytes(i))) i += 1
+        if (wordSet.contains(UTF8String.fromBytes(bytes, start, i - start)))
+          count += 1
+      } else i += 1
+    }
+    count
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val setRef = ctx.addReferenceObj("wordSet", wordSet,
+        "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+      val bytes = ctx.freshName("bytes"); val n = ctx.freshName("n")
+      val i = ctx.freshName("i"); val start = ctx.freshName("start")
+      val count = ctx.freshName("count"); val b = ctx.freshName("b")
+      val isWord = (v: String) =>
+        s"(($v >= 'a' && $v <= 'z') || ($v >= 'A' && $v <= 'Z') || " +
+          s"($v >= '0' && $v <= '9') || $v == '_')"
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |int $n = $bytes.length;
+         |long $count = 0L;
+         |int $i = 0;
+         |while ($i < $n) {
+         |  byte $b = $bytes[$i];
+         |  if (${isWord(b)}) {
+         |    int $start = $i;
+         |    while ($i < $n && ${s"$bytes[$i]"} >= 0 && ${isWord(s"$bytes[$i]")}) $i++;
+         |    if ($setRef.contains(
+         |        org.apache.spark.unsafe.types.UTF8String.fromBytes(
+         |          $bytes, $start, $i - $start))) $count++;
+         |  } else $i++;
+         |}
+         |${ev.value} = $count;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Count of characters belonging to a constant ASCII char set —
+  * `regexp_count(t, "[c1…cn]")` for ASCII-only sets: in valid UTF-8 an
+  * ASCII byte IS the character (continuation bytes are ≥ 0x80), so a
+  * byte-table lookup per byte counts exactly the single-char matches.
+  * Replaces the regex engine in the punctuation-ratio quality gate. */
+case class CharSetCount(child: Expression, chars: String)
+    extends UnaryExpression {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = GraftExpressions.CharSetCountFn
+
+  @transient private lazy val table: Array[Boolean] = {
+    val t = new Array[Boolean](128)
+    chars.foreach { ch =>
+      require(ch < 128, s"$prettyName supports ASCII sets only, got '$ch'")
+      t(ch) = true
+    }
+    t
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    var count = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b >= 0 && table(b)) count += 1
+      i += 1
+    }
+    count
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tabRef = ctx.addReferenceObj("charTable", table, "boolean[]")
+      val bytes = ctx.freshName("bytes"); val i = ctx.freshName("i")
+      val count = ctx.freshName("count"); val b = ctx.freshName("b")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |long $count = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  byte $b = $bytes[$i];
+         |  if ($b >= 0 && $tabRef[$b]) $count++;
+         |}
+         |${ev.value} = $count;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** Distinct word-k-gram shingles from a token array, first-occurrence

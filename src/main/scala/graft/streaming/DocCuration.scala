@@ -23,12 +23,14 @@ object DocCuration {
 
   /** Per-row curation projection — the single definition shared by the
     * batch x14 query and the stream below. */
-  def curated(docs: DataFrame): DataFrame =
+  def curated(docs: DataFrame): DataFrame = {
+    graft.plans.GraftExpressions.register(docs.sparkSession)
     docs.select(col("doc_id"), col("source"),
         TextOps.fingerprintCol(col("text")).as("fp"),
         TextOps.langIdCol(col("text")).as("pred_lang"),
         round(TextOps.qualityCol(col("text")), 4).as("q"))
       .filter(col("pred_lang") === "en" && col("q") >= 0.4)
+  }
 
   /** Batch reference semantics: gates + keep the min doc_id per
     * fingerprint (deterministic representative). */
@@ -85,6 +87,7 @@ object DocCuration {
   def processNearDupBatch(batch: DataFrame, outDir: String,
                           stateDir: String): Unit = {
     val s = batch.sparkSession
+    graft.plans.GraftExpressions.register(s)
     import org.apache.spark.sql.expressions.Window
     val gated = batch.select(col("doc_id"), col("source"), col("text"),
         TextOps.fingerprintCol(col("text")).as("fp"),

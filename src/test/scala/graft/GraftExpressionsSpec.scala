@@ -79,6 +79,71 @@ class GraftExpressionsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(1).isNullAt(0))
   }
 
+  test("WordSetCount/CharSetCount ≡ regexp_count on ASCII strings") {
+    GraftExpressions.register(spark)
+    val words = "the,a,of,and,to,is,in,it"
+    val stopRe = "\\b(the|a|of|and|to|is|in|it)\\b"
+    // adversarial ASCII vocabulary: set words embedded in longer runs,
+    // glued to digits/underscores (word chars — must NOT match),
+    // punctuation/space neighbors (must bound a match), empties
+    val pieces = Seq("the", "a", "of", "xthe", "the_", "_the", "a1",
+      "1a", "it,", ".is.", "it", "to", "", "and", "of!of", "a-a",
+      "the  the", "is\tof", "THE", "The")
+    val rng = new scala.util.Random(11)
+    val docs = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(rng.nextInt(12))(
+        pieces(rng.nextInt(pieces.length))).mkString(
+          Seq(" ", "", ",", "-").apply(rng.nextInt(4))))
+    }
+    val df = docs.toDF("id", "t").select($"id",
+      call_function(GraftExpressions.WordSetCountFn, $"t", lit(words)).as("w"),
+      regexp_count($"t", lit(stopRe)).cast("long").as("wre"),
+      call_function(GraftExpressions.CharSetCountFn, $"t", lit(".,;:!?")).as("c"),
+      regexp_count($"t", lit("[.,;:!?]")).cast("long").as("cre"))
+    df.collect().foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"word mismatch id=${r.getLong(0)}")
+      assert(r.getLong(3) === r.getLong(4), s"char mismatch id=${r.getLong(0)}")
+    }
+  }
+
+  test("WordSetCount uses RE2/DuckDB ASCII boundaries on Unicode neighbors") {
+    GraftExpressions.register(spark)
+    val words = "the,a,it"
+    // Java's \b is Unicode-aware (declines "日the日"); RE2 — and hence
+    // the DuckDB oracle — treats non-ASCII as a boundary and accepts
+    // it. The expression must follow RE2: reference = byte-level scan.
+    def ref(t: String): Long = {
+      val bytes = t.getBytes("UTF-8")
+      val set = words.split(",").toSet
+      var i = 0; var n = 0L
+      def w(b: Byte) = (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+        (b >= '0' && b <= '9') || b == '_'
+      while (i < bytes.length) {
+        if (w(bytes(i))) {
+          val s0 = i
+          while (i < bytes.length && w(bytes(i))) i += 1
+          if (set(new String(bytes, s0, i - s0, "UTF-8"))) n += 1
+        } else i += 1
+      }
+      n
+    }
+    val cases = Seq("日the日", "thé", "словit", "…a…", "éaé", "aé",
+      "the日it", "日 the 日", "日a1日")
+    val got = cases.toDF("t")
+      .select($"t", call_function(GraftExpressions.WordSetCountFn,
+        $"t", lit(words)).as("n"))
+      .as[(String, Long)].collect().toMap
+    cases.foreach(t => assert(got(t) === ref(t), s"'$t'"))
+    // and the divergence is real: the RE2 rule accepts this, Java's \b
+    // (regexp_count) does not — pin both so the doc-comment stays true
+    assert(got("日the日") === 1L)
+    val javaRe = cases.toDF("t")
+      .select($"t", regexp_count($"t",
+        lit("\\b(the|a|it)\\b")).cast("long").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(javaRe("日the日") === 0L)
+  }
+
   test("LongDotProduct rejects un-quantized (double) input cleanly") {
     GraftExpressions.register(spark)
     val err = intercept[Exception] {
