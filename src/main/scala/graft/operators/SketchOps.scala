@@ -59,8 +59,66 @@ object SketchOps {
       .smallOrdered($"event_type")
   }
 
+  // ---- relational Bloom filter ------------------------------------------
+
+  /** Position domain m. Small on purpose: the "bitmap" relation stays
+    * broadcastable AND false positives are real at fixture scale, so
+    * the oracle genuinely exercises sketch semantics. */
+  val BloomBits = 4096L
+  val BloomHashes = 3
+
+  /** md5-derived position j of a value — the one hash construction
+    * every engine computes identically (same convention as the LSH
+    * planes and stratified-sample buckets). */
+  private def bloomPos(v: Column, j: Int): Column =
+    conv(substring(md5(concat(lit(s"b$j"), v)), 1, 8), 16, 10)
+      .cast("long") % BloomBits
+
+  /** Bloom-filter membership sweep, fully relational: the filter over
+    * the member set ("purchase" users) is the DISTINCT set of k
+    * md5-derived bit positions — a ≤ m-row relation standing in for the
+    * bitmap — and a probe hits iff ALL k of its positions are present.
+    * The classic approximate-membership contract emerges exactly: zero
+    * false negatives structurally, false positives at ~(1-e^{-kn/m})^k.
+    *
+    * Because every position is exact md5 arithmetic, the ENTIRE sketch
+    * — bitmap, hits, and false-positive count — is bit-reproducible in
+    * the DuckDB oracle: unlike HLL (x13), nothing here needs a
+    * tolerance check. At 100 TB the bitmap relation broadcasts (m
+    * rows max); past broadcastable m it becomes a bit-packed aggregate
+    * with the same position arithmetic. */
+  def bloomFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val members = ev.filter($"event_type" === "purchase")
+      .filter($"user_id".isNotNull).select($"user_id").distinct()
+    val users = ev.filter($"user_id".isNotNull).select($"user_id").distinct()
+    def positions(df: DataFrame): DataFrame =
+      df.select(col("user_id"), explode(array(
+        (1 to BloomHashes).map(j => bloomPos(col("user_id"), j)): _*)).as("pos"))
+    val bits = positions(members).select($"pos").distinct()
+    val hits = positions(users)
+      .join(broadcast(bits), Seq("pos"), "left_semi")
+      .groupBy($"user_id").agg(count("*").as("nmatch"))
+      .filter($"nmatch" === BloomHashes)
+      .select($"user_id", lit(1L).as("hit"))
+    users
+      .join(members.withColumn("m", lit(1L)), Seq("user_id"), "left")
+      .join(hits, Seq("user_id"), "left")
+      .select(coalesce($"m", lit(0L)).as("m"),
+        coalesce($"hit", lit(0L)).as("hit"))
+      .agg(count("*").as("n_users"),
+        sum($"m").as("n_members"),
+        sum($"hit").as("n_bloom_hits"),
+        sum(when($"m" === 1L && $"hit" === 0L, 1L).otherwise(0L))
+          .as("n_false_neg"),
+        sum(when($"m" === 0L && $"hit" === 1L, 1L).otherwise(0L))
+          .as("n_false_pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x13_approx_distinct" -> approxDistinct _,
+    "x25_bloom_filter"    -> bloomFilter _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -72,5 +130,34 @@ object SketchOps {
         |  CAST(count(*) AS BIGINT) AS n,
         |  TRUE AS users_ok, TRUE AS props_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "x25_bloom_filter" ->
+      s"""WITH members AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |users AS (SELECT DISTINCT user_id FROM events
+        |          WHERE user_id IS NOT NULL),
+        |bits AS (
+        |  SELECT DISTINCT
+        |    ('0x' || substr(md5('b' || j.range || user_id), 1, 8))::BIGINT
+        |      % $BloomBits AS pos
+        |  FROM members, range(1, ${BloomHashes + 1}) j),
+        |hits AS (
+        |  SELECT p.user_id FROM (
+        |    SELECT u.user_id,
+        |      ('0x' || substr(md5('b' || j.range || u.user_id), 1, 8))::BIGINT
+        |        % $BloomBits AS pos
+        |    FROM users u, range(1, ${BloomHashes + 1}) j) p
+        |  JOIN bits USING (pos)
+        |  GROUP BY p.user_id HAVING count(*) = $BloomHashes)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM users) AS n_users,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM members) AS n_members,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_bloom_hits,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM members m
+        |   WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.user_id = m.user_id))
+        |    AS n_false_neg,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM hits h
+        |   WHERE NOT EXISTS (SELECT 1 FROM members m WHERE m.user_id = h.user_id))
+        |    AS n_false_pos""".stripMargin,
   )
 }

@@ -33,7 +33,7 @@ object GraftExpressions {
 
   /** Shared guard for the two set-count builders: the set argument must
     * be a constant string (it compiles into the expression). */
-  private def foldableString(e: Expression, fn: String): String = {
+  private[plans] def foldableString(e: Expression, fn: String): String = {
     if (!e.foldable)
       throw new IllegalArgumentException(
         s"$fn: the set argument must be a constant string, got ${e.sql}")

@@ -52,5 +52,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(GraftExpressions.TopKFn,
         "bounded-heap top-k (score, id) pairs per group"),
       (es: Seq[Expression]) => GraftExpressions.buildTopK(es)))
+    e.injectFunction((FunctionIdentifier(GraftExpressions.WordSetCountFn),
+      info(GraftExpressions.WordSetCountFn,
+        "count of word-char runs matching a constant word set " +
+          "(ASCII/RE2 boundary semantics)"),
+      (es: Seq[Expression]) => WordSetCount(es(0),
+        GraftExpressions.foldableString(es(1),
+          GraftExpressions.WordSetCountFn))))
+    e.injectFunction((FunctionIdentifier(GraftExpressions.CharSetCountFn),
+      info(GraftExpressions.CharSetCountFn,
+        "count of characters in a constant ASCII char set"),
+      (es: Seq[Expression]) => CharSetCount(es(0),
+        GraftExpressions.foldableString(es(1),
+          GraftExpressions.CharSetCountFn))))
   }
 }

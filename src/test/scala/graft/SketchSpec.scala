@@ -35,4 +35,17 @@ class SketchSpec extends AnyFunSuite with SparkTestSession {
       .as[(String, Long)].collect().toMap
     rows.foreach(r => assert(r.getLong(1) === exactUsers(r.getString(0))))
   }
+
+  test("bloom filter: zero false negatives, real sketch semantics") {
+    val r = graft.operators.SketchOps.bloomFilter(spark, sf).collect().head
+    val (nUsers, nMembers, nHits, nFn, nFp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nFn === 0L, "a Bloom filter can never have a false negative")
+    assert(nHits === nMembers + nFp)
+    assert(nMembers > 0 && nUsers >= nMembers)
+    // deterministic: the sketch is md5 arithmetic, not RNG
+    val again = graft.operators.SketchOps.bloomFilter(spark, sf)
+      .collect().head
+    assert(r === again)
+  }
 }
