@@ -77,15 +77,22 @@ object DocCuration {
     *     arrival would — the conservative direction for a dedup gate,
     *     and deterministic under any batch partitioning.)
     *
-    * Survivors append to the sink; ONLY survivors' bands append to the
+    * Survivors land in the sink; ONLY survivors' bands land in the
     * state — a doc dropped as a near-dup must not itself suppress
-    * future docs. State is a plain (chunk, key) parquet table: the join
-    * is band-keyed and mergeable, the shape that scales (a 24/7 run
+    * future docs. State is a (chunk, key) parquet table: the join is
+    * band-keyed and mergeable, the shape that scales (a 24/7 run
     * would date-partition the state and expire old partitions exactly
     * like the reference's TTLs; `AvailableNow` backfills bound it per
-    * run). */
+    * run).
+    *
+    * REPLAY SAFETY: foreachBatch is at-least-once, so both writes are
+    * dynamic partition OVERWRITES keyed by batch_id — a replayed batch
+    * rewrites its own partitions instead of appending duplicates — and
+    * the state read excludes the CURRENT batch_id, so a half-written
+    * state partition from a failed attempt can never make the batch's
+    * docs collide with themselves (which would drop them all). */
   def processNearDupBatch(batch: DataFrame, outDir: String,
-                          stateDir: String): Unit = {
+                          stateDir: String, batchId: Long): Unit = {
     val s = batch.sparkSession
     graft.plans.GraftExpressions.register(s)
     import org.apache.spark.sql.expressions.Window
@@ -104,7 +111,10 @@ object DocCuration {
     val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val hitState =
       if (!fs.exists(statePath)) bands.select(col("doc_id")).limit(0)
-      else bands.join(s.read.parquet(stateDir).select(col("chunk"), col("key")),
+      else bands.join(
+        s.read.parquet(stateDir)
+          .filter(col("batch_id") < batchId)   // never self-collide on replay
+          .select(col("chunk"), col("key")),
         Seq("chunk", "key"), "left_semi").select(col("doc_id")).distinct()
     val b1 = gated.join(hitState, Seq("doc_id"), "left_anti")
     val bands1 = bands.join(b1.select(col("doc_id")), Seq("doc_id"), "left_semi")
@@ -113,13 +123,16 @@ object DocCuration {
         .agg(min(col("doc_id")).as("_mn")), Seq("chunk", "key"))
       .filter(col("doc_id") > col("_mn"))
       .select(col("doc_id")).distinct()
-    // materialize survivors BEFORE the two appends: both writes must see
-    // the same kept set, and the sink write must not re-read the state
-    // dir it is about to modify
+    // materialize survivors BEFORE the two writes: both must see the
+    // same kept set, and the sink write must not re-read the state dir
+    // it is about to modify
     val kept = b1.join(drop2, Seq("doc_id"), "left_anti").localCheckpoint(true)
-    kept.drop("text").write.mode("append").parquet(outDir)
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    kept.drop("text").withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
     bands.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .write.mode("append").parquet(stateDir)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(stateDir)
   }
 
   /** Streaming curation with the near-dup gate: gates → exact-fp dedup
@@ -137,8 +150,8 @@ object DocCuration {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processNearDupBatch(batch, outDir, stateDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processNearDupBatch(batch, outDir, stateDir, batchId)
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -129,13 +129,22 @@ class TextPipelineSpec extends AnyFunSuite with SparkTestSession {
 
     val root = Files.createTempDirectory("graft-ndgate")
     val out = s"$root/out"; val state = s"$root/state"
-    batches.foreach { b =>
+    batches.zipWithIndex.foreach { case (b, id) =>
       graft.streaming.DocCuration.processNearDupBatch(
-        b.toDF("doc_id", "source", "text"), out, state)
+        b.toDF("doc_id", "source", "text"), out, state, id.toLong)
     }
     val got = spark.read.parquet(out).select($"doc_id").as[Long]
       .collect().sorted.toSeq
     assert(got === keptRef.sorted.toSeq)
+
+    // at-least-once replay: re-running a batch with its own batch_id
+    // must leave output AND state byte-identical (idempotent dynamic
+    // partition overwrite + self-excluding state read)
+    graft.streaming.DocCuration.processNearDupBatch(
+      batches(1).toDF("doc_id", "source", "text"), out, state, 1L)
+    val afterReplay = spark.read.parquet(out).select($"doc_id").as[Long]
+      .collect().sorted.toSeq
+    assert(afterReplay === got)
     // the shuffled cross-batch copy is a GUARANTEED band collision
     // (simhash is token-order invariant) — the state must have caught it
     assert(!got.contains(4L))
