@@ -42,8 +42,10 @@ object Bench {
     // Extra session confs for A/B experiments:
     // SPARK_GRAFT_CONF="spark.x=1;spark.y=2".
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k.trim, v.trim)
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => builder.config(k.trim, v.trim)
+        case _ => // tolerate trailing ';' / empty segments
+      }
     })
     val spark = builder.getOrCreate()
     // ERROR, not WARN: the JSON line must be the only stdout content a

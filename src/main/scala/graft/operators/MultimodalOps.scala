@@ -82,9 +82,13 @@ object MultimodalOps {
     * `decodeFeatures`'s. */
   def realDecode(r: MediaRow): MediaFeatures = {
     val isImage = r.format == "png" || r.format == "jpeg"
+    // NonFatal, not just IOException: ImageIO decoders throw unchecked
+    // exceptions (IllegalArgumentException, AIOOBE, NegativeArraySize…)
+    // on many malformed payloads, and one bad image must fall back to
+    // the stub, not kill the stage
     val img = if (!isImage) null
       else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) fakeDecode(r)
     else {
       var sum = 0L

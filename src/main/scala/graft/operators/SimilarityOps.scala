@@ -93,15 +93,40 @@ object SimilarityOps {
     * defeat partition pruning). */
   def ensureAnnIndex(s: SparkSession, d: String): String = {
     import s.implicits._
+    val hconf = s.sparkContext.hadoopConfiguration
+    // Content key: names + sizes + mtimes of the source files, so a
+    // corpus REGENERATED at the same path gets a fresh index dir
+    // instead of silently serving neighbors from the old data. ("v1"
+    // versions the plane/quantization definitions themselves — bump it
+    // if lshSignature ever changes.)
+    val srcPath = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val srcFs = srcPath.getFileSystem(hconf)
+    val sig = {
+      val parts = srcFs.listStatus(srcPath).map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}").sorted
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(parts.mkString("|").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+    }
     val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
     val path = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft-ann-index-$safe-v1").toString
-    val done = new java.io.File(path, "_SUCCESS")
-    if (!done.isFile) {
+      sys.props("java.io.tmpdir"), s"graft-ann-index-$safe-v1-$sig").toString
+    val destPath = new org.apache.hadoop.fs.Path(path)
+    val fs = destPath.getFileSystem(hconf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
+      // a dir without _SUCCESS is a crashed prior build — clear it
+      if (fs.exists(destPath)) fs.delete(destPath, true)
+      // build into a process-unique staging dir, then rename into
+      // place: concurrent JVMs each stage privately, exactly one rename
+      // wins, and the loser discards its staging copy — no reader can
+      // observe a half-written index
+      val staging = new org.apache.hadoop.fs.Path(
+        path + s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
       Tables.embeddings(s, d)
         .select($"vec_id", $"embedding".cast("array<double>").as("e"))
         .withColumn("bucket", lshSignature(s, $"e").cast("int"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+        .write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+      if (!fs.rename(staging, destPath)) fs.delete(staging, true)
     }
     path
   }

@@ -49,10 +49,13 @@ object SketchOps {
       .agg(approx_count_distinct($"user_id", rsd = 0.02).as("approx_users"),
            approx_count_distinct($"pk", rsd = 0.02).as("approx_props"),
            count("*").as("n"))
-    val exact = ev.groupBy($"event_type")
+    // null-SAFE join key: a NULL event_type is a legitimate group in
+    // both aggregations (and in the oracle's GROUP BY); a plain inner
+    // join would silently drop it
+    val exact = ev.groupBy($"event_type".as("et"))
       .agg(countDistinct($"user_id").as("exact_users"),
            countDistinct($"pk").as("exact_props"))
-    sketch.join(broadcast(exact), "event_type")
+    sketch.join(broadcast(exact), $"event_type" <=> $"et").drop("et")
       .select($"event_type", $"exact_users", $"exact_props", $"n",
         within($"approx_users", $"exact_users").as("users_ok"),
         within($"approx_props", $"exact_props").as("props_ok"))

@@ -109,10 +109,13 @@ object DocCuration {
       .localCheckpoint(true)   // consumed by 3 subplans; compute once
     val statePath = new org.apache.hadoop.fs.Path(stateDir)
     val fs = statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // Explicit schema: a prior batch that kept zero docs leaves the
+    // state dir existing but file-less, where schema inference throws;
+    // with the schema pinned, that reads as an empty frame.
     val hitState =
       if (!fs.exists(statePath)) bands.select(col("doc_id")).limit(0)
       else bands.join(
-        s.read.parquet(stateDir)
+        s.read.schema(stateSchema).parquet(stateDir)
           .filter(col("batch_id") < batchId)   // never self-collide on replay
           .select(col("chunk"), col("key")),
         Seq("chunk", "key"), "left_semi").select(col("doc_id")).distinct()
@@ -127,12 +130,26 @@ object DocCuration {
     // same kept set, and the sink write must not re-read the state dir
     // it is about to modify
     val kept = b1.join(drop2, Seq("doc_id"), "left_anti").localCheckpoint(true)
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // partitionOverwriteMode as a WRITER option, not session conf: the
+    // session is shared, and flipping the conf would silently change
+    // overwrite semantics for every other partitioned write in it
     kept.drop("text").withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(outDir)
     bands.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(stateDir)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(stateDir)
+  }
+
+  /** Band-state layout: (doc_id, chunk, key) partitioned by batch_id. */
+  private val stateSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("chunk", IntegerType),
+      StructField("key", LongType),
+      StructField("batch_id", LongType)))
   }
 
   /** Streaming curation with the near-dup gate: gates → exact-fp dedup

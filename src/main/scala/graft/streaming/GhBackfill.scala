@@ -136,6 +136,10 @@ object GhBackfill {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) return 0
+    // a table whose partitions were ALL expired/trimmed is an existing
+    // dir with no data (just _SUCCESS) — schema inference would throw
+    if (!fs.listStatus(path).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith(s"$dateCol="))) return 0
     // cast: partition inference may type the date dir as DATE; the
     // directory name needed for the delete is its string form
     val counts = spark.read.parquet(dir)

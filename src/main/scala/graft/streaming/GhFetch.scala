@@ -37,11 +37,16 @@ object GhFetch {
   val DefaultArchiveUrl = "https://data.gharchive.org"
 
   private lazy val http: HttpClient =
-    HttpClient.newBuilder().followRedirects(HttpClient.Redirect.NORMAL).build()
+    HttpClient.newBuilder().followRedirects(HttpClient.Redirect.NORMAL)
+      .connectTimeout(java.time.Duration.ofSeconds(30)).build()
 
   private def get(url: String,
                   headers: Seq[(String, String)]): Array[Byte] = {
+    // request timeout: the JDK client's default is NO timeout, so a
+    // mid-response stall would hang the fetch loop forever; a bounded
+    // wait turns it into the per-hour log-and-continue path instead
     val b = HttpRequest.newBuilder(URI.create(url)).GET()
+      .timeout(java.time.Duration.ofMinutes(5))
     headers.foreach { case (k, v) => b.header(k, v) }
     val resp = http.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
     if (resp.statusCode() / 100 != 2)
@@ -152,7 +157,13 @@ object GhArchivePipeline {
             GhIngest.readEventsJson(spark, paths)))
           GhBackfill.backfillMissingHours(spark, events, hourlyDir)
         }
-      val dailyRows = GhBackfill.dailySummary(spark, hourlyDir).count()
+      // a first run whose downloads ALL failed never creates hourly/;
+      // degrade to zero daily rows rather than crashing the command
+      val hourlyPath = new org.apache.hadoop.fs.Path(hourlyDir)
+      val fs = hourlyPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dailyRows =
+        if (!fs.exists(hourlyPath)) 0L
+        else GhBackfill.dailySummary(spark, hourlyDir).count()
       Result(date, fetched, hoursWritten, dailyRows)
     }
 

@@ -94,6 +94,17 @@ class GhBackfillSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.read.parquet(out).count() === 100)
   }
 
+  test("size-bounded trim is a no-op on an emptied table directory") {
+    val out = Files.createTempDirectory("graft-bf-trim3").toString + "/bronze"
+    Seq(("e0", "2025-08-10", 0)).toDF("id", "event_date", "event_hour")
+      .write.partitionBy("event_date", "event_hour").parquet(out)
+    // trim to max 0 drops EVERY partition: the dir survives with no
+    // partitions (just _SUCCESS) — the next trim must detect that, not
+    // die inferring a schema from zero files
+    assert(graft.streaming.GhBackfill.trimToMaxEvents(spark, out, 0) === 1)
+    assert(graft.streaming.GhBackfill.trimToMaxEvents(spark, out, 10) === 0)
+  }
+
   test("partition listing tolerates foreign and malformed directories") {
     val out = Files.createTempDirectory("graft-bf5").toString + "/hourly"
     GhBackfill.backfillMissingHours(spark, cleanedEvents, out)

@@ -184,6 +184,23 @@ class TextPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.read.parquet(s"$root/state").count() > 0)
   }
 
+  test("near-dup gate survives a batch that keeps zero docs") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-ndempty")
+    val out = s"$root/out"; val state = s"$root/state"
+    // batch 0: every doc fails the language gate → zero kept → the
+    // state dir exists but holds no parquet files; batch 1 must read
+    // that as EMPTY state, not crash on schema inference
+    graft.streaming.DocCuration.processNearDupBatch(
+      Seq((1L, "s1", "zzz qqq xxv kkw pqf zzz qqq xxv kkw pqf"))
+        .toDF("doc_id", "source", "text"), out, state, 0L)
+    graft.streaming.DocCuration.processNearDupBatch(
+      Seq(enDoc(2, "meadow")).toDF("doc_id", "source", "text"),
+      out, state, 1L)
+    assert(spark.read.parquet(out).select($"doc_id").as[Long]
+      .collect().toSeq === Seq(2L))
+  }
+
   test("stratified sample is bounded, stratified, and deterministic") {
     val a = TextOps.stratifiedSample(spark, sf).collect()
     assert(a.nonEmpty)
