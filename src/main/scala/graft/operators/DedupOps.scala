@@ -356,6 +356,49 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
+  // ---- block-level exact substring dedup ---------------------------------
+
+  /** Words per sliding window for block-level dedup. 8 words ≈ the
+    * granularity at which exact repeats are meaningful boilerplate
+    * rather than idiom (the suffix-array literature uses ~50 BPE
+    * tokens; at word granularity the same intent lands near 8–10). */
+  val BlockWords = 8
+
+  /** x26 — block-level EXACT substring dedup: the relational form of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022), which finds verbatim text shared across
+    * documents at sub-document granularity (their suffix-array pass;
+    * here sliding word-windows, the join-friendly equivalent). A
+    * window is duplicated iff its exact text occurs in ≥ 2 distinct
+    * docs; per doc the query emits total windows, duplicated windows,
+    * and the gate flag — all integers, so the oracle hash-matches.
+    *
+    * Scale shape: windows explode to ~L rows/doc but carry only a
+    * 64-bit xxhash key through the shuffle, never the window string
+    * (the key is internal — outputs are counts, so engine-specific
+    * hashing is safe). The duplicated-key relation is the aggregate's
+    * ≥2-distinct-doc survivors — tiny relative to the corpus whenever
+    * duplication is the exception, hence the broadcast back; on a
+    * pathological corpus drop the hint and the semi-join degrades to a
+    * shuffle on the same key. */
+  def dedupBlocks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wins = words(s, d).filter(size($"w") >= BlockWords)
+      .select($"doc_id", explode(expr(
+        s"transform(sequence(0, size(w) - $BlockWords), " +
+          s"i -> xxhash64(array_join(slice(w, i + 1, $BlockWords), ' ')))"))
+        .as("k"))
+    val dup = wins.groupBy($"k")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2).select($"k", lit(1L).as("dup"))
+    wins.join(broadcast(dup), Seq("k"), "left")
+      .groupBy($"doc_id")
+      .agg(count("*").as("n_windows"),
+           sum(coalesce($"dup", lit(0L))).as("n_dup_windows"))
+      .withColumn("flagged", $"n_dup_windows" > 0L)
+      .orderBy($"doc_id")
+  }
+
   // ---- benchmark decontamination ----------------------------------------
 
   /** Stand-in eval-set membership: every 50th doc_id (a real pipeline
@@ -460,6 +503,7 @@ object DedupOps {
     "x20_contamination"       -> contamination _,
     "x21_repetition_filter"   -> repetitionFilter _,
     "x24_contamination_eval"  -> contaminationEval _,
+    "x26_dedup_blocks"        -> dedupBlocks _,
   )
 
   /** x02's oracle is the EXACT all-pairs Jaccard — valid because the
@@ -593,6 +637,21 @@ object DedupOps {
         |FROM tp JOIN ep USING (sh)
         |GROUP BY 1, 2 HAVING count(*) >= $MinSharedShingles
         |ORDER BY 1, 2""".stripMargin,
+    "x26_dedup_blocks" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+        |           FROM documents
+        |           WHERE len(string_split_regex(lower(text), '\\s+')) >= $BlockWords),
+        |wins AS (SELECT doc_id,
+        |           unnest(list_transform(range(1, len(w) - ${BlockWords - 2}),
+        |             i -> array_to_string(w[i:i+${BlockWords - 1}], ' '))) AS blk
+        |         FROM w),
+        |dup AS (SELECT blk FROM wins GROUP BY blk
+        |        HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(count(d.blk) AS BIGINT) AS n_dup_windows,
+        |  count(d.blk) > 0 AS flagged
+        |FROM wins s LEFT JOIN dup d ON s.blk = d.blk
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x05_dedup_embedding" ->
       """SELECT a.vec_id AS va, b.vec_id AS vb,
         |  ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /

@@ -262,6 +262,56 @@ object TextOps {
       .smallOrdered($"source", $"split")
   }
 
+  // ---- bigram-LM likelihood filter ---------------------------------------
+
+  /** Probability scale for the integer-exact LM scores. */
+  val LmProbScale = 1000000L
+  /** Flag a doc when its AVG scaled bigram probability falls below
+    * this — the low-likelihood tail (≈ lowest decile on the driver
+    * fixture, whose per-doc averages span ~30.4k–38.8k). */
+  val LmFloorScaled = 33000L
+
+  /** x27 — corpus-trained bigram-LM likelihood filter: the relational
+    * form of perplexity filtering (CCNet, Wenzek et al., LREC 2020 —
+    * there with a KenLM 5-gram model; here a self-trained bigram model
+    * with add-one smoothing, Jurafsky–Martin ch. 3). Per doc: bigram
+    * count and the sum of per-bigram scaled probabilities
+    * floor((c(w1,w2)+1)·scale / (c(w1)+|V|)) — INTEGER arithmetic end
+    * to end, so the score is order-invariant and the oracle
+    * hash-matches where a log-prob sum would drift in the last ulp.
+    * Low-sum docs are the improbable-word-sequence tail (OCR noise,
+    * gibberish, wrong-language leakage).
+    *
+    * Scale shape: the doc→bigram explode is the big relation; the
+    * MODEL relations derived from it are aggregates over a bounded
+    * vocabulary — c(w1,w2) ≤ |V|² rows, c(w1) ≤ |V| — hence the
+    * broadcast joins (drop the hints past broadcastable vocabulary and
+    * the joins shuffle on the same keys). Training and scoring share
+    * one corpus scan per side of the aggregate. */
+  def lmLikelihood(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = docs(s, d)
+      .select($"doc_id", split(lower($"text"), "\\s+").as("w"))
+      .filter(size($"w") >= 2)
+    val bg = w.select($"doc_id", explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("p"))
+      .select($"doc_id", $"p.w1", $"p.w2")
+    val c12 = bg.groupBy($"w1", $"w2").agg(count("*").as("c12"))
+    val c1 = bg.groupBy($"w1").agg(count("*").as("c1"))
+    val v = w.select(explode($"w").as("word"))
+      .agg(countDistinct($"word").as("v"))
+    bg.join(broadcast(c12), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select($"doc_id",
+        expr(s"((c12 + 1L) * ${LmProbScale}L) div (c1 + v)").as("sp"))
+      .groupBy($"doc_id")
+      .agg(count("*").as("n_bigrams"), sum($"sp").as("sum_scaled_p"))
+      .withColumn("flagged", $"sum_scaled_p" < $"n_bigrams" * LmFloorScaled)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x07_text_langid"      -> textLangId _,
     "x08_text_quality"     -> textQuality _,
@@ -271,6 +321,7 @@ object TextOps {
     "x18_pack_sequences"   -> packSequences _,
     "x19_stratified_sample" -> stratifiedSample _,
     "x23_split_assign"     -> splitAssign _,
+    "x27_lm_likelihood"    -> lmLikelihood _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -374,5 +425,26 @@ object TextOps {
         |  FROM documents)
         |SELECT source, split, CAST(count(*) AS BIGINT) AS n
         |FROM m GROUP BY source, split ORDER BY source, split""".stripMargin,
+    "x27_lm_likelihood" ->
+      s"""WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+        |           FROM documents
+        |           WHERE len(string_split_regex(lower(text), '\\s+')) >= 2),
+        |bg AS (SELECT doc_id,
+        |         unnest(list_transform(range(1, len(w)),
+        |           i -> array_to_string(w[i:i+1], ' '))) AS bg
+        |       FROM w),
+        |v AS (SELECT count(DISTINCT word) AS v
+        |      FROM (SELECT unnest(w) AS word FROM w)),
+        |c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+        |       FROM bg GROUP BY 1),
+        |sc AS (SELECT d.doc_id,
+        |         ((c12.c12 + 1) * $LmProbScale) // (c1.c1 + v.v) AS sp
+        |       FROM bg d JOIN c12 USING (bg)
+        |       JOIN c1 ON split_part(d.bg, ' ', 1) = c1.w1 CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(sp) AS BIGINT) AS sum_scaled_p,
+        |  sum(sp) < count(*) * $LmFloorScaled AS flagged
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -105,6 +105,30 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(got === Seq((1L, 100L, 38L)))
   }
 
+  test("block dedup counts match a driver-side sliding-window recompute") {
+    val got = DedupOps.dedupBlocks(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val wins = Tables.documents(spark, sf)
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+      .flatMap { case (id, t) =>
+        val w = t.split("\\s+")
+        (0 to w.length - DedupOps.BlockWords)
+          .map(i => (id, w.slice(i, i + DedupOps.BlockWords).mkString(" ")))
+      }
+    val dup = wins.groupBy(_._2).filter(_._2.map(_._1).distinct.length >= 2).keySet
+    val ref = wins.groupBy(_._1).map { case (id, ws) =>
+      id -> ((ws.length.toLong, ws.count(x => dup(x._2)).toLong))
+    }
+    assert(got.length === ref.size)
+    got.foreach { case (id, n, nd, f) =>
+      assert((n, nd) === ref(id), s"window counts for doc $id")
+      assert(f === (nd > 0))
+    }
+    assert(got.map(_._1).toSeq === got.map(_._1).toSeq.sorted)
+    assert(got.exists(_._4), "fixture plants cross-doc duplicated blocks")
+    assert(got.exists(!_._4))
+  }
+
   test("exact dedup is idempotent: dedup(xs ++ xs) has one row per text") {
     val out = DedupOps.dedupExact(spark, sf)
     assert(out.count() ===

@@ -201,6 +201,31 @@ class TextPipelineSpec extends AnyFunSuite with SparkTestSession {
       .collect().toSeq === Seq(2L))
   }
 
+  test("lm likelihood equals a driver-side bigram-model recompute") {
+    val got = TextOps.lmLikelihood(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val toks = Tables.documents(spark, sf)
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+      .map { case (id, t) => (id, t.split("\\s+").toSeq) }
+      .filter(_._2.length >= 2)
+    val bgs = toks.flatMap { case (id, w) =>
+      w.sliding(2).map(p => (id, p(0), p(1))) }
+    val c12 = bgs.groupBy(x => (x._2, x._3)).view.mapValues(_.length.toLong).toMap
+    val c1 = bgs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val v = toks.flatMap(_._2).distinct.length.toLong
+    val ref = bgs.groupBy(_._1).map { case (id, bs) =>
+      id -> ((bs.length.toLong, bs.map { case (_, w1, w2) =>
+        ((c12((w1, w2)) + 1L) * TextOps.LmProbScale) / (c1(w1) + v) }.sum))
+    }
+    assert(got.length === ref.size)
+    got.foreach { case (id, n, s, f) =>
+      assert((n, s) === ref(id), s"lm score for doc $id")
+      assert(f === (s < n * TextOps.LmFloorScaled))
+    }
+    // the threshold separates a real tail on the fixture
+    assert(got.exists(_._4) && got.exists(!_._4))
+  }
+
   test("stratified sample is bounded, stratified, and deterministic") {
     val a = TextOps.stratifiedSample(spark, sf).collect()
     assert(a.nonEmpty)
