@@ -116,17 +116,51 @@ object MultimodalOps {
     media.mapPartitions { rows => rows.map(realDecode) }
   }
 
+  /** The stub resize rule for one row: deterministic byte subsampling
+    * to ≤ (w·h) payload bytes, metadata updated to the target dims. */
+  private def resizeStubRow(r: MediaRow, w: Int, h: Int): MediaRow = {
+    val target = math.max(1, math.min(r.media.length, w * h))
+    val step = math.max(1, r.media.length / target)
+    val out = r.media.indices.by(step).take(target).map(r.media).toArray
+    r.copy(media = out, width = w, height = h)
+  }
+
   /** FAKE RESIZE — stands in for an image resize: deterministic byte
-    * subsampling to ≤ (w·h) payload bytes, metadata updated to the
-    * target dims. Schema/partitioning identical to a real resize. */
+    * subsampling. Schema/partitioning identical to a real resize. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows => rows.map(resizeStubRow(_, w, h)) }
+  }
+
+  /** REAL RESIZE for image rows — decode via `ImageIO`, scale with
+    * `Graphics2D` bilinear interpolation (pure JDK, no native deps),
+    * re-encode as PNG; metadata follows the new raster. Non-image and
+    * undecodable rows take the stub fallback, so a mixed corpus flows
+    * through ONE partition-wise path — the same "swap only the body"
+    * upgrade `realDecode` makes to the decode stub. */
+  def resizeReal(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val target = math.max(1, math.min(r.media.length, w * h))
-        val step = math.max(1, r.media.length / target)
-        val out = r.media.indices.by(step).take(target).map(r.media).toArray
-        r.copy(media = out, width = w, height = h)
+        val isImage = r.format == "png" || r.format == "jpeg"
+        val img = if (!isImage) null
+          else try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.media))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) resizeStubRow(r, w, h)
+        else {
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          r.copy(media = bos.toByteArray, width = w, height = h, format = "png")
+        }
       }
     }
   }

@@ -131,4 +131,34 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(got(3L) === MultimodalOps.fakeDecode(
       MultimodalOps.MediaRow(3L, "s1", Array[Byte](9, 9), 1, 1, "png")))
   }
+
+  test("real resize scales a genuine PNG; non-images take the stub path") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0x336699)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+
+    val webmRow = MultimodalOps.MediaRow(2L, "s1",
+      Array.tabulate[Byte](40)(_.toByte), 8, 5, "webm")
+    val rows = Seq(
+      MultimodalOps.MediaRow(1L, "s1", png, 4, 4, "png"), webmRow).toDS()
+    val got = MultimodalOps.resizeReal(rows, 2, 2)
+      .collect().map(r => r.doc_id -> r).toMap
+
+    // the image row: really re-rastered — decodes to the target dims,
+    // and a solid-color source stays solid through bilinear scaling
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(got(1L).media))
+    assert((back.getWidth, back.getHeight) === (2, 2))
+    assert((got(1L).width, got(1L).height, got(1L).format) === (2, 2, "png"))
+    assert((0 until 2).forall(y => (0 until 2).forall(x =>
+      (back.getRGB(x, y) & 0xffffff) == 0x336699)))
+    // the non-image row: byte-identical to the stub rule
+    val stub = MultimodalOps.resize(Seq(webmRow).toDS(), 2, 2).collect().head
+    assert(got(2L).media.toSeq === stub.media.toSeq)
+    assert((got(2L).width, got(2L).height) === (2, 2))
+  }
 }
