@@ -383,14 +383,20 @@ object DedupOps {
     * shuffle on the same key. */
   def dedupBlocks(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // lazily checkpointed: the window explode feeds both the dup-key
+    // aggregate and the count-back join — materialize the (long, long)
+    // rows once instead of tokenizing + hashing the corpus twice
     val wins = words(s, d).filter(size($"w") >= BlockWords)
       .select($"doc_id", explode(expr(
         s"transform(sequence(0, size(w) - $BlockWords), " +
           s"i -> xxhash64(array_join(slice(w, i + 1, $BlockWords), ' ')))"))
         .as("k"))
+      .localCheckpoint(false)
+    // ≥2 distinct docs ⟺ min(doc_id) < max(doc_id): one plain agg pass,
+    // not the distinct-rewrite Expand a countDistinct would plan
     val dup = wins.groupBy($"k")
-      .agg(countDistinct($"doc_id").as("nd"))
-      .filter($"nd" >= 2).select($"k", lit(1L).as("dup"))
+      .agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"))
+      .filter($"mn" < $"mx").select($"k", lit(1L).as("dup"))
     wins.join(broadcast(dup), Seq("k"), "left")
       .groupBy($"doc_id")
       .agg(count("*").as("n_windows"),

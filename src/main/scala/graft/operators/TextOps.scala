@@ -293,10 +293,14 @@ object TextOps {
     val w = docs(s, d)
       .select($"doc_id", split(lower($"text"), "\\s+").as("w"))
       .filter(size($"w") >= 2)
+    // lazily checkpointed: the bigram explode feeds the c12 and c1
+    // model aggregates AND the scoring join — one tokenize + explode
+    // pass instead of three
     val bg = w.select($"doc_id", explode(expr(
         "transform(sequence(1, size(w) - 1), " +
           "i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("p"))
       .select($"doc_id", $"p.w1", $"p.w2")
+      .localCheckpoint(false)
     val c12 = bg.groupBy($"w1", $"w2").agg(count("*").as("c12"))
     val c1 = bg.groupBy($"w1").agg(count("*").as("c1"))
     val v = w.select(explode($"w").as("word"))
