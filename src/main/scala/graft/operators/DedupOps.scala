@@ -374,9 +374,11 @@ object DedupOps {
     * and the gate flag — all integers, so the oracle hash-matches.
     *
     * Scale shape: windows explode to ~L rows/doc but carry only a
-    * 64-bit xxhash key through the shuffle, never the window string
+    * 16-byte md5 digest through the shuffle, never the window string
     * (the key is internal — outputs are counts, so engine-specific
-    * hashing is safe). The duplicated-key relation is the aggregate's
+    * keying is safe; 128 bits keeps the collision expectation ~1e-13
+    * even at 1e13 windows, the same exact-up-to-md5 standard the x01
+    * fingerprint path sets). The duplicated-key relation is the aggregate's
     * ≥2-distinct-doc survivors — tiny relative to the corpus whenever
     * duplication is the exception, hence the broadcast back; on a
     * pathological corpus drop the hint and the semi-join degrades to a
@@ -389,7 +391,7 @@ object DedupOps {
     val wins = words(s, d).filter(size($"w") >= BlockWords)
       .select($"doc_id", explode(expr(
         s"transform(sequence(0, size(w) - $BlockWords), " +
-          s"i -> xxhash64(array_join(slice(w, i + 1, $BlockWords), ' ')))"))
+          s"i -> unhex(md5(array_join(slice(w, i + 1, $BlockWords), ' '))))"))
         .as("k"))
       .localCheckpoint(false)
     // ≥2 distinct docs ⟺ min(doc_id) < max(doc_id): one plain agg pass,

@@ -80,15 +80,20 @@ object MultimodalOps {
     * "swap only the body" upgrade the stub advertises: the schema,
     * partition-wise batching, and output shape are exactly
     * `decodeFeatures`'s. */
+  /** The ONE image-decodability rule (shared by realDecode and
+    * resizeReal): PNG/JPEG payloads through `ImageIO`, anything else —
+    * or anything the decoder rejects — is null (= take the stub path).
+    * NonFatal, not just IOException: ImageIO decoders throw unchecked
+    * exceptions (IllegalArgumentException, AIOOBE, NegativeArraySize…)
+    * on many malformed payloads, and one bad image must fall back to
+    * the stub, not kill the stage. */
+  private def tryReadImage(r: MediaRow): java.awt.image.BufferedImage =
+    if (r.format != "png" && r.format != "jpeg") null
+    else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+    catch { case scala.util.control.NonFatal(_) => null }
+
   def realDecode(r: MediaRow): MediaFeatures = {
-    val isImage = r.format == "png" || r.format == "jpeg"
-    // NonFatal, not just IOException: ImageIO decoders throw unchecked
-    // exceptions (IllegalArgumentException, AIOOBE, NegativeArraySize…)
-    // on many malformed payloads, and one bad image must fall back to
-    // the stub, not kill the stage
-    val img = if (!isImage) null
-      else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
-      catch { case scala.util.control.NonFatal(_) => null }
+    val img = tryReadImage(r)
     if (img == null) fakeDecode(r)
     else {
       var sum = 0L
@@ -140,26 +145,29 @@ object MultimodalOps {
     * upgrade `realDecode` makes to the decode stub. */
   def resizeReal(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
+    // clamp like the stub rule does — a degenerate target must not
+    // throw from BufferedImage and kill the stage
+    val tw = math.max(1, w)
+    val th = math.max(1, h)
     media.mapPartitions { rows =>
       rows.map { r =>
-        val isImage = r.format == "png" || r.format == "jpeg"
-        val img = if (!isImage) null
-          else try javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.media))
-          catch { case scala.util.control.NonFatal(_) => null }
-        if (img == null) resizeStubRow(r, w, h)
+        val img = tryReadImage(r)
+        if (img == null) resizeStubRow(r, tw, th)
         else {
-          val out = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          // ARGB canvas: an alpha-channel PNG decodes to ARGB, and
+          // drawing it onto an uninitialized RGB buffer would composite
+          // transparent regions to black — PNG round-trips alpha fine
+          val out = new java.awt.image.BufferedImage(tw, th,
+            java.awt.image.BufferedImage.TYPE_INT_ARGB)
           val g = out.createGraphics()
           try {
             g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
               java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-            g.drawImage(img, 0, 0, w, h, null)
+            g.drawImage(img, 0, 0, tw, th, null)
           } finally g.dispose()
           val bos = new java.io.ByteArrayOutputStream()
           javax.imageio.ImageIO.write(out, "png", bos)
-          r.copy(media = bos.toByteArray, width = w, height = h, format = "png")
+          r.copy(media = bos.toByteArray, width = tw, height = th, format = "png")
         }
       }
     }

@@ -303,7 +303,10 @@ object TextOps {
       .localCheckpoint(false)
     val c12 = bg.groupBy($"w1", $"w2").agg(count("*").as("c12"))
     val c1 = bg.groupBy($"w1").agg(count("*").as("c1"))
-    val v = w.select(explode($"w").as("word"))
+    // vocabulary from the CHECKPOINTED bigrams, not a second corpus
+    // tokenize: in a ≥2-word doc every position is some bigram's w1 or
+    // w2, so distinct(w1 ∪ w2) IS the distinct word set
+    val v = bg.select($"w1".as("word")).unionAll(bg.select($"w2".as("word")))
       .agg(countDistinct($"word").as("v"))
     bg.join(broadcast(c12), Seq("w1", "w2"))
       .join(broadcast(c1), Seq("w1"))
