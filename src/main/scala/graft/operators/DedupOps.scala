@@ -374,10 +374,12 @@ object DedupOps {
     * and the gate flag — all integers, so the oracle hash-matches.
     *
     * Scale shape: windows explode to ~L rows/doc but carry only a
-    * 16-byte md5 digest through the shuffle, never the window string
+    * 16-byte digest through the shuffle, never the window string
     * (the key is internal — outputs are counts, so engine-specific
-    * keying is safe; 128 bits keeps the collision expectation ~1e-13
-    * even at 1e13 windows, the same exact-up-to-md5 standard the x01
+    * keying is safe and the DuckDB oracle keeps md5 windows; the
+    * two-seed XXH64 key in BlockWindowHashes keeps 128 bits, so the
+    * collision expectation stays ~1e-13 even at 1e13 windows, the same
+    * exact-up-to-hash standard the x01
     * fingerprint path sets). The duplicated-key relation is the aggregate's
     * ≥2-distinct-doc survivors — tiny relative to the corpus whenever
     * duplication is the exception, hence the broadcast back; on a
@@ -388,11 +390,11 @@ object DedupOps {
     // lazily checkpointed: the window explode feeds both the dup-key
     // aggregate and the count-back join — materialize the (long, long)
     // rows once instead of tokenizing + hashing the corpus twice
+    graft.plans.GraftExpressions.register(s)
     val wins = words(s, d).filter(size($"w") >= BlockWords)
-      .select($"doc_id", explode(expr(
-        s"transform(sequence(0, size(w) - $BlockWords), " +
-          s"i -> unhex(md5(array_join(slice(w, i + 1, $BlockWords), ' '))))"))
-        .as("k"))
+      .select($"doc_id", explode(call_function(
+        graft.plans.GraftExpressions.BlockHashesFn,
+        $"w", lit(BlockWords))).as("k"))
       .localCheckpoint(false)
     // ≥2 distinct docs ⟺ min(doc_id) < max(doc_id): one plain agg pass,
     // not the distinct-rewrite Expand a countDistinct would plan

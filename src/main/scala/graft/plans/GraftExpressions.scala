@@ -30,6 +30,7 @@ object GraftExpressions {
   val LongDotFn = "graft_long_dot"
   val WordSetCountFn = "graft_word_set_count"
   val CharSetCountFn = "graft_char_set_count"
+  val BlockHashesFn = "graft_block_hashes"
 
   /** Shared guard for the two set-count builders: the set argument must
     * be a constant string (it compiles into the expression). */
@@ -41,6 +42,19 @@ object GraftExpressions {
       case s: org.apache.spark.unsafe.types.UTF8String => s.toString
       case other => throw new IllegalArgumentException(
         s"$fn: the set argument must be a constant string, got $other")
+    }
+  }
+
+  /** Constant-int guard, mirroring foldableString: the window width
+    * compiles into the expression. */
+  private[plans] def foldableInt(e: Expression, fn: String): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: the width argument must be a constant integer, got ${e.sql}")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: the width argument must be a constant integer, got $other")
     }
   }
 
@@ -82,6 +96,9 @@ object GraftExpressions {
       "built-in")
     reg.createOrReplaceTempFunction(CharSetCountFn,
       es => CharSetCount(es(0), foldableString(es(1), CharSetCountFn)),
+      "built-in")
+    reg.createOrReplaceTempFunction(BlockHashesFn,
+      es => BlockWindowHashes(es(0), foldableInt(es(1), BlockHashesFn)),
       "built-in")
     reg.createOrReplaceTempFunction(TopKFn, buildTopK, "built-in")
   }
@@ -522,6 +539,94 @@ case class SimHash64(child: Expression)
          |${ev.value} = $sig;
          |""".stripMargin
     })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object BlockWindowHashes {
+  /** Two independent XXH64 seeds give a 128-bit window key — the same
+    * collision standard the md5 form set (expected collisions at 1e13
+    * windows ≈ (1e13)²/2^129 ≈ 1e-13), at ~10× less per-window cost
+    * than MessageDigest md5. Keys are engine-internal (x26 outputs
+    * counts only), so the DuckDB oracle keeps its own md5 windows. */
+  val SeedLo = 42L
+  val SeedHi = 1077L
+
+  /** All k-word sliding-window keys of a token array: each key is the
+    * 16-byte big-endian (XXH64_lo ++ XXH64_hi) of the space-joined
+    * window text. One pass, one reusable join buffer — no per-window
+    * slice/array_join/UTF8String allocation. Static so the generated
+    * code calls straight into compiled bytecode. */
+  def compute(w: ArrayData, k: Int): GenericArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    val n = w.numElements()
+    val m = n - k + 1
+    if (m <= 0) return new GenericArrayData(new Array[Any](0))
+    val words = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { words(i) = w.getUTF8String(i).getBytes; i += 1 }
+    val out = new Array[Any](m)
+    var buf = new Array[Byte](256)
+    var wi = 0
+    while (wi < m) {
+      var len = 0
+      var j = 0
+      while (j < k) {
+        val wb = words(wi + j)
+        val need = len + wb.length + 1
+        if (need > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+        System.arraycopy(wb, 0, buf, len, wb.length)
+        len += wb.length
+        if (j < k - 1) { buf(len) = ' '; len += 1 }
+        j += 1
+      }
+      val lo = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, SeedLo)
+      val hi = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, SeedHi)
+      val key = new Array[Byte](16)
+      var b = 0
+      while (b < 8) {
+        key(b) = (lo >>> (56 - 8 * b)).toByte
+        key(8 + b) = (hi >>> (56 - 8 * b)).toByte
+        b += 1
+      }
+      out(wi) = key
+      wi += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** 128-bit content keys for every k-word sliding window of a token
+  * array — the hash stage of block-level substring dedup (x26). Fuses
+  * `transform(sequence, i -> unhex(md5(array_join(slice(w,i+1,k)))))`
+  * (four interpreted HOF layers + an md5 per window, the dominant cost
+  * of the x26 plan) into one compiled pass with a reusable buffer. */
+case class BlockWindowHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, s"window width must be >= 1, got $k")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.BinaryType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = GraftExpressions.BlockHashesFn
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string> tokens, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    BlockWindowHashes.compute(v.asInstanceOf[ArrayData], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.BlockWindowHashes.compute($c, $k);")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -65,5 +65,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => CharSetCount(es(0),
         GraftExpressions.foldableString(es(1),
           GraftExpressions.CharSetCountFn))))
+    e.injectFunction((FunctionIdentifier(GraftExpressions.BlockHashesFn),
+      info(GraftExpressions.BlockHashesFn,
+        "128-bit content keys of every k-word sliding window of a " +
+          "token array"),
+      (es: Seq[Expression]) => BlockWindowHashes(es(0),
+        GraftExpressions.foldableInt(es(1),
+          GraftExpressions.BlockHashesFn))))
   }
 }

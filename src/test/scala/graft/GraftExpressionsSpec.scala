@@ -189,4 +189,50 @@ class GraftExpressionsSpec extends AnyFunSuite with SparkTestSession {
       sg < (1L << graft.plans.HyperplaneSignature.NumPlanes)))
     assert(sigs.distinct.length > 1)   // actually disperses
   }
+
+  test("BlockWindowHashes keys window TEXT: equal iff window words equal") {
+    GraftExpressions.register(spark)
+    // real corpus text through the Spark path, recomputed driver-side
+    // with an independent formulation (explicit join + two XXH64 calls)
+    val k = graft.operators.DedupOps.BlockWords
+    val rows = Tables.documents(spark, sf)
+      .select($"doc_id", split(lower($"text"), "\\s+").as("w"))
+      .filter(size($"w") >= k)
+      .select($"doc_id", $"w",
+        call_function(GraftExpressions.BlockHashesFn, $"w", lit(k)).as("h"))
+      .as[(Long, Seq[String], Seq[Array[Byte]])].collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.unsafe.Platform
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    def ref(win: String): Seq[Byte] = {
+      val b = win.getBytes("UTF-8")
+      def h(seed: Long) = XXH64.hashUnsafeBytes(
+        b, Platform.BYTE_ARRAY_OFFSET, b.length, seed)
+      val lo = h(graft.plans.BlockWindowHashes.SeedLo)
+      val hi = h(graft.plans.BlockWindowHashes.SeedHi)
+      (0 until 8).map(i => (lo >>> (56 - 8 * i)).toByte) ++
+        (0 until 8).map(i => (hi >>> (56 - 8 * i)).toByte)
+    }
+    rows.foreach { case (id, w, hs) =>
+      assert(hs.length === w.length - k + 1, s"window count for doc $id")
+      hs.zipWithIndex.foreach { case (got, i) =>
+        assert(got.toSeq === ref(w.slice(i, i + k).mkString(" ")),
+          s"doc $id window $i")
+      }
+    }
+  }
+
+  test("BlockWindowHashes: short arrays yield no windows; width guarded") {
+    GraftExpressions.register(spark)
+    val got = Seq(Tuple1(Seq("a", "b"))).toDF("w")
+      .select(call_function(GraftExpressions.BlockHashesFn, $"w", lit(8)))
+      .as[Seq[Array[Byte]]].head()
+    assert(got.isEmpty)
+    val err = intercept[Exception] {
+      Seq(Tuple1(Seq(1L))).toDF("w")
+        .select(call_function(GraftExpressions.BlockHashesFn, $"w", lit(8)))
+        .collect()
+    }
+    assert(err.getMessage.contains("array<string>"))
+  }
 }
