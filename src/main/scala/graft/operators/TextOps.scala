@@ -154,19 +154,31 @@ object TextOps {
   def curationPipeline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val t = $"text"
+    // The gate is CONDITIONAL AGGREGATION, not a filter: a
+    // filter(pred_lang === 'en' && q >= 0.4) gets pushed below the
+    // project, and the pushed copy re-evaluates the whole langid +
+    // quality battery — the most expensive per-row compute in the
+    // suite, run twice per surviving row. Gating inside the aggregate
+    // keeps one project (each battery evaluated exactly once per row;
+    // the stacked projects below stay uncollapsed because q is
+    // referenced twice and is not cheap) and aggregates ignore the
+    // gated-out rows via NULL. Sources whose every doc fails the gate
+    // are dropped afterwards — same result set as the pre-group filter.
     docs(s, d)
-      .select($"doc_id", $"source", fingerprintCol(t).as("fp"),
+      .select($"source", fingerprintCol(t).as("fp"),
               langIdCol(t).as("pred_lang"), round(qualityCol(t), 4).as("q"))
-      .filter($"pred_lang" === "en" && $"q" >= 0.4)
+      .select($"source", $"fp", $"q",
+              ($"pred_lang" === "en" && $"q" >= 0.4).as("kept"))
       .groupBy($"source")
       // quality total as an e4-scaled integer: summing 4-decimal values
       // and rounding to a whole number is immune to both accumulation
       // order and decimal-midpoint rounding differences across engines
       // (an average of rounded doubles is not — it can land exactly on
       // a ROUND midpoint).
-      .agg(count("*").as("n_kept"),
-           countDistinct($"fp").as("n_unique"),
-           round(sum($"q") * 10000).cast("long").as("q_sum_e4"))
+      .agg(count(when($"kept", 1L)).as("n_kept"),
+           countDistinct(when($"kept", $"fp")).as("n_unique"),
+           round(sum(when($"kept", $"q")) * 10000).cast("long").as("q_sum_e4"))
+      .filter($"n_kept" > 0L)
       .smallOrdered($"source")
   }
 
@@ -287,7 +299,11 @@ object TextOps {
     * vocabulary — c(w1,w2) ≤ |V|² rows, c(w1) ≤ |V| — hence the
     * broadcast joins (drop the hints past broadcastable vocabulary and
     * the joins shuffle on the same keys). Training and scoring share
-    * one corpus scan per side of the aggregate. */
+    * one corpus scan per side of the aggregate. Words are keyed by
+    * 64-bit hash from the scan on (BigramHashes): the checkpoint, both
+    * model shuffles, and the scoring join all carry longs instead of
+    * word strings, and counts keyed by hash equal counts keyed by word
+    * absent collisions (see the expression doc for the math). */
   def lmLikelihood(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val w = docs(s, d)
@@ -296,9 +312,8 @@ object TextOps {
     // lazily checkpointed: the bigram explode feeds the c12 and c1
     // model aggregates AND the scoring join — one tokenize + explode
     // pass instead of three
-    val bg = w.select($"doc_id", explode(expr(
-        "transform(sequence(1, size(w) - 1), " +
-          "i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("p"))
+    val bg = w.select($"doc_id", explode(call_function(
+        graft.plans.GraftExpressions.BigramHashesFn, $"w")).as("p"))
       .select($"doc_id", $"p.w1", $"p.w2")
       .localCheckpoint(false)
     val c12 = bg.groupBy($"w1", $"w2").agg(count("*").as("c12"))

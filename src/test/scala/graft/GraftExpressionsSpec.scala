@@ -222,6 +222,38 @@ class GraftExpressionsSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("BigramHashes pairs neighbors: h(w[i]), h(w[i+1]) per position") {
+    GraftExpressions.register(spark)
+    val rows = Tables.documents(spark, sf)
+      .select(split(lower($"text"), "\\s+").as("w"))
+      .filter(size($"w") >= 2)
+      .select($"w",
+        call_function(GraftExpressions.BigramHashesFn, $"w").as("p"))
+      .as[(Seq[String], Seq[(Long, Long)])].collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.unsafe.Platform
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    def h(s: String): Long = {
+      val b = s.getBytes("UTF-8")
+      XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length,
+        graft.plans.BigramHashes.Seed)
+    }
+    rows.foreach { case (w, ps) =>
+      assert(ps.length === w.length - 1)
+      ps.zipWithIndex.foreach { case ((a, b), i) =>
+        assert(a === h(w(i)) && b === h(w(i + 1)), s"bigram at $i")
+      }
+    }
+    // equal words hash equal, distinct words distinct (fixture-wide)
+    val byWord = rows.flatMap { case (w, ps) =>
+      w.init.zip(ps.map(_._1)) ++ Seq(w.last -> ps.last._2) }
+    byWord.groupBy(_._1).foreach { case (word, hs) =>
+      assert(hs.map(_._2).distinct.length === 1, s"unstable hash for $word")
+    }
+    assert(byWord.map(_._2).distinct.length === byWord.map(_._1).distinct.length,
+      "collision among fixture words")
+  }
+
   test("BlockWindowHashes: short arrays yield no windows; width guarded") {
     GraftExpressions.register(spark)
     val got = Seq(Tuple1(Seq("a", "b"))).toDF("w")
