@@ -231,22 +231,31 @@ object SimilarityOps {
   }
 
   /** Nearest-centroid assignment by max INTEGER inner product (the
-    * IVF-IP coarse-quantizer flavor), taken with a struct-max
-    * AGGREGATE (ordering fields dot DESC then cid ASC via negation,
-    * payload carried behind them). Unlike a row_number window — which
-    * would shuffle the whole corpus×centroids cross product — the
-    * aggregate combines map-side, so only one row per vector reaches
-    * the exchange. Takes (vec_id, q) ONLY: the double vectors never
-    * ride the training shuffles (they rejoin once, at serving). */
+    * IVF-IP coarse-quantizer flavor), computed as a PER-ROW argmax
+    * over the broadcast centroid list: the centroid table collapses to
+    * one collect_list row (it is tiny by construction, ~n/97 entries),
+    * and each vector takes `array_max` over (dot, -cid, cid) structs —
+    * dot DESC, cid ASC on ties, the same order the previous struct-max
+    * aggregate used. The assignment stage is thereby MAP-ONLY: the old
+    * crossJoin → groupBy(vec_id) form pushed one row per (vector,
+    * centroid) into a partial aggregate and re-shuffled one row per
+    * vector EVERY Lloyd iteration — corpus-sized traffic that at 100 TB
+    * is the training bottleneck, and at bench scale two scheduling
+    * stages per iteration. The per-element dots run through the
+    * interpreted `transform` lambda, but each lambda call is one fused
+    * LongDotProduct over the 64-long quantized vector — the dispatch
+    * overhead is per centroid, not per coordinate. Takes (vec_id, q)
+    * ONLY: the double vectors never ride the training path. */
   private def assign(s: SparkSession, qv: DataFrame,
                      cents: DataFrame): DataFrame = {
     import s.implicits._
-    qv.crossJoin(broadcast(cents))
-      .select($"vec_id", $"q", $"cid",
-        longDot(s, $"q", $"c").as("dot"))
-      .groupBy($"vec_id")
-      .agg(max(struct($"dot", (-$"cid").as("negCid"), $"cid", $"q")).as("m"))
-      .select($"vec_id", $"m.q".as("q"), $"m.cid".as("cid"))
+    val centsRow = cents.agg(collect_list(struct($"cid", $"c")).as("cs"))
+    qv.crossJoin(broadcast(centsRow))
+      .select($"vec_id", $"q",
+        array_max(transform($"cs", c => struct(
+          longDot(s, $"q", c("c")).as("dot"),
+          (-c("cid")).as("negCid"),
+          c("cid").as("cid")))).getField("cid").as("cid"))
   }
 
   /** Trained coarse quantizer: modulo-sampled seeds refined with
