@@ -48,17 +48,22 @@ object DedupOps {
   private def words(s: SparkSession, d: String): DataFrame =
     wordsOf(Tables.documents(s, d))
 
-  /** doc_id → (token array, DISTINCT word-3-gram shingle set), computed
-    * NARROWLY as array columns — no explode, no shuffle. The single
-    * definition of tokenize + ≥3-words guard + shingling that every
-    * shingle consumer shares (so none can drift from ShingleBaseCtes). */
+  /** doc_id → (token array, DISTINCT word-3-gram shingle set AS 64-BIT
+    * HASHES), computed NARROWLY as array columns — no explode, no
+    * shuffle. The single definition of tokenize + ≥3-words guard +
+    * shingling that every shingle consumer shares (so none can drift
+    * from ShingleBaseCtes). Hash identity: every downstream set
+    * operation (distinct size, intersect, postings) is hash-keyed —
+    * equal to string-keyed absent 64-bit collisions (the math is on
+    * WordShingleHashes; shingle strings never reach a query output,
+    * and the DuckDB oracles recompute from strings). */
   private def shingleFrames(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.plans.GraftExpressions.register(s)
     words(s, d)
       .filter(size($"w") >= 3)
       .select($"doc_id", $"w",
-        call_function(graft.plans.GraftExpressions.ShinglesFn, $"w").as("s"))
+        call_function(graft.plans.GraftExpressions.ShingleHashesFn, $"w").as("s"))
   }
 
   /** doc_id → DISTINCT shingle set only (the common projection; the
@@ -77,7 +82,8 @@ object DedupOps {
     wordsOf(docs)
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
-        call_function(graft.plans.GraftExpressions.ShinglesFn, col("w")).as("s"))
+        call_function(graft.plans.GraftExpressions.ShingleHashesFn,
+          col("w")).as("s"))
   }
 
   // ---- exact dedup ------------------------------------------------------
@@ -98,16 +104,17 @@ object DedupOps {
 
   // ---- MinHash + LSH ----------------------------------------------------
 
-  /** (doc_id, s: array<string>) → minhash signature (array of 128
-    * longs). Shingles are hashed to a 32-bit domain with xxhash64, then
-    * the fused codegen MinHashSignature expression computes all 128
-    * permutation-mins in one pass — a fully NARROW map stage: zero
-    * shuffles until banding. */
+  /** (doc_id, s: array<long> shingle hashes) → minhash signature
+    * (array of 128 longs). The 64-bit identity hashes reduce to the
+    * 32-bit domain the universal-hash coefficients require (a·x+b must
+    * stay in signed-64), then the fused codegen MinHashSignature
+    * expression computes all 128 permutation-mins in one pass — a
+    * fully NARROW map stage: zero shuffles until banding. */
   def minhashSignatures(sets: DataFrame): DataFrame = {
     graft.plans.GraftExpressions.register(sets.sparkSession)
     sets.select(col("doc_id"),
       call_function(graft.plans.GraftExpressions.MinHashFn,
-        transform(col("s"), x => pmod(xxhash64(x), lit(4294967296L))))
+        transform(col("s"), x => pmod(x, lit(4294967296L))))
         .as("sig"))
   }
 
@@ -133,8 +140,10 @@ object DedupOps {
       .distinct()
   }
 
-  /** Exact-Jaccard verification of candidate pairs against the true
-    * string shingle sets (so hash collisions cannot inflate scores).
+  /** Exact-Jaccard verification of candidate pairs against the shingle
+    * identity sets (exact up to 64-bit shingle-hash identity — BAND
+    * collisions cannot inflate scores; see shingleFrames for the
+    * identity-domain math).
     *
     * Melt-join-pivot shape: candidate pairs unpivot to one row per
     * (pair, side), broadcast against a SINGLE scan of the corpus-sized
@@ -434,10 +443,20 @@ object DedupOps {
     * relations feed the df count and the join; lazily checkpointing the
     * PRE-explode shingle sets (one compact row per doc) runs the
     * regex+shingle compute once per side. */
-  def contaminationFrames(train: DataFrame, eval: DataFrame): DataFrame = {
-    val tp = shingleSetsOf(train).localCheckpoint(false)
+  def contaminationFrames(train: DataFrame, eval: DataFrame): DataFrame =
+    contaminationSets(
+      shingleSetsOf(train).localCheckpoint(false),
+      shingleSetsOf(eval).localCheckpoint(false))
+
+  /** The postings sweep over PRE-SHINGLED (doc_id, s) set frames —
+    * split out so callers whose train and eval sides derive from the
+    * same corpus scan (x20's modulo split) shingle once and filter,
+    * instead of running the tokenize+shingle battery per side. */
+  def contaminationSets(trainSets: DataFrame,
+                        evalSets: DataFrame): DataFrame = {
+    val tp = trainSets
       .select(col("doc_id").as("train_id"), explode(col("s")).as("sh"))
-    val ep = shingleSetsOf(eval).localCheckpoint(false)
+    val ep = evalSets
       .select(col("doc_id").as("eval_id"), explode(col("s")).as("sh"))
     val rare = tp.select(col("sh")).unionAll(ep.select(col("sh")))
       .groupBy(col("sh")).agg(count("*").as("df"))
@@ -455,10 +474,12 @@ object DedupOps {
     * oracle-reproducible stand-in driving contaminationFrames. */
   def contamination(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.documents(s, d).select($"doc_id", $"text")
-    contaminationFrames(
-      docs.filter($"doc_id" % ContaminationEvalStep =!= 0),
-      docs.filter($"doc_id" % ContaminationEvalStep === 0))
+    // one shingle pass over the corpus; the train/eval modulo split
+    // happens on the materialized sets
+    val sets = shingleSets(s, d).localCheckpoint(false)
+    contaminationSets(
+      sets.filter($"doc_id" % ContaminationEvalStep =!= 0),
+      sets.filter($"doc_id" % ContaminationEvalStep === 0))
   }
 
   /** How many leading words of a doc the x24 eval fixture keeps. */

@@ -32,6 +32,7 @@ object GraftExpressions {
   val CharSetCountFn = "graft_char_set_count"
   val BlockHashesFn = "graft_block_hashes"
   val BigramHashesFn = "graft_bigram_hashes"
+  val ShingleHashesFn = "graft_shingle_hashes"
 
   /** Shared guard for the two set-count builders: the set argument must
     * be a constant string (it compiles into the expression). */
@@ -103,6 +104,8 @@ object GraftExpressions {
       "built-in")
     reg.createOrReplaceTempFunction(BigramHashesFn,
       es => BigramHashes(es.head), "built-in")
+    reg.createOrReplaceTempFunction(ShingleHashesFn,
+      es => WordShingleHashes(es.head), "built-in")
     reg.createOrReplaceTempFunction(TopKFn, buildTopK, "built-in")
   }
 }
@@ -600,6 +603,87 @@ object BlockWindowHashes {
     }
     new GenericArrayData(out)
   }
+}
+
+object WordShingleHashes {
+  /** XXH64 seed for shingle identity hashes. 64 bits is the identity
+    * domain every set operation (distinct, intersect, postings join)
+    * runs in: two distinct shingles alias with probability ~n²/2^65 —
+    * ~3e-9 at a million distinct shingles per compared scope, the same
+    * engine-internal-key standard as BlockWindowHashes/BigramHashes
+    * (shingle strings never appear in any query output; the DuckDB
+    * oracles recompute from the strings). */
+  val Seed = 42L
+
+  /** Distinct k-word shingle hashes in first-occurrence order: the
+    * space-joined window buffer of BlockWindowHashes, one XXH64 per
+    * window, deduped by hash. */
+  def compute(w: ArrayData, k: Int): GenericArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    val n = w.numElements()
+    val m = n - k + 1
+    if (m <= 0) return new GenericArrayData(new Array[Any](0))
+    val words = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { words(i) = w.getUTF8String(i).getBytes; i += 1 }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var buf = new Array[Byte](256)
+    var wi = 0
+    while (wi < m) {
+      var len = 0
+      var j = 0
+      while (j < k) {
+        val wb = words(wi + j)
+        val need = len + wb.length + 1
+        if (need > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+        System.arraycopy(wb, 0, buf, len, wb.length)
+        len += wb.length
+        if (j < k - 1) { buf(len) = ' '; len += 1 }
+        j += 1
+      }
+      out.add(XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, Seed))
+      wi += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** Distinct word-k-gram shingles of a token array AS 64-BIT HASHES —
+  * the identity-keyed form every shingle consumer (minhash LSH, exact
+  * Jaccard verify, contamination postings, repetition gate) computes
+  * on. Semantically WordShingles followed by one XXH64 per shingle,
+  * fused: the shingle strings are never materialized, so checkpoints,
+  * intersects, explodes, and shuffles downstream carry 8-byte longs
+  * instead of ~25-byte strings. */
+case class WordShingleHashes(child: Expression, k: Int = 3)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = GraftExpressions.ShingleHashesFn
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string> tokens, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    WordShingleHashes.compute(v.asInstanceOf[ArrayData], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.WordShingleHashes.compute($c, $k);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 object BigramHashes {

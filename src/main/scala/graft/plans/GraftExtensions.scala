@@ -76,5 +76,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(GraftExpressions.BigramHashesFn,
         "adjacent word-pair keys of a token array as 64-bit word hashes"),
       (es: Seq[Expression]) => BigramHashes(es.head)))
+    e.injectFunction((FunctionIdentifier(GraftExpressions.ShingleHashesFn),
+      info(GraftExpressions.ShingleHashesFn,
+        "distinct word-3-gram shingles of a token array as 64-bit hashes"),
+      (es: Seq[Expression]) => WordShingleHashes(es.head)))
   }
 }
