@@ -119,9 +119,62 @@ object SketchOps {
           .as("n_false_pos"))
   }
 
+  // ---- count-min sketch: heavy hitters ------------------------------------
+
+  /** Sketch geometry. Width 512 at fixture cardinality (~1k distinct
+    * users) forces real counter sharing, so overestimates actually
+    * occur and the oracle exercises CMS semantics, not a lookup
+    * table. */
+  val CmsRows = 3
+  val CmsWidth = 512L
+  /** How many top users (by true count) the query reports. */
+  val CmsTopK = 20
+
+  /** md5-derived counter column of a value in row r — same
+    * engine-neutral hash construction as the Bloom positions. */
+  private def cmsPos(v: Column, r: Int): Column =
+    conv(substring(md5(concat(lit(s"c$r"), v)), 1, 8), 16, 10)
+      .cast("long") % CmsWidth
+
+  /** x29 — count-min heavy hitters, fully relational (Cormode &
+    * Muthukrishnan, J. Algorithms 2005): the sketch is the d×w counter
+    * relation — ONE aggregate over the event stream with bounded state
+    * (d·w rows regardless of corpus size, and mergeable: counters sum
+    * across shards/micro-batches, which is why CMS is the standard
+    * streaming-frequency sketch at 100 TB). A heavy-hitter probe reads
+    * back min over its d counters. The report joins the CMS estimate
+    * against the true counts of the top-K users: `cms_est ≥ true_n`
+    * is a STRUCTURAL invariant (count-min never underestimates), and
+    * every value is exact md5/integer arithmetic, so the whole sketch
+    * — counters, estimates, overshoot — hash-matches the DuckDB oracle
+    * with no tolerance anywhere (the x25 standard). */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .filter($"user_id".isNotNull).select($"user_id")
+    def positions(df: DataFrame): DataFrame =
+      df.select(col("user_id"), explode(array(
+        (1 to CmsRows).map(r =>
+          struct(lit(r).as("r"), cmsPos(col("user_id"), r).as("pos"))): _*))
+        .as("rp"))
+        .select(col("user_id"), col("rp.r"), col("rp.pos"))
+    val counters = positions(ev)
+      .groupBy($"r", $"pos").agg(count("*").as("cnt"))
+    val top = ev.groupBy($"user_id").agg(count("*").as("true_n"))
+      .orderBy($"true_n".desc, $"user_id").limit(CmsTopK)
+    positions(top.select($"user_id"))
+      .join(broadcast(counters), Seq("r", "pos"))
+      .groupBy($"user_id").agg(min($"cnt").as("cms_est"))
+      .join(broadcast(top), "user_id")
+      .select($"user_id", $"true_n", $"cms_est",
+        ($"cms_est" - $"true_n").as("overshoot"))
+      .orderBy($"true_n".desc, $"user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x13_approx_distinct" -> approxDistinct _,
     "x25_bloom_filter"    -> bloomFilter _,
+    "x29_heavy_hitters"   -> heavyHitters _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -162,5 +215,27 @@ object SketchOps {
         |  (SELECT CAST(count(*) AS BIGINT) FROM hits h
         |   WHERE NOT EXISTS (SELECT 1 FROM members m WHERE m.user_id = h.user_id))
         |    AS n_false_pos""".stripMargin,
+    "x29_heavy_hitters" ->
+      s"""WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+        |pos AS (
+        |  SELECT user_id, r.range AS r,
+        |    ('0x' || substr(md5('c' || r.range || user_id), 1, 8))::BIGINT
+        |      % $CmsWidth AS pos
+        |  FROM ev, range(1, ${CmsRows + 1}) r),
+        |counters AS (SELECT r, pos, count(*) AS cnt FROM pos GROUP BY 1, 2),
+        |top AS (SELECT user_id, CAST(count(*) AS BIGINT) AS true_n FROM ev
+        |        GROUP BY 1 ORDER BY true_n DESC, user_id LIMIT $CmsTopK),
+        |est AS (
+        |  SELECT p.user_id, min(c.cnt) AS cms_est
+        |  FROM (SELECT t.user_id, r.range AS r,
+        |          ('0x' || substr(md5('c' || r.range || t.user_id), 1, 8))::BIGINT
+        |            % $CmsWidth AS pos
+        |        FROM top t, range(1, ${CmsRows + 1}) r) p
+        |  JOIN counters c ON c.r = p.r AND c.pos = p.pos
+        |  GROUP BY 1)
+        |SELECT t.user_id, t.true_n, CAST(e.cms_est AS BIGINT) AS cms_est,
+        |  CAST(e.cms_est - t.true_n AS BIGINT) AS overshoot
+        |FROM top t JOIN est e USING (user_id)
+        |ORDER BY t.true_n DESC, t.user_id""".stripMargin,
   )
 }

@@ -334,6 +334,52 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  // ---- PII redaction ------------------------------------------------------
+
+  /** PII patterns shared by the Spark columns and the DuckDB oracle.
+    * Deliberately RE2-safe: plain character classes and counted
+    * repeats only — no \b (Unicode-vs-ASCII boundary trap), no
+    * lookaround (RE2 lacks it), no alternation whose leftmost-first
+    * (Java) vs leftmost-longest (RE2) semantics could diverge. */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val PiiIp = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+  val PiiPhone = "[+][0-9][0-9-]{6,}[0-9]"
+
+  /** The corpus with deterministic PII planted per doc — the fixture
+    * text carries none, so the scrub would be an untested no-op; the
+    * planted contact line is a pure function of doc_id that BOTH
+    * engines synthesize identically, making redaction provably
+    * effective under the hash-match oracle. */
+  private def piiAugmented(t: Column, id: Column): Column =
+    concat(t, lit(" contact user"), id, lit("@example.com or 10.0."),
+      id % 256, lit(".7 tel +1-555-01"), lpad((id % 100).cast("string"), 2, "0"))
+
+  /** x28 — PII scrub: the redaction pass every training-data pipeline
+    * runs before anything else. One narrow map stage: count each PII
+    * class, then redact all occurrences class-by-class (emails → ips →
+    * phones) and fingerprint the scrubbed text. Counts and the md5 of
+    * the redacted text hash-match DuckDB running the same patterns
+    * (regexp_replace with the 'g' flag — DuckDB replaces first-only by
+    * default, Spark replaces all). At 100 TB this is embarrassingly
+    * parallel and pushes nothing to any shuffle except the final
+    * per-doc rows. */
+  def piiRedaction(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val aug = piiAugmented($"text", $"doc_id")
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(aug, lit(PiiEmail), lit("<EMAIL>")),
+        lit(PiiIp), lit("<IP>")),
+      lit(PiiPhone), lit("<PHONE>"))
+    docs(s, d)
+      .select($"doc_id",
+        nMatches(aug, PiiEmail).as("n_emails"),
+        nMatches(aug, PiiIp).as("n_ips"),
+        nMatches(aug, PiiPhone).as("n_phones"),
+        md5(redacted).as("redacted_fp"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x07_text_langid"      -> textLangId _,
     "x08_text_quality"     -> textQuality _,
@@ -344,6 +390,7 @@ object TextOps {
     "x19_stratified_sample" -> stratifiedSample _,
     "x23_split_assign"     -> splitAssign _,
     "x27_lm_likelihood"    -> lmLikelihood _,
+    "x28_pii_redaction"    -> piiRedaction _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -468,5 +515,21 @@ object TextOps {
         |  CAST(sum(sp) AS BIGINT) AS sum_scaled_p,
         |  sum(sp) < count(*) * $LmFloorScaled AS flagged
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x28_pii_redaction" ->
+      s"""WITH a AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |    || '.7 tel +1-555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+         |    AS aug
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(aug, '$PiiEmail')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(aug, '$PiiIp')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(aug, '$PiiPhone')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+         |    '$PiiEmail', '<EMAIL>', 'g'),
+         |    '$PiiIp', '<IP>', 'g'),
+         |    '$PiiPhone', '<PHONE>', 'g')) AS redacted_fp
+         |FROM a ORDER BY doc_id""".stripMargin,
   )
 }

@@ -33,6 +33,7 @@ object GraftExpressions {
   val BlockHashesFn = "graft_block_hashes"
   val BigramHashesFn = "graft_bigram_hashes"
   val ShingleHashesFn = "graft_shingle_hashes"
+  val ZOrderFn = "graft_zorder"
 
   /** Shared guard for the two set-count builders: the set argument must
     * be a constant string (it compiles into the expression). */
@@ -106,6 +107,8 @@ object GraftExpressions {
       es => BigramHashes(es.head), "built-in")
     reg.createOrReplaceTempFunction(ShingleHashesFn,
       es => WordShingleHashes(es.head), "built-in")
+    reg.createOrReplaceTempFunction(ZOrderFn,
+      es => ZOrderKey(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction(TopKFn, buildTopK, "built-in")
   }
 }
@@ -603,6 +606,67 @@ object BlockWindowHashes {
     }
     new GenericArrayData(out)
   }
+}
+
+object ZOrderKey {
+  /** Bits taken from each coordinate. 16+16 → a 32-bit curve key. */
+  val Bits = 16
+}
+
+/** Morton (Z-order) interleave of the low 16 bits of two non-negative
+  * long coordinates: bit i of x lands at output bit 2i, bit i of y at
+  * 2i+1. The clustering key behind multi-dimensional data layout —
+  * range-sorting a table by this key co-locates rows that are close in
+  * BOTH dimensions, so file-level min/max statistics prune scans on
+  * either predicate (the technique behind Delta/Iceberg Z-ordering;
+  * the curve math is plain integer bit arithmetic, reproducible in any
+  * engine). One fused loop with codegen; elapsed domain is guarded by
+  * the caller masking/bucketing, not here (high bits simply do not
+  * participate). */
+case class ZOrderKey(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import ZOrderKey.Bits
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = GraftExpressions.ZOrderFn
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two bigint coordinates, got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Long]; val y = b.asInstanceOf[Long]
+    var z = 0L
+    var i = 0
+    while (i < Bits) {
+      z |= ((x >>> i) & 1L) << (2 * i)
+      z |= ((y >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val z = ctx.freshName("z"); val i = ctx.freshName("i")
+      s"""
+         |long $z = 0L;
+         |for (int $i = 0; $i < $Bits; $i++) {
+         |  $z |= (($a >>> $i) & 1L) << (2 * $i);
+         |  $z |= (($b >>> $i) & 1L) << (2 * $i + 1);
+         |}
+         |${ev.value} = $z;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 object WordShingleHashes {

@@ -80,5 +80,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(GraftExpressions.ShingleHashesFn,
         "distinct word-3-gram shingles of a token array as 64-bit hashes"),
       (es: Seq[Expression]) => WordShingleHashes(es.head)))
+    e.injectFunction((FunctionIdentifier(GraftExpressions.ZOrderFn),
+      info(GraftExpressions.ZOrderFn,
+        "Morton/Z-order interleave of the low 16 bits of two bigints"),
+      (es: Seq[Expression]) => ZOrderKey(es(0), es(1))))
   }
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.LayoutOps
+
+/** Z-order layout: curve-key math against a driver-side reference,
+  * the locality guarantee the audit query reports, and the pruning
+  * property of the range-partitioned writer. */
+class LayoutSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def zRef(x: Long, y: Long): Long = {
+    var z = 0L
+    (0 until graft.plans.ZOrderKey.Bits).foreach { i =>
+      z |= ((x >>> i) & 1L) << (2 * i)
+      z |= ((y >>> i) & 1L) << (2 * i + 1)
+    }
+    z
+  }
+
+  test("ZOrderKey matches a driver-side interleave on real keys") {
+    val got = Tables.lineitem(spark, sf)
+      .select($"l_partkey", $"l_suppkey",
+        LayoutOps.zOrderKey(spark, $"l_partkey", $"l_suppkey").as("z"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (p, s, z) => assert(z === zRef(p, s), s"z($p, $s)") }
+  }
+
+  test("z-curve locality: a bucket bounds BOTH dimension spans") {
+    // fixing the top 2k curve bits fixes the top k bits of each
+    // NORMALIZED dimension, so a bucket's raw span is ≤ domain/2^k + 1
+    val k = LayoutOps.BucketBits / 2
+    val (mnp, mxp, mns, mxs) = Tables.lineitem(spark, sf)
+      .agg(min($"l_partkey"), max($"l_partkey"),
+           min($"l_suppkey"), max($"l_suppkey"))
+      .as[(Long, Long, Long, Long)].head()
+    val pBound = (mxp - mnp + 1) / (1L << k) + 1
+    val sBound = (mxs - mns + 1) / (1L << k) + 1
+    val rows = LayoutOps.zorderLayout(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length > 1, "normalization should spread buckets")
+    rows.foreach { case (b, n, minP, maxP, minS, maxS) =>
+      assert(n > 0)
+      assert(maxP - minP <= pBound, s"part span in bucket $b")
+      assert(maxS - minS <= sBound, s"supp span in bucket $b")
+    }
+    assert(rows.map(_._1).toSeq === rows.map(_._1).toSeq.sorted)
+  }
+
+  test("writeZOrdered: files own non-overlapping z-ranges (pruning works)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    LayoutOps.writeZOrdered(spark, Tables.lineitem(spark, sf)
+        .select($"l_partkey", $"l_suppkey"),
+      $"l_partkey", $"l_suppkey", dir, files = 4)
+    // recompute the key on read and check per-FILE ranges are disjoint:
+    // that is exactly the property min/max pruning needs
+    val ranges = spark.read.parquet(dir)
+      .select(LayoutOps.zOrderKey(spark, $"l_partkey", $"l_suppkey").as("z"),
+        input_file_name().as("f"))
+      .groupBy($"f").agg(min($"z").as("lo"), max($"z").as("hi"))
+      .as[(String, Long, Long)].collect()
+      .map { case (_, lo, hi) => (lo, hi) }.sortBy(_._1)
+    assert(ranges.length > 1, "writer should emit multiple files")
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, "overlapping files")
+      case _ =>
+    }
+    // and the data round-trips completely
+    assert(spark.read.parquet(dir).count() ===
+      Tables.lineitem(spark, sf).count())
+  }
+
+  test("x29 heavy hitters: CMS never underestimates; estimates are mins") {
+    val rows = operators.SketchOps.heavyHitters(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= operators.SketchOps.CmsTopK)
+    rows.foreach { case (u, trueN, est, over) =>
+      assert(est >= trueN, s"CMS underestimated user $u")
+      assert(over === est - trueN)
+    }
+    // ordered by true count desc
+    assert(rows.map(-_._2).toSeq === rows.map(-_._2).toSeq.sorted)
+  }
+
+  test("x28 PII redaction: planted PII found and scrubbed") {
+    val rows = operators.TextOps.piiRedaction(spark, sf)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, em, ip, ph, fp) =>
+      assert(em >= 1, s"planted email missed in doc $id")
+      assert(ip >= 1, s"planted ip missed in doc $id")
+      assert(ph >= 1, s"planted phone missed in doc $id")
+      assert(fp.length === 32)
+    }
+    // the redacted fingerprint differs from the raw text fingerprint
+    // (i.e. something was actually replaced)
+    val raw = Tables.documents(spark, sf)
+      .select($"doc_id", md5($"text")).as[(Long, String)].collect().toMap
+    rows.foreach { case (id, _, _, _, fp) => assert(fp !== raw(id)) }
+  }
+}
