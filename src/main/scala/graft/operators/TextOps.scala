@@ -316,12 +316,17 @@ object TextOps {
         graft.plans.GraftExpressions.BigramHashesFn, $"w")).as("p"))
       .select($"doc_id", $"p.w1", $"p.w2")
       .localCheckpoint(false)
+    // ONE corpus-sized aggregate builds the c12 model; the unigram
+    // counts and the vocabulary both derive from the (much smaller)
+    // model relation, not from re-aggregating the corpus: c1(w1) is
+    // c12's row-sum over w2, and — since in a ≥2-word doc every
+    // position is some bigram's w1 or w2 — distinct(w1 ∪ w2) of the
+    // DISTINCT-bigram relation is exactly the corpus word set. The
+    // model is checkpointed: it feeds c1, v, and the scoring broadcast.
     val c12 = bg.groupBy($"w1", $"w2").agg(count("*").as("c12"))
-    val c1 = bg.groupBy($"w1").agg(count("*").as("c1"))
-    // vocabulary from the CHECKPOINTED bigrams, not a second corpus
-    // tokenize: in a ≥2-word doc every position is some bigram's w1 or
-    // w2, so distinct(w1 ∪ w2) IS the distinct word set
-    val v = bg.select($"w1".as("word")).unionAll(bg.select($"w2".as("word")))
+      .localCheckpoint(false)
+    val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
+    val v = c12.select($"w1".as("word")).unionAll(c12.select($"w2".as("word")))
       .agg(countDistinct($"word").as("v"))
     bg.join(broadcast(c12), Seq("w1", "w2"))
       .join(broadcast(c1), Seq("w1"))
