@@ -136,6 +136,23 @@ object SketchOps {
     conv(substring(md5(concat(lit(s"c$r"), v)), 1, 8), 16, 10)
       .cast("long") % CmsWidth
 
+  /** (user_id, r, pos) — each value's d counter coordinates. */
+  def cmsPositions(df: DataFrame): DataFrame =
+    df.select(col("user_id"), explode(array(
+      (1 to CmsRows).map(r =>
+        struct(lit(r).as("r"), cmsPos(col("user_id"), r).as("pos"))): _*))
+      .as("rp"))
+      .select(col("user_id"), col("rp.r"), col("rp.pos"))
+
+  /** The d×w counter relation of a (user_id) frame — the CMS itself.
+    * Counters over a union of frames equal the SUM of per-frame
+    * counters (they are plain counts), which is what makes the sketch
+    * mergeable across shards and micro-batches; the streaming path
+    * (SketchStream) relies on exactly this. */
+  def cmsCounters(df: DataFrame): DataFrame =
+    cmsPositions(df).groupBy(col("r"), col("pos"))
+      .agg(count("*").as("cnt"))
+
   /** x29 — count-min heavy hitters, fully relational (Cormode &
     * Muthukrishnan, J. Algorithms 2005): the sketch is the d×w counter
     * relation — ONE aggregate over the event stream with bounded state
@@ -152,24 +169,22 @@ object SketchOps {
     import s.implicits._
     val ev = Tables.events(s, d)
       .filter($"user_id".isNotNull).select($"user_id")
-    def positions(df: DataFrame): DataFrame =
-      df.select(col("user_id"), explode(array(
-        (1 to CmsRows).map(r =>
-          struct(lit(r).as("r"), cmsPos(col("user_id"), r).as("pos"))): _*))
-        .as("rp"))
-        .select(col("user_id"), col("rp.r"), col("rp.pos"))
-    val counters = positions(ev)
-      .groupBy($"r", $"pos").agg(count("*").as("cnt"))
     val top = ev.groupBy($"user_id").agg(count("*").as("true_n"))
       .orderBy($"true_n".desc, $"user_id").limit(CmsTopK)
-    positions(top.select($"user_id"))
-      .join(broadcast(counters), Seq("r", "pos"))
-      .groupBy($"user_id").agg(min($"cnt").as("cms_est"))
+    cmsEstimates(cmsCounters(ev), top.select($"user_id"))
       .join(broadcast(top), "user_id")
       .select($"user_id", $"true_n", $"cms_est",
         ($"cms_est" - $"true_n").as("overshoot"))
       .orderBy($"true_n".desc, $"user_id")
   }
+
+  /** CMS point estimates for a probe frame: min over the d counters at
+    * each probe's coordinates. `counters` broadcasts — it is ≤ d·w
+    * rows by construction, at any corpus size. */
+  def cmsEstimates(counters: DataFrame, probes: DataFrame): DataFrame =
+    cmsPositions(probes)
+      .join(broadcast(counters), Seq("r", "pos"))
+      .groupBy(col("user_id")).agg(min(col("cnt")).as("cms_est"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x13_approx_distinct" -> approxDistinct _,

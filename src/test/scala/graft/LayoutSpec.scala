@@ -84,6 +84,43 @@ class LayoutSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.map(-_._2).toSeq === rows.map(-_._2).toSeq.sorted)
   }
 
+  test("streaming CMS: merged micro-batch partials equal the batch sketch") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-cms")
+    val in = s"$root/in"
+    val ev = Tables.events(spark, sf)
+      .filter($"user_id".isNotNull).select($"user_id")
+    // two file drops → two micro-batches (maxFilesPerTrigger = 1)
+    ev.filter($"user_id" % 2 === 0).coalesce(1).write.parquet(in)
+    ev.filter($"user_id" % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(in)
+    val q = graft.streaming.SketchStream.startHeavyHitterStream(
+      spark, in, s"$root/state", s"$root/ckpt", maxFilesPerTrigger = Some(1))
+    assert(q.awaitTermination(120000))
+    assert(spark.read.parquet(s"$root/state")
+      .select($"batch_id").distinct().count() >= 2,
+      "stream should have produced multiple batch partitions")
+    val merged = graft.streaming.SketchStream.mergedCounters(spark, s"$root/state")
+      .as[(Int, Long, Long)].collect().toSeq.sorted
+    val batch = operators.SketchOps.cmsCounters(ev)
+      .as[(Int, Long, Long)].collect().toSeq.sorted
+    assert(merged === batch)
+    // replay safety: reprocessing a batch overwrites, never
+    // double-counts — replaying the FULL input as batch 0 twice leaves
+    // batch 0 holding exactly one full-input partial
+    graft.streaming.SketchStream.processSketchBatch(
+      spark.read.parquet(in), s"$root/state", 0L)
+    graft.streaming.SketchStream.processSketchBatch(
+      spark.read.parquet(in), s"$root/state", 0L)
+    val afterReplay = graft.streaming.SketchStream
+      .mergedCounters(spark, s"$root/state")
+      .agg(sum($"cnt")).as[Long].head()
+    val nOdd = ev.filter($"user_id" % 2 =!= 0).count()
+    assert(afterReplay ===
+      operators.SketchOps.CmsRows * (ev.count() + nOdd),
+      "batch 0 replay must overwrite its own partition")
+  }
+
   test("x28 PII redaction: planted PII found and scrubbed") {
     val rows = operators.TextOps.piiRedaction(spark, sf)
       .as[(Long, Long, Long, Long, String)].collect()
