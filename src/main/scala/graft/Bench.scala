@@ -87,11 +87,12 @@ object Bench {
         try run(fn, warmupDir) catch { case _: Throwable => () }
       }
     }
-    // Per-query time = MIN over SPARK_GRAFT_REPS runs (default 2): the
+    // Per-query time = MIN over SPARK_GRAFT_REPS runs (default 3): the
     // minimum is the standard interference-robust estimator for a
     // deterministic workload — observed machine-load swings move a
-    // single-shot total by ±25%.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    // single-shot total by ±25%, and min-of-3 cuts the residual swing
+    // roughly in half again vs min-of-2 for ~80 s more bench wall time.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val results = selected.toSeq.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
