@@ -99,6 +99,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("x28: the scrub is one narrow stage — no exchange before the sort") {
+    val p = plan("x28_pii_redaction")
+    // rebalance round-robin + final range sort are the only exchanges;
+    // no hash-partitioned shuffle (nothing aggregates or joins)
+    assert(!p.contains("hashpartitioning"))
+    assert(!p.contains("BroadcastHashJoin"))
+  }
+
+  test("x29: counters broadcast to the probe join; top-K is bounded") {
+    val p = plan("x29_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("x30: stats side is a single-row broadcast, fact side streams") {
+    val p = plan("x30_zorder_layout")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // the curve key is computed per row in codegen
+    assert(p.contains("graft_zorder"))
+  }
+
   test("custom expressions appear in codegen'd projections") {
     // q16's BroadcastNestedLoopJoin doesn't do whole-stage codegen (the
     // projection above it still compiles the expression); x05's
