@@ -320,10 +320,71 @@ object SimilarityOps {
       .limit(TopK)
   }
 
+  /** Quantization levels for the SQ8 codes ([0, 255] per coordinate). */
+  val SqLevels = 255L
+  /** Candidates retrieved by quantized dot before the exact rerank. */
+  val SqCandidates = 20
+
+  /** x31 — SCALAR-QUANTIZED ANN (faiss's SQ8 flavor): each coordinate
+    * compresses to an 8-bit code via per-dimension min/max scaling —
+    * 4× less memory/bandwidth than float32, the memory-bound lever of
+    * corpus-scale vector search — then retrieval runs two-stage:
+    * top-`SqCandidates` by the cosine of the DEQUANTIZED vectors
+    * (decoded from the codes alone — the scan a real deployment runs
+    * over its 64 B/vector codes table, carrying quantization error
+    * only), then an exact double-cosine rerank of the survivors from
+    * the full vectors.
+    *
+    * Oracle-exactness: the per-dim stats are min/max aggregates of
+    * IEEE doubles; the code formula (floor) and the reconstruction
+    * mn + (c + 0.5)·(mx − mn)/(levels+1) are written with identical
+    * operation order on both engines, so every estimated cosine is
+    * bit-identical (the q16/x06 raw-cosine precedent) and the
+    * candidate sets cannot drift.
+    *
+    * Scale shape: the stats row broadcasts (Dim structs); encoding is
+    * a narrow map; candidate selection is a TakeOrderedAndProject over
+    * the code scan; the rerank touches `SqCandidates` full vectors
+    * only. */
+  def annSq8(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val stats = emb.select(posexplode($"e").as(Seq("i", "x")))
+      .groupBy($"i").agg(min($"x").as("mn"), max($"x").as("mx"))
+      .agg(array_sort(collect_list(struct($"i", $"mn", $"mx"))).as("st"))
+    val codeExpr = expr(
+      s"""transform(sequence(0, ${Dim - 1}), i ->
+         |  CASE WHEN st[i].mx = st[i].mn THEN 0L
+         |  ELSE least(${SqLevels}L, greatest(0L,
+         |    CAST(floor((e[i] - st[i].mn) * $SqLevels.0D
+         |               / (st[i].mx - st[i].mn)) AS BIGINT))) END)""".stripMargin)
+    // dequantized vector, from the CODES only (mid-rise reconstruction)
+    val reconExpr = expr(
+      s"""transform(sequence(0, ${Dim - 1}), i ->
+         |  st[i].mn + (CAST(c[i] AS DOUBLE) + 0.5D) * (st[i].mx - st[i].mn)
+         |             / ${SqLevels + 1}.0D)""".stripMargin)
+    val coded = emb.crossJoin(broadcast(stats))
+      .select($"vec_id", $"e", $"st", codeExpr.as("c"))
+      .select($"vec_id", $"e", reconExpr.as("r"))
+    val probe = coded.filter($"vec_id" === 0)
+      .select($"e".as("qe"), $"r".as("qr"))
+    val cands = coded.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(probe))
+      .select($"vec_id", $"e", $"qe",
+        round(CoreQueries.cosine(s, $"r", $"qr"), 4).as("est_sim"))
+      .orderBy($"est_sim".desc, $"vec_id").limit(SqCandidates)
+    cands
+      .select($"vec_id", $"est_sim",
+        round(CoreQueries.cosine(s, $"e", $"qe"), 4).as("sim"))
+      .orderBy($"sim".desc, $"vec_id").limit(TopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x06_ann_lsh"  -> annLsh _,
     "x12_ann_ivf"  -> annIvf _,
     "x22_knn_join" -> knnJoin _,
+    "x31_ann_sq8"  -> annSq8 _,
   )
 
   /** One Lloyd iteration as DuckDB CTEs: integer-dot assignment
@@ -372,6 +433,40 @@ object SimilarityOps {
     * the same final cosine top-K. The x12 oracle unrolls the
     * KmeansIters(=2) Lloyd iterations as CTE pairs. */
   val oracleSql: Map[String, String] = Map(
+    "x31_ann_sq8" ->
+      s"""WITH st AS (
+        |  SELECT i.range AS i, min(embedding[i.range + 1]::DOUBLE) AS mn,
+        |         max(embedding[i.range + 1]::DOUBLE) AS mx
+        |  FROM embeddings, range($Dim) i GROUP BY 1),
+        |cd AS (
+        |  SELECT e.vec_id, st.i AS i, st.mn AS mn, st.mx AS mx,
+        |    CASE WHEN st.mx = st.mn THEN CAST(0 AS BIGINT)
+        |    ELSE least($SqLevels, greatest(0,
+        |      CAST(floor((e.embedding[st.i + 1]::DOUBLE - st.mn) * $SqLevels.0
+        |                 / (st.mx - st.mn)) AS BIGINT))) END AS code
+        |  FROM embeddings e, st),
+        |recon AS (
+        |  SELECT vec_id,
+        |    list(mn + (code + 0.5) * (mx - mn) / ${SqLevels + 1}.0
+        |         ORDER BY i) AS r
+        |  FROM cd GROUP BY vec_id),
+        |probe AS (SELECT c.r AS qr, e.embedding::DOUBLE[] AS qe
+        |          FROM recon c JOIN embeddings e USING (vec_id)
+        |          WHERE c.vec_id = 0),
+        |cands AS (
+        |  SELECT c.vec_id,
+        |    ROUND(list_dot_product(c.r, p.qr) /
+        |      (sqrt(list_dot_product(c.r, c.r)) *
+        |       sqrt(list_dot_product(p.qr, p.qr))), 4) AS est_sim,
+        |    e.embedding::DOUBLE[] AS e, p.qe AS qe
+        |  FROM recon c JOIN embeddings e USING (vec_id), probe p
+        |  WHERE c.vec_id <> 0
+        |  ORDER BY est_sim DESC, c.vec_id LIMIT $SqCandidates)
+        |SELECT vec_id, est_sim,
+        |  ROUND(list_dot_product(e, qe) /
+        |    (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 4)
+        |    AS sim
+        |FROM cands ORDER BY sim DESC, vec_id LIMIT $TopK""".stripMargin,
     "x06_ann_lsh" ->
       s"""WITH $sigCtes,
         |probe AS (

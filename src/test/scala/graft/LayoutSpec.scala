@@ -121,6 +121,43 @@ class LayoutSpec extends AnyFunSuite with SparkTestSession {
       "batch 0 replay must overwrite its own partition")
   }
 
+  test("x31 SQ8 ANN: reported sims are TRUE cosines; ranking is honest") {
+    import graft.operators.{CoreQueries, SimilarityOps}
+    val got = SimilarityOps.annSq8(spark, sf)
+      .as[(Long, Double, Double)].collect()
+    assert(got.length === SimilarityOps.TopK)
+    // sims must equal the exact cosine of the same pairs (the rerank is
+    // exact, only the CANDIDATE set is approximate)
+    val exact = CoreQueries.knnCosine(spark, sf)
+      .as[(Long, Double)].collect().toMap   // exact top-5 vs vec 0
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val probeE = emb.filter($"vec_id" === 0).select($"e")
+      .as[Seq[Double]].head()
+    val all = emb.filter($"vec_id" =!= 0).as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val allCos = all.map { case (id, e) =>
+      id -> BigDecimal(cos(e, probeE))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble }.toMap
+    got.foreach { case (id, est, sim) =>
+      assert(math.abs(sim - allCos(id)) < 1e-9, s"sim of $id is not exact")
+      // 8-bit quantization error on the estimate is small
+      assert(math.abs(est - sim) < 0.05, s"estimate of $id too far off")
+    }
+    // descending, and the quantized retrieval found real structure:
+    // every reported sim is at least the 20th-best exact cosine (the
+    // dequantized ranking can only miss by quantization error)
+    assert(got.map(-_._3).toSeq === got.map(-_._3).toSeq.sorted)
+    val floor20 = allCos.values.toSeq.sorted.reverse.take(
+      SimilarityOps.SqCandidates).min
+    got.foreach { case (id, _, sim) =>
+      assert(sim >= floor20 - 0.05, s"candidate $id far below exact floor") }
+    assert(exact.nonEmpty)   // baseline sanity
+  }
+
   test("x28 PII redaction: planted PII found and scrubbed") {
     val rows = operators.TextOps.piiRedaction(spark, sf)
       .as[(Long, Long, Long, Long, String)].collect()
