@@ -364,7 +364,11 @@ object SimilarityOps {
       s"""transform(sequence(0, ${Dim - 1}), i ->
          |  st[i].mn + (CAST(c[i] AS DOUBLE) + 0.5D) * (st[i].mx - st[i].mn)
          |             / ${SqLevels + 1}.0D)""".stripMargin)
-    val coded = emb.crossJoin(broadcast(stats))
+    // the one-row stats frame feeds both the probe and candidate
+    // branches — materialize its posexplode+groupBy once (the
+    // lmLikelihood model-checkpoint pattern) instead of re-running the
+    // corpus-wide stats aggregate per branch
+    val coded = emb.crossJoin(broadcast(stats.localCheckpoint(false)))
       .select($"vec_id", $"e", $"st", codeExpr.as("c"))
       .select($"vec_id", $"e", reconExpr.as("r"))
     val probe = coded.filter($"vec_id" === 0)

@@ -180,11 +180,17 @@ object SketchOps {
 
   /** CMS point estimates for a probe frame: min over the d counters at
     * each probe's coordinates. `counters` broadcasts — it is ≤ d·w
-    * rows by construction, at any corpus size. */
+    * rows by construction, at any corpus size. LEFT join: a counter
+    * relation is sparse (only touched cells have rows, and retention
+    * can drop cells back out), and an absent cell is a ZERO counter —
+    * an inner join would overestimate from the surviving coordinates,
+    * or silently drop a probe whose every cell is absent, instead of
+    * answering 0. */
   def cmsEstimates(counters: DataFrame, probes: DataFrame): DataFrame =
     cmsPositions(probes)
-      .join(broadcast(counters), Seq("r", "pos"))
-      .groupBy(col("user_id")).agg(min(col("cnt")).as("cms_est"))
+      .join(broadcast(counters), Seq("r", "pos"), "left")
+      .groupBy(col("user_id"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x13_approx_distinct" -> approxDistinct _,

@@ -355,7 +355,7 @@ object TextOps {
     * planted contact line is a pure function of doc_id that BOTH
     * engines synthesize identically, making redaction provably
     * effective under the hash-match oracle. */
-  private def piiAugmented(t: Column, id: Column): Column =
+  private[graft] def piiAugmented(t: Column, id: Column): Column =
     concat(t, lit(" contact user"), id, lit("@example.com or 10.0."),
       id % 256, lit(".7 tel +1-555-01"), lpad((id % 100).cast("string"), 2, "0"))
 

@@ -564,34 +564,17 @@ object BlockWindowHashes {
 
   /** All k-word sliding-window keys of a token array: each key is the
     * 16-byte big-endian (XXH64_lo ++ XXH64_hi) of the space-joined
-    * window text. One pass, one reusable join buffer — no per-window
-    * slice/array_join/UTF8String allocation. Static so the generated
-    * code calls straight into compiled bytecode. */
+    * window text (the shared WindowJoin buffer). One pass, no
+    * per-window slice/array_join/UTF8String allocation. Static so the
+    * generated code calls straight into compiled bytecode. */
   def compute(w: ArrayData, k: Int): GenericArrayData = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.unsafe.Platform
-    val n = w.numElements()
-    val m = n - k + 1
+    val m = w.numElements() - k + 1
     if (m <= 0) return new GenericArrayData(new Array[Any](0))
-    val words = new Array[Array[Byte]](n)
-    var i = 0
-    while (i < n) { words(i) = w.getUTF8String(i).getBytes; i += 1 }
     val out = new Array[Any](m)
-    var buf = new Array[Byte](256)
     var wi = 0
-    while (wi < m) {
-      var len = 0
-      var j = 0
-      while (j < k) {
-        val wb = words(wi + j)
-        val need = len + wb.length + 1
-        if (need > buf.length)
-          buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
-        System.arraycopy(wb, 0, buf, len, wb.length)
-        len += wb.length
-        if (j < k - 1) { buf(len) = ' '; len += 1 }
-        j += 1
-      }
+    WindowJoin.foreachWindow(w, k) { (buf, len) =>
       val lo = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, SeedLo)
       val hi = XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, SeedHi)
       val key = new Array[Byte](16)
@@ -669,29 +652,23 @@ case class ZOrderKey(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-object WordShingleHashes {
-  /** XXH64 seed for shingle identity hashes. 64 bits is the identity
-    * domain every set operation (distinct, intersect, postings join)
-    * runs in: two distinct shingles alias with probability ~n²/2^65 —
-    * ~3e-9 at a million distinct shingles per compared scope, the same
-    * engine-internal-key standard as BlockWindowHashes/BigramHashes
-    * (shingle strings never appear in any query output; the DuckDB
-    * oracles recompute from the strings). */
-  val Seed = 42L
-
-  /** Distinct k-word shingle hashes in first-occurrence order: the
-    * space-joined window buffer of BlockWindowHashes, one XXH64 per
-    * window, deduped by hash. */
-  def compute(w: ArrayData, k: Int): GenericArrayData = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
-    import org.apache.spark.unsafe.Platform
+/** The shared sliding-window join loop: every k-word window of a token
+  * array rendered as space-joined bytes into ONE reusable buffer. The
+  * single definition of the hash-input byte layout that both window
+  * hashers (BlockWindowHashes, WordShingleHashes) consume — the layout
+  * IS their identity contract, so it must not be able to drift between
+  * them. */
+private[plans] object WindowJoin {
+  /** Calls `consume(buf, len)` once per window, in order. The buffer
+    * is reused — consumers must not retain it. */
+  def foreachWindow(w: ArrayData, k: Int)
+                   (consume: (Array[Byte], Int) => Unit): Unit = {
     val n = w.numElements()
     val m = n - k + 1
-    if (m <= 0) return new GenericArrayData(new Array[Any](0))
+    if (m <= 0) return
     val words = new Array[Array[Byte]](n)
     var i = 0
     while (i < n) { words(i) = w.getUTF8String(i).getBytes; i += 1 }
-    val out = new java.util.LinkedHashSet[java.lang.Long]()
     var buf = new Array[Byte](256)
     var wi = 0
     while (wi < m) {
@@ -707,12 +684,35 @@ object WordShingleHashes {
         if (j < k - 1) { buf(len) = ' '; len += 1 }
         j += 1
       }
-      out.add(XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, Seed))
+      consume(buf, len)
       wi += 1
+    }
+  }
+}
+
+object WordShingleHashes {
+  /** XXH64 seed for shingle identity hashes. 64 bits is the identity
+    * domain every set operation (distinct, intersect, postings join)
+    * runs in: two distinct shingles alias with probability ~n²/2^65 —
+    * ~3e-9 at a million distinct shingles per compared scope, the same
+    * engine-internal-key standard as BlockWindowHashes/BigramHashes
+    * (shingle strings never appear in any query output; the DuckDB
+    * oracles recompute from the strings). */
+  val Seed = 42L
+
+  /** Distinct k-word shingle hashes in first-occurrence order: the
+    * shared WindowJoin buffer, one XXH64 per window, deduped by
+    * hash. */
+  def compute(w: ArrayData, k: Int): GenericArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    WindowJoin.foreachWindow(w, k) { (buf, len) =>
+      out.add(XXH64.hashUnsafeBytes(buf, Platform.BYTE_ARRAY_OFFSET, len, Seed))
     }
     val arr = new Array[Long](out.size)
     val it = out.iterator()
-    i = 0
+    var i = 0
     while (it.hasNext) { arr(i) = it.next(); i += 1 }
     new GenericArrayData(arr)
   }

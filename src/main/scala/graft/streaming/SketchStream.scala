@@ -66,8 +66,16 @@ object SketchStream {
 
   /** The merged sketch over every retained batch partition — the d×w
     * relation `SketchOps.cmsEstimates` probes. Pinned schema: an empty
-    * or file-less state dir reads as an empty (all-zero) sketch. */
-  def mergedCounters(spark: SparkSession, stateDir: String): DataFrame =
-    spark.read.schema(stateSchema).parquet(stateDir)
-      .groupBy(col("r"), col("pos")).agg(sum(col("cnt")).as("cnt"))
+    * or file-less state dir reads as an empty (all-zero) sketch, and a
+    * state dir that was NEVER created (no batch committed yet) returns
+    * the same empty frame instead of a path error. */
+  def mergedCounters(spark: SparkSession, stateDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base =
+      if (fs.exists(p)) spark.read.schema(stateSchema).parquet(stateDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
+    base.groupBy(col("r"), col("pos")).agg(sum(col("cnt")).as("cnt"))
+  }
 }

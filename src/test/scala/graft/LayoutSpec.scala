@@ -168,10 +168,14 @@ class LayoutSpec extends AnyFunSuite with SparkTestSession {
       assert(ph >= 1, s"planted phone missed in doc $id")
       assert(fp.length === 32)
     }
-    // the redacted fingerprint differs from the raw text fingerprint
-    // (i.e. something was actually replaced)
-    val raw = Tables.documents(spark, sf)
-      .select($"doc_id", md5($"text")).as[(Long, String)].collect().toMap
-    rows.foreach { case (id, _, _, _, fp) => assert(fp !== raw(id)) }
+    // the redacted fingerprint differs from the fingerprint of the
+    // AUGMENTED (pre-scrub) text — i.e. the scrub genuinely replaced
+    // something; comparing against md5(text) would pass vacuously
+    // because the augmentation alone changes the hash
+    val aug = Tables.documents(spark, sf)
+      .select($"doc_id",
+        md5(operators.TextOps.piiAugmented($"text", $"doc_id")))
+      .as[(Long, String)].collect().toMap
+    rows.foreach { case (id, _, _, _, fp) => assert(fp !== aug(id)) }
   }
 }
