@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Runnable end-to-end composition of the training-data operators —
+  * the path a corpus actually takes from raw documents to training
+  * shards, each stage one of the library's audited operators:
+  *
+  *   PII scrub audit (x28) → language/quality gates + exact dedup
+  *   (x14's rules via DocCuration.curateBatch) → near-dup cluster
+  *   representatives (x02 pairs → x17 components) → benchmark
+  *   decontamination (x24's leaked-prefix eval) → deterministic
+  *   content-hash split (x23) → split-partitioned parquet shards.
+  *
+  * {{{
+  *   sbt "runMain graft.TrainingDataDemo [sfDir] [outDir]"
+  * }}}
+  *
+  * Every stage is the SAME code the oracle-checked queries run — the
+  * demo adds only composition, so its numbers reconcile against the
+  * x14/x17/x24/x23 audits by construction.
+  */
+object TrainingDataDemo {
+
+  /** The composed pipeline: returns the final training corpus
+    * (doc_id, source, text, split) and writes it split-partitioned
+    * under `outDir` when given. Stage counts land in `report`. */
+  def run(spark: SparkSession, sfDir: String,
+          outDir: Option[String]): (DataFrame, Seq[(String, Long)]) = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+      .select($"doc_id", $"source", $"text")
+    val report = Seq.newBuilder[(String, Long)]
+    report += ("raw_documents" -> docs.count())
+
+    // 1. PII audit (the scrub itself is a projection; the demo records
+    // how much PII the corpus carried)
+    val pii = operators.TextOps.piiRedaction(spark, sfDir)
+      .agg(sum($"n_emails" + $"n_ips" + $"n_phones")).as[Long].head()
+    report += ("pii_occurrences_found" -> pii)
+
+    // 2. language/quality gates + exact (order-invariant fingerprint)
+    // dedup — keeps the min doc_id per fingerprint
+    val gated = streaming.DocCuration.curateBatch(docs)
+      .select($"doc_id").localCheckpoint(false)
+    report += ("after_gates_and_exact_dedup" -> gated.count())
+
+    // 3. near-dup components (MinHash LSH pairs → min-label reps):
+    // keep only each component's representative
+    val reps = operators.DedupOps.dedupClusters(spark, sfDir)
+      .filter($"doc_id" === $"rep").select($"doc_id")
+    val deduped = gated.join(reps, "doc_id")
+    report += ("after_near_dup_clustering" -> deduped.count())
+
+    // 4. decontamination: drop every training doc the leaked-prefix
+    // eval sweep implicates
+    val contaminated = operators.DedupOps.contaminationEval(spark, sfDir)
+      .select($"train_id".as("doc_id")).distinct()
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    report += ("after_decontamination" -> clean.count())
+
+    // 5. deterministic content-hash split + final corpus
+    val corpus = docs.join(clean, "doc_id")
+      .withColumn("split", operators.TextOps.splitCol($"text"))
+    outDir.foreach(o =>
+      corpus.write.mode("overwrite").partitionBy("split").parquet(o))
+    (corpus, report.result())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val out = if (args.length > 1) args(1)
+      else java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    val (corpus, report) = run(spark, sfDir, Some(out))
+    report.foreach { case (stage, n) => println(f"[curate] $stage%-32s $n") }
+    println(s"[curate] final corpus written to $out, by (split, source):")
+    corpus.groupBy("split", "source").count()
+      .orderBy("split", "source").show(100, truncate = false)
+    spark.stop()
+  }
+}

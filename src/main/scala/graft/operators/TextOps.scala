@@ -262,13 +262,18 @@ object TextOps {
     * splits survive none of those). Content-keyed splitting also keeps
     * EXACT duplicates on the same side of the boundary, preventing the
     * classic train/test leak. Emits per-(source, split) counts. */
+  /** The per-document split label as a column — exposed so pipeline
+    * compositions (TrainingDataDemo) assign the same deterministic
+    * split the x23 audit reports. */
+  def splitCol(text: Column): Column = {
+    val b = hashBucketPm(text)
+    when(b < TrainPm, "train").when(b < ValPm, "val").otherwise("test")
+  }
+
   def splitAssign(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val b = hashBucketPm($"text")
     docs(s, d)
-      .select($"source",
-        when(b < TrainPm, "train").when(b < ValPm, "val")
-          .otherwise("test").as("split"))
+      .select($"source", splitCol($"text").as("split"))
       .groupBy($"source", $"split")
       .agg(count("*").as("n"))
       .smallOrdered($"source", $"split")

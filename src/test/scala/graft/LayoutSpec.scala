@@ -158,6 +158,33 @@ class LayoutSpec extends AnyFunSuite with SparkTestSession {
     assert(exact.nonEmpty)   // baseline sanity
   }
 
+  test("TrainingDataDemo composes the curation stages coherently") {
+    val out = java.nio.file.Files.createTempDirectory("graft-demo").toString
+    val (corpus, report) = TrainingDataDemo.run(spark, sf, Some(out))
+    val counts = report.toMap
+    // stages only ever shrink the corpus
+    assert(counts("raw_documents") >= counts("after_gates_and_exact_dedup"))
+    assert(counts("after_gates_and_exact_dedup") >=
+      counts("after_near_dup_clustering"))
+    assert(counts("after_near_dup_clustering") >=
+      counts("after_decontamination"))
+    assert(counts("after_decontamination") > 0)
+    val rows = corpus.select($"doc_id", $"split").as[(Long, String)].collect()
+    assert(rows.length.toLong === counts("after_decontamination"))
+    // every survivor is its own cluster representative…
+    val reps = operators.DedupOps.dedupClusters(spark, sf)
+      .filter($"doc_id" === $"rep").select($"doc_id").as[Long].collect().toSet
+    rows.foreach { case (id, _) => assert(reps(id), s"doc $id is not a rep") }
+    // …no contaminated doc survived…
+    val dirty = operators.DedupOps.contaminationEval(spark, sf)
+      .select($"train_id").as[Long].collect().toSet
+    rows.foreach { case (id, _) => assert(!dirty(id), s"doc $id contaminated") }
+    // …and the written shards partition the corpus by split
+    val written = spark.read.parquet(out)
+    assert(written.count() === rows.length)
+    assert(rows.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("x28 PII redaction: planted PII found and scrubbed") {
     val rows = operators.TextOps.piiRedaction(spark, sf)
       .as[(Long, Long, Long, Long, String)].collect()
