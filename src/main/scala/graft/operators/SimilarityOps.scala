@@ -353,23 +353,29 @@ object SimilarityOps {
     val stats = emb.select(posexplode($"e").as(Seq("i", "x")))
       .groupBy($"i").agg(min($"x").as("mn"), max($"x").as("mx"))
       .agg(array_sort(collect_list(struct($"i", $"mn", $"mx"))).as("st"))
-    val codeExpr = expr(
-      s"""transform(sequence(0, ${Dim - 1}), i ->
-         |  CASE WHEN st[i].mx = st[i].mn THEN 0L
-         |  ELSE least(${SqLevels}L, greatest(0L,
-         |    CAST(floor((e[i] - st[i].mn) * $SqLevels.0D
-         |               / (st[i].mx - st[i].mn)) AS BIGINT))) END)""".stripMargin)
-    // dequantized vector, from the CODES only (mid-rise reconstruction)
+    // Encode + mid-rise decode FUSED in one lambda: the double value
+    // goes through the exact floored integer code (so the arithmetic
+    // is identical to materializing the codes table and decoding it —
+    // which is what a deployment does; the oracle builds recon from
+    // its codes CTE the same way). Fused deliberately: a separate
+    // `codes` projection feeding a second transform gets inlined by
+    // CollapseProject into every element access of the consumer
+    // lambda — re-evaluating the 64-iteration encode per coordinate,
+    // O(Dim²) interpreted work per row (measured 5× the whole query).
     val reconExpr = expr(
       s"""transform(sequence(0, ${Dim - 1}), i ->
-         |  st[i].mn + (CAST(c[i] AS DOUBLE) + 0.5D) * (st[i].mx - st[i].mn)
-         |             / ${SqLevels + 1}.0D)""".stripMargin)
+         |  CASE WHEN st[i].mx = st[i].mn THEN st[i].mn
+         |  ELSE st[i].mn +
+         |    (CAST(least(${SqLevels}L, greatest(0L,
+         |       CAST(floor((e[i] - st[i].mn) * $SqLevels.0D
+         |                  / (st[i].mx - st[i].mn)) AS BIGINT))) AS DOUBLE)
+         |     + 0.5D) * (st[i].mx - st[i].mn) / ${SqLevels + 1}.0D END)"""
+        .stripMargin)
     // the one-row stats frame feeds both the probe and candidate
     // branches — materialize its posexplode+groupBy once (the
     // lmLikelihood model-checkpoint pattern) instead of re-running the
     // corpus-wide stats aggregate per branch
     val coded = emb.crossJoin(broadcast(stats.localCheckpoint(false)))
-      .select($"vec_id", $"e", $"st", codeExpr.as("c"))
       .select($"vec_id", $"e", reconExpr.as("r"))
     val probe = coded.filter($"vec_id" === 0)
       .select($"e".as("qe"), $"r".as("qr"))
