@@ -108,7 +108,19 @@ object Bench {
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = good.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"warmup":$warmedUp,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"warmup":$warmedUp,"sf":"$sfDir"}"""
+    // The full line grows with the query count and a tail-windowed
+    // reader can clip its head (round-4 BENCH parsed:null), so the full
+    // JSON also lands in a file and the LAST stdout line is a compact
+    // self-contained summary that survives any tail window.
+    val outFile = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    Option(outFile.getParentFile).foreach(_.mkdirs())
+    val w = new java.io.PrintWriter(outFile, "UTF-8")
+    try w.println(full) finally w.close()
+    println(full)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${good.size},"n_failed":${failed.size},"warmup":$warmedUp,"sf":"$sfDir","detail":"${outFile.getPath}"}""")
     spark.stop()
   }
 }

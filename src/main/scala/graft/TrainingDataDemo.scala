@@ -46,11 +46,17 @@ object TrainingDataDemo {
       .select($"doc_id").localCheckpoint(false)
     report += ("after_gates_and_exact_dedup" -> gated.count())
 
-    // 3. near-dup components (MinHash LSH pairs → min-label reps):
-    // keep only each component's representative
-    val reps = operators.DedupOps.dedupClusters(spark, sfDir)
-      .filter($"doc_id" === $"rep").select($"doc_id")
-    val deduped = gated.join(reps, "doc_id")
+    // 3. near-dup components (MinHash LSH pairs → connected-component
+    // labels): keep ONE doc per component, re-picked AMONG the gate
+    // survivors (min doc_id of the surviving members). Filtering to the
+    // corpus-global representative would silently drop a whole cluster
+    // whenever its min-id member had already failed a gate — the
+    // surviving near-dups would be discarded for not being the rep of a
+    // doc that was itself already gone.
+    val labels = operators.DedupOps.dedupClusters(spark, sfDir)
+    val deduped = gated.join(labels, "doc_id")
+      .groupBy($"rep").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
     report += ("after_near_dup_clustering" -> deduped.count())
 
     // 4. decontamination: drop every training doc the leaked-prefix

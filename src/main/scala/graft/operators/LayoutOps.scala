@@ -36,15 +36,36 @@ object LayoutOps {
     * (each output file owns a contiguous, non-overlapping z-range) and
     * sort rows within each file, so parquet min/max stats on BOTH
     * source columns become tight per file. This is a one-shuffle
-    * layout pass — the write-amplification is the range exchange, paid
-    * once, amortized over every pruned scan after it. */
+    * layout pass — the write-amplification is the range exchange plus
+    * a one-row stats aggregate, paid once, amortized over every pruned
+    * scan after it.
+    *
+    * Both dimensions are min/max-NORMALIZED onto [0, 2^Bits) with the
+    * same exact integer arithmetic the x30 audit uses (and for the
+    * same reason Delta OPTIMIZE ZORDER interleaves range-ids, not raw
+    * values): ZOrderKey interleaves the low Bits bits only, so a raw
+    * dimension whose domain exceeds 2^Bits would collide values p and
+    * p + 2^Bits onto one curve point — the per-file min/max span on
+    * that column would silently cover nearly the whole domain and the
+    * pruning promise above would fail. */
   def writeZOrdered(s: SparkSession, df: DataFrame, x: Column, y: Column,
-                    path: String, files: Int): Unit =
-    df.withColumn("zkey", zOrderKey(s, x, y))
-      .repartitionByRange(files, col("zkey"))
-      .sortWithinPartitions(col("zkey"))
-      .drop("zkey")
+                    path: String, files: Int): Unit = {
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax}
+    val keyed = df.withColumn("__zx", x.cast("long"))
+      .withColumn("__zy", y.cast("long"))
+    val stats = keyed.agg(
+      fmin(col("__zx")).as("__mnx"), fmax(col("__zx")).as("__mxx"),
+      fmin(col("__zy")).as("__mny"), fmax(col("__zy")).as("__mxy"))
+    val scale = 1L << graft.plans.ZOrderKey.Bits
+    val xn = expr(s"(__zx - __mnx) * ${scale}L div (__mxx - __mnx + 1L)")
+    val yn = expr(s"(__zy - __mny) * ${scale}L div (__mxy - __mny + 1L)")
+    keyed.crossJoin(broadcast(stats))
+      .withColumn("__zkey", zOrderKey(s, xn, yn))
+      .repartitionByRange(files, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey", "__zx", "__zy", "__mnx", "__mxx", "__mny", "__mxy")
       .write.mode("overwrite").parquet(path)
+  }
 
   /** x30 — Z-order layout audit over lineitem (l_partkey × l_suppkey):
     * both dimensions are min/max-NORMALIZED onto the curve's

@@ -8,13 +8,15 @@ import graft.Tables.SmallResult
 /** Multimodal-column plumbing: media (image/audio/video) carried as
   * opaque `binary` columns with typed metadata, processed partition-wise.
   *
-  * The decode step itself is a clearly-marked deterministic FAKE (no
-  * image/audio codecs in this environment); everything around it — the
-  * schema, the binary column, the per-partition batching, the feature
-  * output shape — is real and is what matters for the Spark plan. At
-  * 100 TB the pattern is: binary payload + metadata in parquet, decode
-  * in `mapPartitions` (one codec init per partition, not per row),
-  * feature columns out, no driver involvement.
+  * Image (PNG/JPEG via `ImageIO`) and audio (WAV/PCM via
+  * `javax.sound.sampled`) decode are REAL — pure-JDK codecs, no native
+  * deps. Video decode is the one deterministic stub (no pure-JDK video
+  * codec exists); everything around it — the schema, the binary
+  * column, the per-partition batching, the feature output shape — is
+  * real and is what matters for the Spark plan. At 100 TB the pattern
+  * is: binary payload + metadata in parquet, decode in `mapPartitions`
+  * (one codec init per partition, not per row), feature columns out,
+  * no driver involvement.
   */
 object MultimodalOps {
 
@@ -92,9 +94,37 @@ object MultimodalOps {
     else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
     catch { case scala.util.control.NonFatal(_) => null }
 
+  /** REAL DECODE for audio rows — `javax.sound.sampled` (pure JDK, the
+    * ImageIO move replayed for audio): `"wav"` payloads decode to raw
+    * PCM and the features summarize the DECODED samples (n_frames =
+    * PCM frame count; byte_sum/mean_byte over the decoded bytes, not
+    * the container bytes — headers never leak into the statistics).
+    * Non-wav or undecodable rows return null (= take the stub path).
+    * Video remains the one permanent stub: no pure-JDK video codec
+    * exists. */
+  private def tryDecodeAudio(r: MediaRow): MediaFeatures =
+    if (r.format != "wav") null
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.media))
+      try {
+        val pcm = in.readAllBytes()
+        var sum = 0L
+        var i = 0
+        while (i < pcm.length) { sum += pcm(i) & 0xff; i += 1 }
+        val nFrames = pcm.length / math.max(1, in.getFormat.getFrameSize)
+        MediaFeatures(r.doc_id, r.source, r.media.length.toLong,
+          nFrames.toLong, sum,
+          if (pcm.length == 0) 0.0 else sum.toDouble / pcm.length)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => null }
+
   def realDecode(r: MediaRow): MediaFeatures = {
     val img = tryReadImage(r)
-    if (img == null) fakeDecode(r)
+    if (img == null) {
+      val audio = tryDecodeAudio(r)
+      if (audio == null) fakeDecode(r) else audio
+    }
     else {
       var sum = 0L
       var y = 0

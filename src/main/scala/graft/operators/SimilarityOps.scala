@@ -91,7 +91,8 @@ object SimilarityOps {
     * also what parquet partition-value inference yields on read, so
     * probe joins hit the raw partition attribute (a cast there would
     * defeat partition pruning). */
-  def ensureAnnIndex(s: SparkSession, d: String): String = {
+  def ensureAnnIndex(s: SparkSession, d: String,
+                     indexRoot: String = sys.props("java.io.tmpdir")): String = {
     import s.implicits._
     val hconf = s.sparkContext.hadoopConfiguration
     // Content key: names + sizes + mtimes of the source files, so a
@@ -109,8 +110,11 @@ object SimilarityOps {
         .map("%02x".format(_)).mkString.take(16)
     }
     val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
-    val path = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft-ann-index-$safe-v1-$sig").toString
+    // indexRoot defaults to the local tmpdir for single-node runs; a
+    // cluster deploy passes a shared filesystem path (e.g. an object-
+    // store prefix) so executors and later sessions see the same index.
+    val path = new org.apache.hadoop.fs.Path(
+      indexRoot, s"graft-ann-index-$safe-v1-$sig").toString
     val destPath = new org.apache.hadoop.fs.Path(path)
     val fs = destPath.getFileSystem(hconf)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
@@ -298,7 +302,14 @@ object SimilarityOps {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    // Materialize scan+quantize ONCE (the lmLikelihood/dedupBlocks
+    // checkpoint pattern): qv feeds every Lloyd crossing plus the final
+    // assignment and probe branches, and without the checkpoint each of
+    // those references re-derives it from lineage — re-running the
+    // corpus scan and the 64-coordinate quantize per iteration, the
+    // bulk of training time both here and on a real cluster.
     val qv = emb.select($"vec_id", quantize($"e").as("q"))
+      .localCheckpoint(false)
     val cents = kmeansCentroids(s, qv, KmeansIters).localCheckpoint(true)
     val assigned = assign(s, qv, cents)
     val probe = emb.filter($"vec_id" === 0).select($"e".as("qe"))

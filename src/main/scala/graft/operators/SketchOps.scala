@@ -23,6 +23,35 @@ object SketchOps {
     * flake while still catching a broken sketch outright. */
   val Tolerance = 0.2
 
+  /** The shared (event_type, user_id, pk) projection both x13 variants
+    * aggregate over. */
+  private def evFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_type", $"user_id",
+        get_json_object($"props", "$.k").as("pk"))
+  }
+
+  /** The PRODUCTION sketch aggregation: 5 groups, HLL++ partials, no
+    * distinct-value shuffle and no Expand anywhere in the plan. */
+  private def sketchAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+           approx_count_distinct(col("pk"), rsd = 0.02).as("approx_props"),
+           count("*").as("n"))
+
+  /** x13b — the production artifact on its own: the sketch aggregation
+    * WITHOUT the exact-countDistinct validation branch that x13 carries
+    * for oracle-ability. The HLL estimates are engine-specific, so this
+    * entry has no SQL oracle (rows-only check); x13 remains the
+    * tolerance-validated twin proving the same sketch lands within 20%
+    * of exact. This is the query a deployment actually runs — and the
+    * one the bench should price. */
+  def approxDistinctSketch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    sketchAgg(evFrame(s, d)).smallOrdered($"event_type")
+  }
+
   def approxDistinct(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // exact == 0 (e.g. a group where every value is null) would make
@@ -42,13 +71,8 @@ object SketchOps {
     // carries only count buffers through its Expand. The branches scan
     // independently — measured faster than sharing one repartition
     // exchange, whose shuffle costs more than the second columnar scan.
-    val ev = Tables.events(s, d)
-      .select($"event_type", $"user_id",
-        get_json_object($"props", "$.k").as("pk"))
-    val sketch = ev.groupBy($"event_type")
-      .agg(approx_count_distinct($"user_id", rsd = 0.02).as("approx_users"),
-           approx_count_distinct($"pk", rsd = 0.02).as("approx_props"),
-           count("*").as("n"))
+    val ev = evFrame(s, d)
+    val sketch = sketchAgg(ev)
     // null-SAFE join key: a NULL event_type is a legitimate group in
     // both aggregations (and in the oracle's GROUP BY); a plain inner
     // join would silently drop it
@@ -193,9 +217,10 @@ object SketchOps {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x13_approx_distinct" -> approxDistinct _,
-    "x25_bloom_filter"    -> bloomFilter _,
-    "x29_heavy_hitters"   -> heavyHitters _,
+    "x13_approx_distinct"  -> approxDistinct _,
+    "x13b_approx_distinct_sketch" -> approxDistinctSketch _,
+    "x25_bloom_filter"     -> bloomFilter _,
+    "x29_heavy_hitters"    -> heavyHitters _,
   )
 
   val oracleSql: Map[String, String] = Map(

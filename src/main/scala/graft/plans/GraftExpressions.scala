@@ -49,17 +49,40 @@ object GraftExpressions {
   }
 
   /** Constant-int guard, mirroring foldableString: the window width
-    * compiles into the expression. */
+    * compiles into the expression. Only INTEGRAL constants are accepted
+    * — a fractional foldable (2.7, or a DECIMAL(3,1) literal) would
+    * otherwise silently truncate to 2 through Number.intValue, the one
+    * soft edge in an otherwise strict error path. */
   private[plans] def foldableInt(e: Expression, fn: String): Int = {
     if (!e.foldable)
       throw new IllegalArgumentException(
         s"$fn: the width argument must be a constant integer, got ${e.sql}")
+    def fit(v: Long): Int = {
+      if (v < Int.MinValue || v > Int.MaxValue)
+        throw new IllegalArgumentException(
+          s"$fn: constant integer argument out of int range: $v")
+      v.toInt
+    }
     e.eval() match {
-      case n: Number => n.intValue()
+      case n: java.lang.Byte    => n.intValue()
+      case n: java.lang.Short   => n.intValue()
+      case n: java.lang.Integer => n.intValue()
+      case n: java.lang.Long    => fit(n.longValue())
+      case d: org.apache.spark.sql.types.Decimal
+        if d.toBigDecimal.isWhole => fit(d.toBigDecimal.longValue)
       case other => throw new IllegalArgumentException(
         s"$fn: the width argument must be a constant integer, got $other")
     }
   }
+
+  /** Arity guard shared by every builder below: a wrong argument count
+    * fails at analysis time with the function's name, instead of extra
+    * arguments being silently ignored by positional access (or missing
+    * ones surfacing as an opaque IndexOutOfBoundsException). */
+  private def arity(fn: String, es: Seq[Expression], n: Int): Unit =
+    if (es.length != n)
+      throw new IllegalArgumentException(
+        s"$fn expects $n argument(s), got ${es.length}")
 
   /** Shared graft_topk builder for both registration routes: guards the
     * k argument BEFORE eval() — a non-foldable k (e.g. a column
@@ -79,37 +102,54 @@ object GraftExpressions {
     }
   }
 
+  /** (name, usage, builder) for every graft function — the ONE builder
+    * table both registration routes share (`register` below and the
+    * GraftExtensions injection), so an ad-hoc session and a
+    * `spark.sql.extensions` deployment can never build different trees,
+    * and every builder carries the same analysis-time arity guard. */
+  private[plans] val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    (CosineFn, "cosine similarity of two double arrays (fused codegen loop)",
+      es => { arity(CosineFn, es, 2); CosineSimilarity(es(0), es(1)) }),
+    (MinHashFn, "128-permutation minhash signature of a long-hash array",
+      es => { arity(MinHashFn, es, 1); MinHashSignature(es.head) }),
+    (SimHashFn, "64-bit simhash of a token-hash array",
+      es => { arity(SimHashFn, es, 1); SimHash64(es.head) }),
+    (HyperplaneFn, "random-hyperplane LSH bucket of an integer-quantized vector",
+      es => { arity(HyperplaneFn, es, 1); HyperplaneSignature(es.head) }),
+    (LongDotFn, "exact integer dot product of two long arrays",
+      es => { arity(LongDotFn, es, 2); LongDotProduct(es(0), es(1)) }),
+    (ShinglesFn, "distinct word-3-gram shingles of a token array",
+      es => { arity(ShinglesFn, es, 1); WordShingles(es.head) }),
+    (TopKFn, "bounded-heap top-k (score, id) pairs per group",
+      es => { arity(TopKFn, es, 3); buildTopK(es) }),
+    (WordSetCountFn,
+      "count of word-char runs matching a constant word set " +
+        "(ASCII/RE2 boundary semantics)",
+      es => { arity(WordSetCountFn, es, 2)
+        WordSetCount(es(0), foldableString(es(1), WordSetCountFn)) }),
+    (CharSetCountFn, "count of characters in a constant ASCII char set",
+      es => { arity(CharSetCountFn, es, 2)
+        CharSetCount(es(0), foldableString(es(1), CharSetCountFn)) }),
+    (BlockHashesFn,
+      "128-bit content keys of every k-word sliding window of a token array",
+      es => { arity(BlockHashesFn, es, 2)
+        BlockWindowHashes(es(0), foldableInt(es(1), BlockHashesFn)) }),
+    (BigramHashesFn,
+      "adjacent word-pair keys of a token array as 64-bit word hashes",
+      es => { arity(BigramHashesFn, es, 1); BigramHashes(es.head) }),
+    (ShingleHashesFn,
+      "distinct word-3-gram shingles of a token array as 64-bit hashes",
+      es => { arity(ShingleHashesFn, es, 1); WordShingleHashes(es.head) }),
+    (ZOrderFn, "Morton/Z-order interleave of the low 16 bits of two bigints",
+      es => { arity(ZOrderFn, es, 2); ZOrderKey(es(0), es(1)) }),
+  )
+
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      CosineFn, es => CosineSimilarity(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      MinHashFn, es => MinHashSignature(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      SimHashFn, es => SimHash64(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      HyperplaneFn, es => HyperplaneSignature(es.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      LongDotFn, es => LongDotProduct(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      ShinglesFn, es => WordShingles(es.head), "built-in")
-    reg.createOrReplaceTempFunction(WordSetCountFn,
-      es => WordSetCount(es(0), foldableString(es(1), WordSetCountFn)),
-      "built-in")
-    reg.createOrReplaceTempFunction(CharSetCountFn,
-      es => CharSetCount(es(0), foldableString(es(1), CharSetCountFn)),
-      "built-in")
-    reg.createOrReplaceTempFunction(BlockHashesFn,
-      es => BlockWindowHashes(es(0), foldableInt(es(1), BlockHashesFn)),
-      "built-in")
-    reg.createOrReplaceTempFunction(BigramHashesFn,
-      es => BigramHashes(es.head), "built-in")
-    reg.createOrReplaceTempFunction(ShingleHashesFn,
-      es => WordShingleHashes(es.head), "built-in")
-    reg.createOrReplaceTempFunction(ZOrderFn,
-      es => ZOrderKey(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction(TopKFn, buildTopK, "built-in")
+    builders.foreach { case (name, _, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 }
 

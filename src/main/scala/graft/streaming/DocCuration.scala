@@ -15,20 +15,23 @@ import graft.operators.TextOps
   * State note: `dropDuplicates("fp")` keeps one state entry per
   * distinct fingerprint. For a bounded backfill (`AvailableNow`) that
   * is exactly the dedup set and the right tool; a forever-running
-  * deployment would bound it with `dropDuplicatesWithinWatermark` over
-  * an arrival-time horizon, trading global dedup for bounded state —
-  * the same trade the reference makes with its 300 s dedup TTL
-  * (`insert-events-into-db.lua:39`, SURVEY W3). */
+  * deployment uses `startCurationBounded` —
+  * `dropDuplicatesWithinWatermark` over an event-time horizon, trading
+  * global dedup for bounded state, the same trade the reference makes
+  * with its 300 s dedup TTL (`insert-events-into-db.lua:39`,
+  * SURVEY W3). */
 object DocCuration {
 
   /** Per-row curation projection — the single definition shared by the
-    * batch x14 query and the stream below. */
-  def curated(docs: DataFrame): DataFrame = {
+    * batch x14 query and the streams below. `carryCols` names input
+    * columns to keep alongside the curation outputs (the bounded
+    * variant threads its event-time column through). */
+  def curated(docs: DataFrame, carryCols: Seq[String] = Nil): DataFrame = {
     graft.plans.GraftExpressions.register(docs.sparkSession)
-    docs.select(col("doc_id"), col("source"),
+    docs.select(Seq(col("doc_id"), col("source")) ++ carryCols.map(col) ++ Seq(
         TextOps.fingerprintCol(col("text")).as("fp"),
         TextOps.langIdCol(col("text")).as("pred_lang"),
-        round(TextOps.qualityCol(col("text")), 4).as("q"))
+        round(TextOps.qualityCol(col("text")), 4).as("q")): _*)
       .filter(col("pred_lang") === "en" && col("q") >= 0.4)
   }
 
@@ -51,6 +54,38 @@ object DocCuration {
     val docs = spark.readStream.schema(schema).parquet(inputDir)
     curated(docs)
       .dropDuplicates(Seq("fp"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** BOUNDED-STATE streaming curation — the 24/7 deployment shape the
+    * `startCuration` doc promises: gates → `dropDuplicatesWithinWatermark`
+    * keyed by the fingerprint over an event-time horizon. State for a
+    * fingerprint expires once the watermark passes its event time plus
+    * `watermarkDelay`, so state size is bounded by the horizon's
+    * distinct-fp arrival rate instead of growing with corpus lifetime.
+    * The trade is EXACTLY the reference's 300 s dedup TTL
+    * (`insert-events-into-db.lua:39`, SURVEY W3): a duplicate arriving
+    * within the horizon is dropped; one arriving after its original's
+    * state expired passes through. `maxFilesPerTrigger` bounds a
+    * micro-batch (B2). */
+  def startCurationBounded(spark: SparkSession, inputDir: String,
+                           outDir: String, checkpointDir: String,
+                           eventTimeCol: String = "event_time",
+                           watermarkDelay: String = "300 seconds",
+                           maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val schema = spark.read.parquet(inputDir).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    curated(reader.parquet(inputDir), carryCols = Seq(eventTimeCol))
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("fp"))
       .writeStream
       .format("parquet")
       .option("path", outDir)

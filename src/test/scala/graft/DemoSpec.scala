@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Pins TrainingDataDemo's claim that its stages are the oracle-audited
+  * operators (x14 gates, x17 clusters, x24 decontamination, x23 split):
+  * the reported stage counts must RECONCILE numerically against those
+  * operators' own outputs, not merely shrink monotonically (LayoutSpec
+  * checks the structural side). */
+class DemoSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  test("demo stage counts reconcile against x14/x17/x24/x23") {
+    val (corpus, report) = TrainingDataDemo.run(spark, sf, None)
+    val counts = report.toMap
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"text")
+
+    assert(counts("raw_documents") === docs.count())
+
+    // x14 — the gate battery: pre-dedup kept rows equal the audit's
+    // per-source n_kept total, and the demo's gated+deduped stage
+    // equals the distinct kept fingerprints
+    val cur = graft.streaming.DocCuration.curated(docs)
+      .localCheckpoint(false)
+    val x14KeptTotal = operators.TextOps.curationPipeline(spark, sf)
+      .agg(sum($"n_kept")).as[Long].head()
+    assert(cur.count() === x14KeptTotal)
+    assert(counts("after_gates_and_exact_dedup") ===
+      cur.select($"fp").distinct().count())
+
+    // x17 — near-dup clustering: the demo keeps exactly one survivor
+    // per cluster that has at least one gate-surviving member
+    val gated = graft.streaming.DocCuration.curateBatch(docs)
+      .select($"doc_id")
+    val labels = operators.DedupOps.dedupClusters(spark, sf)
+    val nSurvivingClusters = labels.join(gated, "doc_id")
+      .select($"rep").distinct().count()
+    assert(counts("after_near_dup_clustering") === nSurvivingClusters)
+
+    // x24 — decontamination: the drop equals exactly the implicated
+    // survivors, no more, no fewer
+    val survivors = gated.join(labels, "doc_id")
+      .groupBy($"rep").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val dirty = operators.DedupOps.contaminationEval(spark, sf)
+      .select($"train_id".as("doc_id")).distinct()
+    val removed = survivors.join(dirty, "doc_id").count()
+    assert(counts("after_decontamination") ===
+      counts("after_near_dup_clustering") - removed)
+
+    // x23 — deterministic split: the final corpus is a SUBSET of the
+    // corpus x23 labels, so every (source, split) cell is bounded by
+    // the audit's cell, and the totals agree with the final stage
+    val demoCells = corpus.groupBy($"source", $"split")
+      .agg(count("*").as("n"))
+      .as[(String, String, Long)].collect()
+      .map { case (src, sp, n) => (src, sp) -> n }.toMap
+    val x23Cells = operators.TextOps.splitAssign(spark, sf)
+      .as[(String, String, Long)].collect()
+      .map { case (src, sp, n) => (src, sp) -> n }.toMap
+    demoCells.foreach { case (cell, n) =>
+      assert(n <= x23Cells(cell), s"demo cell $cell exceeds the x23 audit")
+    }
+    assert(demoCells.values.sum === counts("after_decontamination"))
+  }
+}

@@ -43,6 +43,22 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkTestSession {
           .collect()
       }
       assert(err.getMessage.contains("must be a constant integer"))
+      // wrong arity fails at analysis with the function's name — extra
+      // arguments are not silently ignored (the hardcoded k=3 would run)
+      // and missing ones don't surface as IndexOutOfBoundsException
+      val extraArg = intercept[Exception] {
+        s2.sql("SELECT graft_shingle_hashes(array('a','b','c'), 5)").collect()
+      }
+      assert(extraArg.getMessage.contains("graft_shingle_hashes expects 1"))
+      val missingArg = intercept[Exception] {
+        s2.sql("SELECT graft_zorder(1L)").collect()
+      }
+      assert(missingArg.getMessage.contains("graft_zorder expects 2"))
+      // a fractional constant width is rejected, not truncated to 2
+      val fractional = intercept[Exception] {
+        s2.sql("SELECT graft_block_hashes(array('a','b','c'), 2.7)").collect()
+      }
+      assert(fractional.getMessage.contains("constant integer"))
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)

@@ -54,10 +54,18 @@ class LayoutSpec extends AnyFunSuite with SparkTestSession {
     LayoutOps.writeZOrdered(spark, Tables.lineitem(spark, sf)
         .select($"l_partkey", $"l_suppkey"),
       $"l_partkey", $"l_suppkey", dir, files = 4)
-    // recompute the key on read and check per-FILE ranges are disjoint:
-    // that is exactly the property min/max pruning needs
+    // recompute the writer's NORMALIZED key on read and check per-FILE
+    // ranges are disjoint: that is exactly the property min/max pruning
+    // needs
+    val (mnp, mxp, mns, mxs) = Tables.lineitem(spark, sf)
+      .agg(min($"l_partkey"), max($"l_partkey"),
+           min($"l_suppkey"), max($"l_suppkey"))
+      .as[(Long, Long, Long, Long)].head()
+    val scale = 1L << graft.plans.ZOrderKey.Bits
+    val xn = expr(s"(l_partkey - ${mnp}L) * ${scale}L div ${mxp - mnp + 1}L")
+    val yn = expr(s"(l_suppkey - ${mns}L) * ${scale}L div ${mxs - mns + 1}L")
     val ranges = spark.read.parquet(dir)
-      .select(LayoutOps.zOrderKey(spark, $"l_partkey", $"l_suppkey").as("z"),
+      .select(LayoutOps.zOrderKey(spark, xn, yn).as("z"),
         input_file_name().as("f"))
       .groupBy($"f").agg(min($"z").as("lo"), max($"z").as("hi"))
       .as[(String, Long, Long)].collect()
@@ -70,6 +78,76 @@ class LayoutSpec extends AnyFunSuite with SparkTestSession {
     // and the data round-trips completely
     assert(spark.read.parquet(dir).count() ===
       Tables.lineitem(spark, sf).count())
+  }
+
+  test("writeZOrdered normalizes wide domains: per-file raw spans are tight") {
+    // domain FAR beyond 2^Bits: un-normalized interleaving would
+    // collide x and x + 2^Bits onto one curve point and every file's
+    // raw min/max span would cover nearly the whole domain
+    val dom = 1L << 24
+    val n = 4096L
+    val df = spark.range(n).select(
+      (($"id" * 2654435761L) % dom).as("x"),
+      ((($"id" + 131L) * 2246822519L) % dom).as("y"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-zwide").toString
+    LayoutOps.writeZOrdered(spark, df, $"x", $"y", dir, files = 16)
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min($"x").as("mnx"), max($"x").as("mxx"),
+           min($"y").as("mny"), max($"y").as("mxy"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(spans.length > 8, "writer should emit multiple files")
+    // 16 z-range files ≈ the 16 second-level curve cells: the TYPICAL
+    // file spans about dom/4 in each dimension. The MEDIAN is asserted
+    // (not the max) because a file legitimately straddling a top-level
+    // quadrant boundary can span a whole dimension; under the collision
+    // bug (raw interleave of a >2^Bits domain) EVERY file spans ≈ the
+    // full domain, so the median still fails hard.
+    def median(xs: Seq[Long]): Long = xs.sorted.apply(xs.length / 2)
+    assert(median(spans.map(s => s._3 - s._2).toSeq) <= dom / 2, "x spans")
+    assert(median(spans.map(s => s._5 - s._4).toSeq) <= dom / 2, "y spans")
+  }
+
+  test("z-ordered layout prunes row groups for a two-sided predicate") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val li = Tables.lineitem(spark, sf).select($"l_partkey", $"l_suppkey")
+    val root = java.nio.file.Files.createTempDirectory("graft-zprune")
+    val zdir = s"$root/z"; val bdir = s"$root/base"
+    LayoutOps.writeZOrdered(spark, li, $"l_partkey", $"l_suppkey",
+      zdir, files = 16)
+    // stats-hostile baseline: round-robin layout, every file spans the
+    // whole domain of both columns
+    li.repartition(16).write.parquet(bdir)
+    val (mnp, mxp, mns, mxs) = li
+      .agg(min($"l_partkey"), max($"l_partkey"),
+           min($"l_suppkey"), max($"l_suppkey"))
+      .as[(Long, Long, Long, Long)].head()
+    // the middle quarter of each dimension — the selective two-sided
+    // box predicate the layout exists to serve
+    val (pLo, pHi) = (mnp + (mxp - mnp) / 4, mnp + (mxp - mnp) / 2)
+    val (sLo, sHi) = (mns + (mxs - mns) / 4, mns + (mxs - mns) / 2)
+    def readBox(dir: String): (Long, Set[(Long, Long)]) = {
+      // metrics must be read from the SAME Dataset that executed — .as[]
+      // builds a new queryExecution, so type first, then collect
+      val ds = spark.read.parquet(dir)
+        .filter($"l_partkey".between(pLo, pHi) &&
+                $"l_suppkey".between(sLo, sHi))
+        .as[(Long, Long)]
+      val result = ds.collect().toSet
+      // numOutputRows on the scan counts rows from SURVIVING row groups
+      // only — rows the parquet reader never materialized don't count
+      val scan = ds.queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s }.head
+      (scan.metrics("numOutputRows").value, result)
+    }
+    val (zRead, zResult) = readBox(zdir)
+    val (bRead, bResult) = readBox(bdir)
+    assert(zResult === bResult)   // same answer either way
+    val total = li.count()
+    assert(bRead > total * 3 / 4,
+      s"baseline layout should read ~everything, read $bRead of $total")
+    assert(zRead < bRead / 2,
+      s"z-ordered scan read $zRead rows vs baseline $bRead — no pruning")
   }
 
   test("x29 heavy hitters: CMS never underestimates; estimates are mins") {
@@ -171,10 +249,14 @@ class LayoutSpec extends AnyFunSuite with SparkTestSession {
     assert(counts("after_decontamination") > 0)
     val rows = corpus.select($"doc_id", $"split").as[(Long, String)].collect()
     assert(rows.length.toLong === counts("after_decontamination"))
-    // every survivor is its own cluster representative…
-    val reps = operators.DedupOps.dedupClusters(spark, sf)
-      .filter($"doc_id" === $"rep").select($"doc_id").as[Long].collect().toSet
-    rows.foreach { case (id, _) => assert(reps(id), s"doc $id is not a rep") }
+    // every near-dup cluster contributes AT MOST one survivor (reps are
+    // re-picked among gate survivors, so a cluster whose global min-id
+    // member failed a gate still keeps exactly one surviving member)…
+    val labels = operators.DedupOps.dedupClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap   // doc_id -> cluster rep
+    rows.map(_._1).groupBy(labels).foreach { case (cluster, ids) =>
+      assert(ids.length === 1, s"cluster $cluster kept ${ids.length} docs")
+    }
     // …no contaminated doc survived…
     val dirty = operators.DedupOps.contaminationEval(spark, sf)
       .select($"train_id").as[Long].collect().toSet

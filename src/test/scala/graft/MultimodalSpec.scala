@@ -132,6 +132,39 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
       MultimodalOps.MediaRow(3L, "s1", Array[Byte](9, 9), 1, 1, "png")))
   }
 
+  test("real codec: a generated WAV decodes through the partition-wise path") {
+    import spark.implicits._
+    // 8-bit unsigned mono PCM, 256 samples 0..255: the decoded byte sum
+    // is the arithmetic series and the frame count equals the sample
+    // count (frame size = 1 byte)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val samples = Array.tabulate[Byte](256)(_.toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val corruptRow = MultimodalOps.MediaRow(2L, "s1", Array[Byte](9, 9), 1, 1, "wav")
+    val rows = Seq(
+      MultimodalOps.MediaRow(1L, "s1", wav, 16, 16, "wav"),
+      // a CORRUPT "wav" payload must fall back, not crash the task
+      corruptRow).toDS()
+    val got = MultimodalOps.decodeFeaturesReal(rows)
+      .collect().map(f => f.doc_id -> f).toMap
+
+    val expected = (0 until 256).sum.toLong   // 32640
+    assert(got(1L).n_frames === 256L)
+    assert(got(1L).byte_sum === expected)
+    assert(got(1L).n_bytes === wav.length.toLong)
+    assert(got(1L).mean_byte === expected.toDouble / 256)
+    // header bytes never leak into the features: the decoded-PCM sum
+    // differs from the raw container-byte sum
+    assert(got(1L).byte_sum !== wav.map(b => (b & 0xff).toLong).sum)
+    assert(got(2L) === MultimodalOps.fakeDecode(corruptRow))
+  }
+
   test("real resize scales a genuine PNG; non-images take the stub path") {
     import spark.implicits._
     val img = new java.awt.image.BufferedImage(4, 4,

@@ -122,6 +122,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("graft_zorder"))
   }
 
+  test("x13b: the production sketch plan carries no distinct-rewrite Expand") {
+    // x13 keeps the exact-countDistinct branch for oracle-ability; the
+    // registered production entry must be the pure HLL++ aggregation —
+    // no Expand, no per-distinct-value shuffle, no join back
+    val p = plan("x13b_approx_distinct_sketch")
+    assert(!p.contains("Expand"), "sketch-only plan must not Expand")
+    assert(!p.contains("Join"), "sketch-only plan must not join")
+  }
+
   test("custom expressions appear in codegen'd projections") {
     // q16's BroadcastNestedLoopJoin doesn't do whole-stage codegen (the
     // projection above it still compiles the expression); x05's

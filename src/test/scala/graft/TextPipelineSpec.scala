@@ -100,6 +100,59 @@ class TextPipelineSpec extends AnyFunSuite with SparkTestSession {
     (id, "s1", s"the $content sat on the mat and it is a fine day in " +
       s"the sun of summer and the $content is in the end of it all")
 
+  test("bounded curation: in-horizon dups dropped, expired-state dups pass") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-curbounded")
+    val in = s"$root/in"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(plusSec: Long) = new java.sql.Timestamp(t0 + plusSec * 1000)
+    val dupText = enDoc(1, "cat")._3
+    // each call drops ONE file; mod-times are pinned so the file
+    // source's batch order (maxFilesPerTrigger = 1) is deterministic
+    var stamp = t0
+    def drop(rows: (Long, String, java.sql.Timestamp)*): Unit = {
+      val dir = new java.io.File(in)
+      val before =
+        Option(dir.listFiles()).getOrElse(Array.empty).map(_.getName).toSet
+      rows.map { case (id, text, t) => (id, "s1", text, t) }.toSeq
+        .toDF("doc_id", "source", "text", "event_time")
+        .coalesce(1).write.mode("append").parquet(in)
+      stamp += 60000L
+      dir.listFiles().filter(f => !before(f.getName))
+        .foreach(_.setLastModified(stamp))
+    }
+    // batch 1: the original + an unrelated doc, both at t0
+    drop((1L, dupText, ts(0)), (2L, enDoc(2, "violin")._3, ts(0)))
+    // batch 2: an in-horizon duplicate (60 s < the 300 s horizon) that
+    // must drop, plus a doc 2 h ahead that advances the watermark far
+    // past doc 1's state expiry
+    drop((3L, dupText, ts(60)), (4L, enDoc(4, "harbor")._3, ts(7200)))
+    // batch 3: a fresh doc — state eviction runs at the END of a batch,
+    // so this batch is where the now-stale t0 fingerprints get evicted
+    // (watermark = t0 + 2 h − 300 s)
+    drop((6L, enDoc(6, "meadow")._3, ts(7260)))
+    // batch 4: the same text again, AFTER its state expired — passes
+    // (the reference's 300 s TTL trade, not a bug)
+    drop((5L, dupText, ts(7200)))
+    val q = graft.streaming.DocCuration.startCurationBounded(
+      spark, in, s"$root/out", s"$root/ckpt",
+      maxFilesPerTrigger = Some(1))
+    assert(q.awaitTermination(120000))
+    val kept = spark.read.parquet(s"$root/out")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(Set(1L, 2L, 4L, 6L).subsetOf(kept))
+    assert(!kept.contains(3L), "in-horizon duplicate must be dropped")
+    assert(kept.contains(5L),
+      "a dup arriving after state expiry passes — the documented TTL trade")
+    // and the state is genuinely bounded: 4 distinct fingerprints were
+    // seen, but the expired t0 entries were evicted along the way, so
+    // the state never holds them all
+    val totals = q.recentProgress.toSeq
+      .flatMap(_.stateOperators.map(_.numRowsTotal))
+    assert(totals.nonEmpty && totals.last < 4,
+      s"state must shrink as the watermark passes old fingerprints: $totals")
+  }
+
   test("near-dup gate: batch rules match a sequential reference fold") {
     import java.nio.file.Files
     val batches = Seq(
