@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Time the oracle SQL suite in DuckDB over the same parquet tables the
+Spark bench reads — the same-host comparator for BENCH totals (the judge's
+methodology: warm pass first, then min-of-N per query).
+
+Usage: python3 dev/duckbench.py /tmp/verify_out/oracle_sql.json /root/testdata/sf0.1 [reps]
+"""
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def main(oracle_json, sfdir, reps=3):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    sqls = json.load(open(oracle_json))
+    # warm pass: page cache + duckdb internal state, not measured
+    for name, sql in sqls.items():
+        try:
+            con.execute(sql).fetchall()
+        except Exception as e:
+            print(f"WARM-FAIL {name}: {e}", file=sys.stderr)
+    times = {}
+    for name, sql in sqls.items():
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                con.execute(sql).fetchall()
+            except Exception:
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        if best is not None:
+            times[name] = best
+    total = sum(times.values())
+    print(json.dumps({"metric": "duckdb_total", "value": total,
+                      "unit": "sec", "n_queries": len(times),
+                      "sf": sfdir,
+                      "queries": {k: round(v, 6) for k, v in
+                                  sorted(times.items(), key=lambda x: -x[1])}}))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 3)
