@@ -390,6 +390,43 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** Exactly-k-per-stratum sample size (x32). */
+  val GroupSampleK = 5
+
+  /** x32 — BOUNDED per-group sampling, the "exactly k docs per source"
+    * data-mixing primitive (x19's rate-based sampling keeps a
+    * PROPORTION; epoch/eval assembly wants a fixed COUNT per stratum).
+    * Selection is by md5-derived rank — the deterministic analogue of
+    * per-stratum reservoir sampling: content-keyed, so the sample
+    * survives reshuffles, retries, and engine changes, exactly like
+    * x19/x23's hash decisions.
+    *
+    * Scale shape: the rank is a narrow map and the selection runs on
+    * the bounded-heap TopKPairs aggregate (x16's operator) — k entries
+    * of state per group, merged map-side, so the shuffle carries k rows
+    * per source instead of every row. The window-function formulation
+    * (row_number then filter) would sort every partition of the corpus;
+    * this never sorts anything but the k·|sources| output rows.
+    *
+    * Oracle-exactness: the rank is the first 13 md5 hex chars = 52
+    * bits, exactly representable in the aggregate's DOUBLE score, so
+    * DuckDB's BIGINT ranking reproduces the identical order (ties —
+    * duplicate texts — break by doc_id ASC on both engines). */
+  def groupSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"source", $"doc_id",
+        conv(substring(md5(concat(lit("smp_"), $"text")), 1, 13), 16, 10)
+          .cast("double").as("rk"))
+      .groupBy($"source")
+      .agg(call_function(graft.plans.GraftExpressions.TopKFn,
+        $"rk", $"doc_id", lit(GroupSampleK)).as("top"))
+      .select($"source", posexplode($"top"))
+      .select($"source", ($"pos" + 1).cast("long").as("rn"),
+        $"col.id".as("doc_id"), $"col.score".cast("long").as("rk"))
+      .smallOrdered($"source", $"rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x07_text_langid"      -> textLangId _,
     "x08_text_quality"     -> textQuality _,
@@ -401,9 +438,19 @@ object TextOps {
     "x23_split_assign"     -> splitAssign _,
     "x27_lm_likelihood"    -> lmLikelihood _,
     "x28_pii_redaction"    -> piiRedaction _,
+    "x32_group_sample"     -> groupSample _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x32_group_sample" ->
+      s"""SELECT source, rn, doc_id, rk FROM (
+         |  SELECT source, doc_id,
+         |    ('0x' || substr(md5('smp_' || text), 1, 13))::BIGINT AS rk,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY ('0x' || substr(md5('smp_' || text), 1, 13))::BIGINT
+         |        DESC, doc_id) AS BIGINT) AS rn
+         |  FROM documents)
+         |WHERE rn <= $GroupSampleK ORDER BY source, rn""".stripMargin,
     "x07_text_langid" ->
       s"""WITH c AS (SELECT doc_id,
          |  len(regexp_extract_all(lower(text), '$stopEn')) AS en_n,

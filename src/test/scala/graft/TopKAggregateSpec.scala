@@ -17,6 +17,24 @@ class TopKAggregateSpec extends AnyFunSuite with SparkTestSession {
     assert(viaHeap === viaWindow)
   }
 
+  test("x32 group sample ≡ the window-function formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val viaHeap = SparkEntry.queries("x32_group_sample")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val rk = conv(substring(md5(concat(lit("smp_"), $"text")), 1, 13), 16, 10)
+      .cast("long")
+    val viaWindow = Tables.documents(spark, sf)
+      .select($"source", $"doc_id", rk.as("rk"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy($"rk".desc, $"doc_id")).cast("long"))
+      .filter($"rn" <= operators.TextOps.GroupSampleK)
+      .select($"source", $"rn", $"doc_id", $"rk")
+      .orderBy($"source", $"rn")
+      .collect().map(_.toSeq).toSeq
+    assert(viaHeap === viaWindow)
+    assert(viaHeap.nonEmpty)
+  }
+
   test("heap: groups smaller than k, duplicate scores, tie-break by id") {
     GraftExpressions.register(spark)
     val df = Seq(
