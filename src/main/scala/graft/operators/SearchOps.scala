@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Inverted-index text retrieval: BM25 ranking over the documents
+  * corpus (Robertson & Spärck Jones probabilistic relevance framework;
+  * the Okapi BM25 formula as published in TREC-3, 1994 — public
+  * literature, the de-facto standard first-stage ranker).
+  *
+  * Why a training-data pipeline needs this: keyword retrieval is the
+  * workhorse for corpus forensics at scale — "find the documents that
+  * mention X" drives decontamination spot-checks, quality-mining the
+  * results of a classifier disagreement, and assembling topical eval
+  * slices. The reference engine has no text search; this is a
+  * capability extension in the same spirit as the dedup/similarity
+  * families.
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - The corpus scan is ONE narrow pass: tokenize, compute document
+  *    length, and keep only query-term occurrences — the per-row array
+  *    filter runs BEFORE the explode, so the generated row count is
+  *    bounded by query-term hits, not corpus token count.
+  *  - Everything that leaves the scan is tiny: per-(doc, term) counts
+  *    for matched docs only (the "postings" of a query-time inverted
+  *    index), a ≤|query|-row document-frequency table (broadcast), and
+  *    a single-row corpus-stats frame (broadcast crossJoin — the x31
+  *    stats pattern).
+  *  - The final top-K is an orderBy+limit → TakeOrderedAndProject:
+  *    per-partition heaps, no global sort.
+  *  - A SERVING deployment would materialize the full inverted index
+  *    once (explode all terms, bucket by term — the x06 index pattern);
+  *    this operator is the query-time scan form, which is what a
+  *    pipeline doing ad-hoc corpus forensics actually runs.
+  *
+  * Oracle-exactness: tf/df/dl/N are integers; avgdl is one double
+  * division; idf is one `ln` on identical doubles. Per-term
+  * contributions are ROUNDed to 6 decimals (absorbing any sub-ulp
+  * libm divergence), summed in FIXED term order via conditional
+  * pivot columns (never a float SUM over an engine-ordered group),
+  * and the final score ROUNDs to 4 — DuckDB reproduces every step
+  * bit-for-bit.
+  */
+object SearchOps {
+
+  /** Query terms, fixed: mid-df terms of the fixture vocabulary.
+    * Order matters — the score sum is evaluated in THIS order on both
+    * engines (float addition is not associative). */
+  val QueryTerms: Seq[String] = Seq("spark", "window", "merge", "vector")
+  /** Okapi BM25 defaults (TREC-3). */
+  val K1 = 1.2
+  val B = 0.75
+  val TopK = 10
+
+  /** Tokenization shared with the dedup/shingle family: whitespace
+    * split of lowercased text (ShingleBaseCtes' identity), empties
+    * dropped so leading/trailing whitespace cannot mint ghost terms. */
+  private def toksCol = filter(split(lower(col("text")), "\\s+"), _ =!= "")
+
+  def bm25Search(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.rebalance(Tables.documents(s, d))
+      .select($"doc_id", toksCol.as("toks"))
+      .select($"doc_id", $"toks", size($"toks").cast("long").as("dl"))
+
+    // Corpus stats: one tiny aggregate → single-row broadcast.
+    val stats = base.agg(count("*").as("n_docs"), sum($"dl").as("sum_dl"))
+
+    // Query-time postings: array-filter to query terms BEFORE explode,
+    // so the generate emits only matching occurrences.
+    val postings = base
+      .select($"doc_id", $"dl",
+        explode(filter($"toks", t => t.isin(QueryTerms: _*))).as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
+
+    // Document frequency per query term: ≤|QueryTerms| rows.
+    val dfreq = postings.groupBy($"term").agg(count(lit(1)).as("df"))
+
+    val scored = postings
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs")
+      .withColumn("w", round(
+        log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) *
+          ($"tf" * (K1 + 1.0)) /
+          ($"tf" + lit(K1) * (lit(1.0 - B) + lit(B) * $"dl" / $"avgdl")), 6))
+
+    // Fixed-order score sum: one pivot column per query term, added
+    // left-to-right in QueryTerms order. max() is exact — (doc, term)
+    // is unique after the tf grouping.
+    val byTerm = scored.groupBy($"doc_id")
+      .pivot("term", QueryTerms).agg(max($"w"))
+    val score = QueryTerms
+      .map(t => coalesce(col(s"`$t`"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val nTerms = QueryTerms
+      .map(t => when(col(s"`$t`").isNotNull, 1L).otherwise(0L))
+      .reduceLeft(_ + _)
+    byTerm
+      .select($"doc_id", round(score, 4).as("score"), nTerms.as("n_terms"))
+      .orderBy($"score".desc, $"doc_id")
+      .limit(TopK)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x33_bm25_search" -> bm25Search _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x33_bm25_search" -> {
+      val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
+      val cases = QueryTerms.zipWithIndex.map { case (t, i) =>
+        s"max(CASE WHEN term = '$t' THEN w END) AS w$i" }.mkString(",\n        |       ")
+      val sum = QueryTerms.indices.map(i => s"coalesce(w$i, 0)").mkString(" + ")
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\\s+'),
+        |                x -> x <> '') AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+        |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dl)
+        |       WHERE term IN ($terms) GROUP BY doc_id, term),
+        |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |w AS (SELECT doc_id, term,
+        |        round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+        |              (tf * ($K1 + 1.0)) /
+        |              (tf + $K1 * (1.0 - $B + $B * dl / avgdl)), 6) AS w
+        |      FROM tf JOIN dft USING (term) CROSS JOIN stats),
+        |agg AS (SELECT doc_id,
+        |       $cases,
+        |       CAST(count(*) AS BIGINT) AS n_terms
+        |      FROM w GROUP BY doc_id)
+        |SELECT doc_id, round($sum, 4) AS score, n_terms
+        |FROM agg ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
+    },
+  )
+}

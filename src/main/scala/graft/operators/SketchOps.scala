@@ -52,14 +52,17 @@ object SketchOps {
     sketchAgg(evFrame(s, d)).smallOrdered($"event_type")
   }
 
+  /** exact == 0 (e.g. a group where every value is null) would make
+    * the ratio NaN and report a perfectly-correct sketch as not-ok —
+    * an all-null group is "within tolerance" iff the sketch also says
+    * 0. Shared by the x13 and x34 validation twins. */
+  private def withinTol(approx: Column, exact: Column): Column =
+    when(exact === 0L, approx === 0L)
+      .otherwise(abs(approx.cast("double") / exact - 1.0) <= Tolerance)
+
   def approxDistinct(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // exact == 0 (e.g. a group where every value is null) would make
-    // the ratio NaN and report a perfectly-correct sketch as not-ok —
-    // an all-null group is "within tolerance" iff the sketch also says 0
-    val within = (approx: Column, exact: Column) =>
-      when(exact === 0L, approx === 0L)
-        .otherwise(abs(approx.cast("double") / exact - 1.0) <= Tolerance)
+    val within = withinTol _
     // Sketches and exact counts run as SEPARATE aggregations joined on
     // the 5-row group key. Mixing them in one agg plans the
     // distinct-rewrite Expand with the HLL++ partial state (2 × ~3 KB
@@ -216,11 +219,134 @@ object SketchOps {
       .groupBy(col("user_id"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
 
+  // ---- HLL set algebra: corpus overlap ----------------------------------
+
+  /** (half, shingle-hash) occurrences for the two-corpus overlap
+    * fixture: the document corpus split by source parity stands in for
+    * "two crawls of the same web" — the question a dedup planner asks
+    * before merging corpora is exactly |A ∩ B|. Shingle identity is
+    * the canonical tokenize + ≥3-words + word-3-gram rule (DedupOps'
+    * shingleFrames / ShingleBaseCtes), hashed by WordShingleHashes;
+    * distinct counts over hashes equal counts over strings absent
+    * 64-bit collisions, the same contract every dedup oracle uses. */
+  private def halfShingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExpressions.register(s)
+    Tables.rebalance(Tables.documents(s, d))
+      .select(
+        when(substring($"source", 4, 8).cast("int") % 2 === 0, "a")
+          .otherwise("b").as("half"),
+        split(lower($"text"), "\\s+").as("w"))
+      .filter(size($"w") >= 3)
+      .select($"half",
+        explode(call_function(
+          graft.plans.GraftExpressions.ShingleHashesFn, $"w")).as("sh"))
+  }
+
+  /** The PRODUCTION set-algebra aggregation: ONE narrow scan, three
+    * HLL++ buffers (A, B, A∪B — the conditional columns make the two
+    * side-sketches one-pass), overlap by inclusion-exclusion. This is
+    * the whole point of HLL at 100 TB: |A ∩ B| of two 50 TB corpora
+    * without joining them — the sketches are a few KB each, mergeable
+    * across shards, and a planner reads the overlap before committing
+    * to a full dedup join. */
+  private def overlapSketchAgg(sh: DataFrame): DataFrame =
+    sh.agg(
+      approx_count_distinct(when(col("half") === "a", col("sh")), rsd = 0.02)
+        .as("est_a"),
+      approx_count_distinct(when(col("half") === "b", col("sh")), rsd = 0.02)
+        .as("est_b"),
+      approx_count_distinct(col("sh"), rsd = 0.02).as("est_union"))
+      .withColumn("est_overlap", col("est_a") + col("est_b") - col("est_union"))
+
+  /** x34b — the sketch-only production artifact (no oracle: HLL
+    * estimates are engine-specific → rows-only check; x34 is the
+    * tolerance-validated twin, the x13/x13b pattern). */
+  def corpusOverlapSketch(s: SparkSession, d: String): DataFrame =
+    overlapSketchAgg(halfShingles(s, d))
+
+  /** x34 — corpus overlap, validated: exact distinct counts (the
+    * hash-comparable columns) plus booleans asserting each estimate —
+    * and the inclusion-exclusion overlap — landed within tolerance.
+    * The overlap bound is ABSOLUTE in units of the union (three
+    * estimate errors stack through A + B − A∪B, so a relative bound on
+    * a small intersection would flake even when every sketch is
+    * perfect). */
+  def corpusOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = halfShingles(s, d)
+    val est = overlapSketchAgg(sh)
+    val exact = sh.agg(
+      countDistinct(when($"half" === "a", $"sh")).as("exact_a"),
+      countDistinct(when($"half" === "b", $"sh")).as("exact_b"),
+      countDistinct($"sh").as("exact_union"))
+      .withColumn("exact_overlap", $"exact_a" + $"exact_b" - $"exact_union")
+    est.crossJoin(broadcast(exact))
+      .select($"exact_a", $"exact_b", $"exact_union", $"exact_overlap",
+        withinTol($"est_a", $"exact_a").as("a_ok"),
+        withinTol($"est_b", $"exact_b").as("b_ok"),
+        withinTol($"est_union", $"exact_union").as("union_ok"),
+        (abs($"est_overlap" - $"exact_overlap").cast("double")
+          <= lit(Tolerance) * $"exact_union").as("overlap_ok"))
+  }
+
+  // ---- quantile sketch ----------------------------------------------------
+
+  /** Greenwald–Khanna accuracy parameter: rank error ≤ n/QuantAccuracy. */
+  val QuantAccuracy = 10000
+  /** Validation margin as a rank FRACTION: 2× the sketch's guarantee
+    * plus 4 order-statistic gaps at the smallest fixture (n ≈ 2k per
+    * group at sf0.001). The sketch returns an actual element within
+    * ±⌈εn⌉ RANKS of the target, but the exact bounds are continuous
+    * quantiles — at small n, ε alone spans less than ONE order
+    * statistic and a perfectly-correct sketch fails the check. The
+    * additive term covers ≥4 ranks at every test scale and shrinks to
+    * a 0.2% rank window at corpus scale — still a real validation. */
+  val QuantDelta = 2.0 / QuantAccuracy + 0.002
+
+  /** x35 — approximate percentiles via Spark's GK quantile summary
+    * (percentile_approx: bounded-state, MERGEABLE partials — the only
+    * shape that computes percentiles of 100 TB without sorting it;
+    * q25's exact interpolation is the small-data twin). Validation:
+    * the sketch guarantees a value whose RANK is within n/accuracy of
+    * the target, so the emitted booleans assert each estimate lies
+    * between the exact continuous quantiles at p ± QuantDelta. The
+    * hash-compared columns are the exact quantiles (q25 arithmetic);
+    * the estimates live only inside the booleans — TRUE in the oracle,
+    * computed here. */
+  def approxQuantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select($"l_returnflag".as("rf"), $"l_extendedprice".cast("double").as("v"))
+      .groupBy($"rf")
+      .agg(
+        count(lit(1)).as("n"),
+        // ONE percentile buffer for all six exact quantiles: each
+        // separate percentile(...) call builds its own value-count map
+        // over the whole group (measured 7.5 s at sf0.1 as six
+        // aggregates; 6× less as one array call). Same for the two GK
+        // estimates.
+        percentile($"v", array(
+          lit(0.5), lit(0.95),
+          lit(0.5 - QuantDelta), lit(0.5 + QuantDelta),
+          lit(0.95 - QuantDelta), lit(0.95 + QuantDelta))).as("ex"),
+        percentile_approx($"v", array(lit(0.5), lit(0.95)),
+          lit(QuantAccuracy)).as("ap"))
+      .select($"rf", $"n",
+        round($"ex"(0), 4).as("p50"), round($"ex"(1), 4).as("p95"),
+        ($"ap"(0) >= $"ex"(2) && $"ap"(0) <= $"ex"(3)).as("ok50"),
+        ($"ap"(1) >= $"ex"(4) && $"ap"(1) <= $"ex"(5)).as("ok95"))
+      .smallOrdered($"rf")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x13_approx_distinct"  -> approxDistinct _,
     "x13b_approx_distinct_sketch" -> approxDistinctSketch _,
     "x25_bloom_filter"     -> bloomFilter _,
     "x29_heavy_hitters"    -> heavyHitters _,
+    "x34_corpus_overlap"   -> corpusOverlap _,
+    "x34b_corpus_overlap_sketch" -> corpusOverlapSketch _,
+    "x35_approx_quantiles" -> approxQuantiles _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -283,5 +409,36 @@ object SketchOps {
         |  CAST(e.cms_est - t.true_n AS BIGINT) AS overshoot
         |FROM top t JOIN est e USING (user_id)
         |ORDER BY t.true_n DESC, t.user_id""".stripMargin,
+    // x34: exact counts recomputed from shingle STRINGS (the same
+    // string-vs-hash identity contract as the x02/x04 oracles); the
+    // tolerance booleans are TRUE by assertion, computed Spark-side.
+    "x34_corpus_overlap" ->
+      """WITH w AS (
+        |  SELECT CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+        |              THEN 'a' ELSE 'b' END AS half,
+        |         string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents
+        |  WHERE len(string_split_regex(lower(text), '\s+')) >= 3),
+        |sh AS (SELECT DISTINCT half,
+        |       unnest(list_transform(range(1, len(w) - 1),
+        |                             i -> array_to_string(w[i:i+2], ' '))) AS sh
+        |       FROM w)
+        |SELECT
+        |  CAST(count(DISTINCT CASE WHEN half = 'a' THEN sh END) AS BIGINT)
+        |    AS exact_a,
+        |  CAST(count(DISTINCT CASE WHEN half = 'b' THEN sh END) AS BIGINT)
+        |    AS exact_b,
+        |  CAST(count(DISTINCT sh) AS BIGINT) AS exact_union,
+        |  CAST(count(DISTINCT CASE WHEN half = 'a' THEN sh END)
+        |     + count(DISTINCT CASE WHEN half = 'b' THEN sh END)
+        |     - count(DISTINCT sh) AS BIGINT) AS exact_overlap,
+        |  TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok, TRUE AS overlap_ok
+        |FROM sh""".stripMargin,
+    "x35_approx_quantiles" ->
+      """SELECT l_returnflag AS rf, CAST(count(*) AS BIGINT) AS n,
+        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS p50,
+        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 4) AS p95,
+        |  TRUE AS ok50, TRUE AS ok95
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -131,6 +131,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("Join"), "sketch-only plan must not join")
   }
 
+  test("x33: postings join broadcasts; top-K bounded; no corpus re-sort") {
+    // df table (≤|query| rows) and the single-row stats frame both
+    // broadcast; the only ordering operator is the final bounded top-K.
+    val p = plan("x33_bm25_search")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("x34b: the production overlap plan is one scan, no Expand, no join") {
+    // three conditional HLL++ buffers in ONE aggregation: a
+    // distinct-rewrite Expand or a join-back means the set-algebra
+    // sketch stopped being single-pass.
+    val p = plan("x34b_corpus_overlap_sketch")
+    assert(!p.contains("Expand"), "sketch-only plan must not Expand")
+    assert(!p.contains("Join"), "sketch-only plan must not join")
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+  }
+
+  test("x35: quantile sketch and exact twin run in one aggregation pass") {
+    // percentile_approx (GK summaries) and the exact validators share
+    // one grouped aggregate — no join, no second lineitem scan.
+    val p = plan("x35_approx_quantiles")
+    assert(!p.contains("Join"))
+    assert("lineitem\\.parquet".r.findAllIn(p).size === 1)
+  }
+
   test("custom expressions appear in codegen'd projections") {
     // q16's BroadcastNestedLoopJoin doesn't do whole-stage codegen (the
     // projection above it still compiles the expression); x05's

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SearchOps
+
+/** BM25 retrieval (x33) against a from-scratch driver-side
+  * reimplementation on the fixture: tokenization, tf/df/dl/avgdl, the
+  * Okapi formula, the fixed-order rounded sum, and the top-K cut must
+  * all agree — and the operator must be deterministic across runs. */
+class SearchSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def refBm25(): Seq[(Long, Double, Long)] = {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val n = toks.size.toLong
+    val avgdl = toks.values.map(_.size.toLong).sum.toDouble / n
+    val tf = toks.map { case (id, ts) =>
+      id -> ts.filter(SearchOps.QueryTerms.contains).groupBy(identity)
+        .map { case (t, o) => t -> o.size.toLong } }
+    val df = SearchOps.QueryTerms
+      .map(t => t -> tf.values.count(_.contains(t)).toLong).toMap
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scored = tf.toSeq.filter(_._2.nonEmpty).map { case (id, m) =>
+      val dl = toks(id).size.toLong
+      // fixed QueryTerms order, contributions rounded to 6 before the sum
+      val s = SearchOps.QueryTerms.foldLeft(0.0) { (acc, t) =>
+        m.get(t) match {
+          case None => acc
+          case Some(f) =>
+            val idf = math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+            acc + r(idf * (f * (SearchOps.K1 + 1.0)) /
+              (f + SearchOps.K1 * (1.0 - SearchOps.B +
+                SearchOps.B * dl / avgdl)), 6)
+        }
+      }
+      (id, r(s, 4), m.size.toLong)
+    }
+    scored.sortBy { case (id, s, _) => (-s, id) }.take(SearchOps.TopK)
+  }
+
+  test("x33 top-K matches a from-scratch BM25 on the fixture") {
+    val got = SearchOps.bm25Search(spark, sf)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got === refBm25())
+    assert(got.nonEmpty && got.size <= SearchOps.TopK)
+  }
+
+  test("x33 is deterministic across invocations") {
+    val a = SearchOps.bm25Search(spark, sf).as[(Long, Double, Long)].collect().toSeq
+    val b = SearchOps.bm25Search(spark, sf).as[(Long, Double, Long)].collect().toSeq
+    assert(a === b)
+  }
+}

@@ -36,6 +36,58 @@ class SketchSpec extends AnyFunSuite with SparkTestSession {
     rows.foreach(r => assert(r.getLong(1) === exactUsers(r.getString(0))))
   }
 
+  test("x34: exact overlap matches a driver-side shingle recompute; all ok") {
+    val r = SketchOps.corpusOverlap(spark, sf).collect().head
+    // booleans: every sketch landed within tolerance
+    assert((4 to 7).forall(r.getBoolean), r.toString)
+    // exact columns vs string-shingle sets recomputed from the fixture
+    val docs = Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect()
+    def shingles(t: String): Set[String] = {
+      val w = t.toLowerCase.split("\\s+").toSeq
+      if (w.size < 3) Set.empty else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val (a, b) = docs.partition(_._1.drop(3).toInt % 2 == 0)
+    val sa = a.iterator.flatMap(d => shingles(d._2)).toSet
+    val sb = b.iterator.flatMap(d => shingles(d._2)).toSet
+    assert(r.getLong(0) === sa.size.toLong)
+    assert(r.getLong(1) === sb.size.toLong)
+    assert(r.getLong(2) === (sa ++ sb).size.toLong)
+    assert(r.getLong(3) === (sa & sb).size.toLong)
+    assert(r.getLong(3) > 0L, "fixture must have cross-half overlap")
+  }
+
+  test("x34b inclusion-exclusion holds on the raw estimates") {
+    val r = SketchOps.corpusOverlapSketch(spark, sf).collect().head
+    assert(r.getLong(3) === r.getLong(0) + r.getLong(1) - r.getLong(2))
+  }
+
+  test("x35: estimates sit inside the exact rank-error bounds; exact match") {
+    val rows = SketchOps.approxQuantiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(4) && r.getBoolean(5), r.toString)
+    }
+    // exact p50 vs a driver-side continuous-quantile recompute
+    val byFlag = Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_extendedprice".cast("double"))
+      .as[(String, Double)].collect().groupBy(_._1)
+    def quantile(v: Array[Double], p: Double): Double = {
+      val s = v.sorted
+      val pos = p * (s.length - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      s(lo) + (pos - lo) * (s(hi) - s(lo))
+    }
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val v = byFlag(r.getString(0)).map(_._2)
+      assert(r.getDouble(2) === r4(quantile(v, 0.5)), s"p50 ${r.getString(0)}")
+      assert(r.getDouble(3) === r4(quantile(v, 0.95)), s"p95 ${r.getString(0)}")
+    }
+  }
+
   test("bloom filter: zero false negatives, real sketch semantics") {
     val r = graft.operators.SketchOps.bloomFilter(spark, sf).collect().head
     val (nUsers, nMembers, nHits, nFn, nFp) =
