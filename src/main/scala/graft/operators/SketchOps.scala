@@ -243,21 +243,27 @@ object SketchOps {
           graft.plans.GraftExpressions.ShingleHashesFn, $"w")).as("sh"))
   }
 
-  /** The PRODUCTION set-algebra aggregation: ONE narrow scan, three
-    * HLL++ buffers (A, B, A∪B — the conditional columns make the two
-    * side-sketches one-pass), overlap by inclusion-exclusion. This is
-    * the whole point of HLL at 100 TB: |A ∩ B| of two 50 TB corpora
-    * without joining them — the sketches are a few KB each, mergeable
-    * across shards, and a planner reads the overlap before committing
-    * to a full dedup join. */
-  private def overlapSketchAgg(sh: DataFrame): DataFrame =
-    sh.agg(
-      approx_count_distinct(when(col("half") === "a", col("sh")), rsd = 0.02)
+  /** The PRODUCTION set-algebra aggregation: per-corpus Datasketches
+    * HLL objects (hll_sketch_agg — ONE sketch update per occurrence),
+    * union by sketch MERGE (hll_union_agg = register-max, the actual
+    * set-union operation on sketches, not a third pass over the data),
+    * overlap by inclusion-exclusion on the three estimates. This is
+    * the whole point of sketch objects at 100 TB: |A ∩ B| of two
+    * 50 TB corpora without joining them — each side's sketch is a few
+    * KB, mergeable across shards and reusable later (the union here
+    * IS that merge), and a planner reads the overlap before
+    * committing to a full dedup join. */
+  private def overlapSketchAgg(sh: DataFrame): DataFrame = {
+    val perHalf = sh.groupBy(col("half"))
+      .agg(hll_sketch_agg(col("sh")).as("sk"))
+    perHalf.agg(
+      max(when(col("half") === "a", hll_sketch_estimate(col("sk"))))
         .as("est_a"),
-      approx_count_distinct(when(col("half") === "b", col("sh")), rsd = 0.02)
+      max(when(col("half") === "b", hll_sketch_estimate(col("sk"))))
         .as("est_b"),
-      approx_count_distinct(col("sh"), rsd = 0.02).as("est_union"))
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union"))
       .withColumn("est_overlap", col("est_a") + col("est_b") - col("est_union"))
+  }
 
   /** x34b — the sketch-only production artifact (no oracle: HLL
     * estimates are engine-specific → rows-only check; x34 is the
@@ -276,10 +282,18 @@ object SketchOps {
     import s.implicits._
     val sh = halfShingles(s, d)
     val est = overlapSketchAgg(sh)
-    val exact = sh.agg(
-      countDistinct(when($"half" === "a", $"sh")).as("exact_a"),
-      countDistinct(when($"half" === "b", $"sh")).as("exact_b"),
-      countDistinct($"sh").as("exact_union"))
+    // Exact counts via per-shingle presence bits, NOT three
+    // countDistinct()s: multiple distinct aggregates plan a 3×-Expand
+    // of the full occurrence stream (measured ~1 s extra at sf0.1),
+    // while groupBy(sh) + max-presence is ONE map-side-combined
+    // shuffle of the distinct shingles, and the union/side counts
+    // fall out of a narrow sum. Also the right exact plan at 100 TB —
+    // the shuffle carries each shingle once, not every occurrence.
+    val exact = sh.groupBy($"sh")
+      .agg(max(when($"half" === "a", 1L).otherwise(0L)).as("ina"),
+           max(when($"half" === "b", 1L).otherwise(0L)).as("inb"))
+      .agg(sum($"ina").as("exact_a"), sum($"inb").as("exact_b"),
+           count(lit(1)).as("exact_union"))
       .withColumn("exact_overlap", $"exact_a" + $"exact_b" - $"exact_union")
     est.crossJoin(broadcast(exact))
       .select($"exact_a", $"exact_b", $"exact_union", $"exact_overlap",
@@ -316,26 +330,43 @@ object SketchOps {
     * computed here. */
   def approxQuantiles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, d)
+    val li = Tables.lineitem(s, d)
       .select($"l_returnflag".as("rf"), $"l_extendedprice".cast("double").as("v"))
-      .groupBy($"rf")
-      .agg(
-        count(lit(1)).as("n"),
-        // ONE percentile buffer for all six exact quantiles: each
-        // separate percentile(...) call builds its own value-count map
-        // over the whole group (measured 7.5 s at sf0.1 as six
-        // aggregates; 6× less as one array call). Same for the two GK
-        // estimates.
-        percentile($"v", array(
-          lit(0.5), lit(0.95),
-          lit(0.5 - QuantDelta), lit(0.5 + QuantDelta),
-          lit(0.95 - QuantDelta), lit(0.95 + QuantDelta))).as("ex"),
+
+    // Sketch branch — the production artifact: one grouped aggregate,
+    // GK summaries, bounded mergeable state.
+    val ap = li.groupBy($"rf")
+      .agg(count(lit(1)).as("n"),
         percentile_approx($"v", array(lit(0.5), lit(0.95)),
           lit(QuantAccuracy)).as("ap"))
+
+    // Exact branch — order statistics from the sorted group array,
+    // not the Percentile aggregate: Percentile builds a value→count
+    // map of the whole group per task and merges the maps (measured
+    // 7.5 s at sf0.1 as six separate calls, ~1.3 s fused into one
+    // buffer; a rank-window formulation still paid WindowExec's
+    // full-partition buffering at ~1.4 s). sort_array(collect_list)
+    // rides the SAME exchange as a grouped aggregate and sorts each
+    // group once; all six quantiles then interpolate from the one
+    // array — the continuous-quantile definition both engines share.
+    // Exactness at ANY scale means materializing the group somewhere
+    // (that is why the sketch is the production path); this form just
+    // refuses to also pay a per-task map merge for it.
+    val exact = li.groupBy($"rf")
+      .agg(sort_array(collect_list($"v")).as("sv"))
+    def q(p: Double): Column = {
+      val pos = lit(p) * (size($"sv") - 1)
+      val lo = element_at($"sv", (floor(pos) + 1).cast("int"))
+      val hi = element_at($"sv", (ceil(pos) + 1).cast("int"))
+      lo + (pos - floor(pos)) * (hi - lo)
+    }
+    ap.join(broadcast(exact), "rf")
       .select($"rf", $"n",
-        round($"ex"(0), 4).as("p50"), round($"ex"(1), 4).as("p95"),
-        ($"ap"(0) >= $"ex"(2) && $"ap"(0) <= $"ex"(3)).as("ok50"),
-        ($"ap"(1) >= $"ex"(4) && $"ap"(1) <= $"ex"(5)).as("ok95"))
+        round(q(0.5), 4).as("p50"), round(q(0.95), 4).as("p95"),
+        ($"ap"(0) >= q(0.5 - QuantDelta) && $"ap"(0) <= q(0.5 + QuantDelta))
+          .as("ok50"),
+        ($"ap"(1) >= q(0.95 - QuantDelta) && $"ap"(1) <= q(0.95 + QuantDelta))
+          .as("ok95"))
       .smallOrdered($"rf")
   }
 

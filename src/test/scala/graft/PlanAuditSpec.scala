@@ -150,12 +150,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert("documents\\.parquet".r.findAllIn(p).size === 1)
   }
 
-  test("x35: quantile sketch and exact twin run in one aggregation pass") {
-    // percentile_approx (GK summaries) and the exact validators share
-    // one grouped aggregate — no join, no second lineitem scan.
+  test("x35: sketch and exact branches rejoin via broadcast on 3 rows") {
+    // the GK-sketch aggregate and the sort-based exact validator scan
+    // independently (the x13 split pattern) and meet in a broadcast
+    // join of two ≤|groups|-row frames — never a SortMergeJoin.
     val p = plan("x35_approx_quantiles")
-    assert(!p.contains("Join"))
-    assert("lineitem\\.parquet".r.findAllIn(p).size === 1)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert("lineitem\\.parquet".r.findAllIn(p).size <= 2)
   }
 
   test("custom expressions appear in codegen'd projections") {
