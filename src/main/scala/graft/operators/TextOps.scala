@@ -427,6 +427,68 @@ object TextOps {
       .smallOrdered($"source", $"rn")
   }
 
+  // ---- mixture planning -------------------------------------------------
+
+  /** Budget denominator: the plan allocates total_tokens / 2. */
+  val MixtureBudgetDen = 2
+
+  /** x36 — token-budget mixture planning by WATER-FILLING: given a
+    * token budget, keep every small source whole and cap the large
+    * ones at a common level C chosen so the total hits the budget —
+    * the standard "flatten the over-represented sources" step of
+    * data-mixing (the max-min fair allocation; same rule as network
+    * water-filling, and the capping discipline behind public corpus
+    * recipes that bound any one source's share).
+    *
+    * Scale shape: the corpus-sized stage is exactly x09's per-source
+    * token aggregate (one map-combined shuffle); everything after
+    * operates on the ≤|sources|-row result — window prefix sums to
+    * find the cap level, a one-row broadcast back. The output is the
+    * (source → rate, alloc) table a sampler (x19) consumes.
+    *
+    * Oracle-exactness: the capped test `tokens·r > budget − prefix`
+    * is pure BIGINT; the cap level is one bigint/bigint double
+    * division; rates ROUND to 6; allocations use the 6-decimal rate
+    * as a SCALED INTEGER (tokens · r6 div 10⁶ — integer arithmetic,
+    * no float multiply near a floor boundary). */
+  def mixturePlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // corpus-sized stage: per-source token totals (x09's identity)
+    val tok = docs(s, d)
+      .select($"source", nTokensCol($"text").as("nt"))
+      .groupBy($"source").agg(sum($"nt").as("tokens"))
+    // ≤|sources| rows from here on: single-partition windows are the
+    // smallOrdered trade — k stays bounded at any corpus size.
+    val ord = Window.orderBy($"tokens", $"source")
+    val base = tok
+      .withColumn("i", row_number().over(ord).cast("long"))
+      .withColumn("pbefore", coalesce(sum($"tokens")
+        .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("total", sum($"tokens").over(Window.partitionBy()))
+      .withColumn("budget",
+        floor($"total" / lit(MixtureBudgetDen.toDouble)).cast("long"))
+      .withColumn("r", $"k" - $"i" + 1L)
+      // ascending by size: row i is capped iff even spreading the
+      // remaining budget evenly over rows i..k can't cover t_i
+      .withColumn("capped", $"tokens" * $"r" > ($"budget" - $"pbefore"))
+    // the cap level, from the FIRST capped row (one row, broadcast)
+    val pivot = base.filter($"capped").orderBy($"i").limit(1)
+      .select($"i".as("pi"),
+        (($"budget" - $"pbefore") / $"r").as("cap"), lit(1).as("one"))
+    base.withColumn("one", lit(1))
+      .join(broadcast(pivot), Seq("one"), "left")
+      .withColumn("whole", $"pi".isNull || $"i" < $"pi")
+      .withColumn("r6i", when($"whole", lit(1000000L))
+        .otherwise(round($"cap" / $"tokens" * 1000000.0, 0).cast("long")))
+      .select($"source", $"tokens",
+        when($"whole", 1.0).otherwise(round($"cap" / $"tokens", 6)).as("rate"),
+        when($"whole", $"tokens")
+          .otherwise(expr("tokens * r6i div 1000000")).as("alloc"))
+      .smallOrdered($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x07_text_langid"      -> textLangId _,
     "x08_text_quality"     -> textQuality _,
@@ -439,9 +501,39 @@ object TextOps {
     "x27_lm_likelihood"    -> lmLikelihood _,
     "x28_pii_redaction"    -> piiRedaction _,
     "x32_group_sample"     -> groupSample _,
+    "x36_mixture_plan"     -> mixturePlan _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x36_mixture_plan" ->
+      s"""WITH tok AS (
+         |  SELECT source,
+         |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         |      AS tokens
+         |  FROM documents GROUP BY source),
+         |base AS (
+         |  SELECT source, tokens,
+         |    CAST(row_number() OVER w AS BIGINT) AS i,
+         |    CAST(coalesce(sum(tokens) OVER (w ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pbefore,
+         |    CAST(count(*) OVER () AS BIGINT) AS k,
+         |    CAST(sum(tokens) OVER () AS BIGINT) AS total
+         |  FROM tok
+         |  WINDOW w AS (ORDER BY tokens, source)),
+         |t AS (SELECT *,
+         |    CAST(floor(total / $MixtureBudgetDen) AS BIGINT) AS budget,
+         |    k - i + 1 AS r FROM base),
+         |c AS (SELECT *, tokens * r > (budget - pbefore) AS capped FROM t),
+         |p AS (SELECT i AS pi, (budget - pbefore) / r AS cap
+         |      FROM c WHERE capped ORDER BY i LIMIT 1)
+         |SELECT source, tokens,
+         |  CASE WHEN pi IS NULL OR i < pi THEN 1.0
+         |       ELSE round(cap / tokens, 6) END AS rate,
+         |  CASE WHEN pi IS NULL OR i < pi THEN tokens
+         |       ELSE tokens * CAST(round(cap / tokens * 1000000, 0) AS BIGINT)
+         |            // 1000000 END AS alloc
+         |FROM c LEFT JOIN p ON TRUE
+         |ORDER BY source""".stripMargin,
     "x32_group_sample" ->
       s"""SELECT source, rn, doc_id, rk FROM (
          |  SELECT source, doc_id,

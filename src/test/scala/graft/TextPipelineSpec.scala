@@ -9,6 +9,48 @@ import graft.operators.TextOps
 class TextPipelineSpec extends AnyFunSuite with SparkTestSession {
   import spark.implicits._
 
+  test("x36 mixture plan matches driver-side water-filling; invariants hold") {
+    val got = TextOps.mixturePlan(spark, sf)
+      .as[(String, Long, Double, Long)].collect().toSeq
+    // driver-side reference: textbook water-filling over the same
+    // per-source token totals
+    val tok = Tables.documents(spark, sf)
+      .select($"source", size(split(trim($"text"), "\\s+")).cast("long"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+    val total = tok.values.sum
+    val budget = total / TextOps.MixtureBudgetDen
+    val asc = tok.toSeq.sortBy { case (s, t) => (t, s) }
+    val k = asc.size
+    var pre = 0L
+    var cap = Double.NaN
+    var pivotIdx = -1
+    asc.zipWithIndex.foreach { case ((_, t), j) =>
+      if (pivotIdx < 0) {
+        val r = k - j
+        if (t * r > budget - pre) { pivotIdx = j; cap = (budget - pre).toDouble / r }
+        else pre += t
+      }
+    }
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = asc.zipWithIndex.map { case ((s, t), j) =>
+      if (pivotIdx < 0 || j < pivotIdx) (s, t, 1.0, t)
+      else (s, t, r(cap / t, 6), t * math.round(cap / t * 1e6) / 1000000L)
+    }.sortBy(_._1)
+    assert(got === want)
+    // invariants: capped allocations never exceed whole-keep ones'
+    // rule, and the total allocation lands within rounding slack of
+    // the budget (one token per capped source)
+    val allocSum = got.map(_._4).sum
+    assert(allocSum <= budget)
+    assert(allocSum >= budget - k, s"alloc $allocSum vs budget $budget")
+    assert(got.exists(_._3 < 1.0), "budget < total must cap someone")
+    got.foreach { case (_, t, rate, alloc) =>
+      assert(alloc <= t && rate <= 1.0 && rate > 0.0)
+    }
+  }
+
   test("packing partitions the corpus: every doc in exactly one bin") {
     val packed = TextOps.packSequences(spark, sf)
     val docTotal = Tables.documents(spark, sf).count()
