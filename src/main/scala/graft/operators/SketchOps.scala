@@ -229,19 +229,21 @@ object SketchOps {
     * shingleFrames / ShingleBaseCtes), hashed by WordShingleHashes;
     * distinct counts over hashes equal counts over strings absent
     * 64-bit collisions, the same contract every dedup oracle uses. */
-  private def halfShingles(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    graft.plans.GraftExpressions.register(s)
-    Tables.rebalance(Tables.documents(s, d))
+  private[graft] def halfShinglesOf(docs: DataFrame): DataFrame = {
+    graft.plans.GraftExpressions.register(docs.sparkSession)
+    docs
       .select(
-        when(substring($"source", 4, 8).cast("int") % 2 === 0, "a")
+        when(substring(col("source"), 4, 8).cast("int") % 2 === 0, "a")
           .otherwise("b").as("half"),
-        split(lower($"text"), "\\s+").as("w"))
-      .filter(size($"w") >= 3)
-      .select($"half",
+        split(lower(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("half"),
         explode(call_function(
-          graft.plans.GraftExpressions.ShingleHashesFn, $"w")).as("sh"))
+          graft.plans.GraftExpressions.ShingleHashesFn, col("w"))).as("sh"))
   }
+
+  private def halfShingles(s: SparkSession, d: String): DataFrame =
+    halfShinglesOf(Tables.rebalance(Tables.documents(s, d)))
 
   /** The PRODUCTION set-algebra aggregation: per-corpus Datasketches
     * HLL objects (hll_sketch_agg — ONE sketch update per occurrence),

@@ -162,6 +162,61 @@ class LayoutSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.map(-_._2).toSeq === rows.map(-_._2).toSeq.sorted)
   }
 
+  test("streaming HLL overlap: merged partials track exact; replay-safe") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-hllov")
+    val in = s"$root/in"
+    val docs = Tables.documents(spark, sf)
+    // two file drops → two micro-batches, each holding docs of BOTH halves
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.parquet(in)
+    docs.filter($"doc_id" % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(in)
+    // state that was never written answers zeros, not a path error
+    val empty = graft.streaming.SketchStream
+      .mergedOverlap(spark, s"$root/state")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(empty === ((0L, 0L, 0L, 0L)))
+    val q = graft.streaming.SketchStream.startOverlapStream(
+      spark, in, s"$root/state", s"$root/ckpt", maxFilesPerTrigger = Some(1))
+    assert(q.awaitTermination(120000))
+    assert(spark.read.parquet(s"$root/state")
+      .select($"batch_id").distinct().count() >= 2,
+      "stream should have produced multiple batch partitions")
+    val got = graft.streaming.SketchStream
+      .mergedOverlap(spark, s"$root/state")
+      .as[(Long, Long, Long, Long)].collect().head
+    // inclusion-exclusion identity on the emitted columns
+    assert(got._4 === got._1 + got._2 - got._3)
+    // estimates track the exact driver-side shingle sets
+    val raw = docs.select($"source", $"text").as[(String, String)].collect()
+    def shingles(t: String): Set[String] = {
+      val w = t.toLowerCase.split("\\s+").toSeq
+      if (w.size < 3) Set.empty else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val (ad, bd) = raw.partition(_._1.drop(3).toInt % 2 == 0)
+    val sa = ad.iterator.flatMap(d => shingles(d._2)).toSet
+    val sb = bd.iterator.flatMap(d => shingles(d._2)).toSet
+    val su = sa ++ sb
+    def close(est: Long, exact: Int) =
+      math.abs(est - exact) <= math.max(2.0, 0.05 * exact)
+    assert(close(got._1, sa.size), s"est_a ${got._1} vs ${sa.size}")
+    assert(close(got._2, sb.size), s"est_b ${got._2} vs ${sb.size}")
+    assert(close(got._3, su.size), s"est_union ${got._3} vs ${su.size}")
+    // replay safety: reprocessing the full input as batch 0 twice is a
+    // no-op on the estimates (partition overwrite + idempotent union)
+    graft.streaming.SketchStream.processOverlapBatch(
+      spark.read.parquet(in), s"$root/state", 0L)
+    val once = graft.streaming.SketchStream
+      .mergedOverlap(spark, s"$root/state")
+      .as[(Long, Long, Long, Long)].collect().head
+    graft.streaming.SketchStream.processOverlapBatch(
+      spark.read.parquet(in), s"$root/state", 0L)
+    val twice = graft.streaming.SketchStream
+      .mergedOverlap(spark, s"$root/state")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(once === twice)
+  }
+
   test("streaming CMS: merged micro-batch partials equal the batch sketch") {
     import java.nio.file.Files
     val root = Files.createTempDirectory("graft-cms")
