@@ -74,18 +74,41 @@ object SketchOps {
     // carries only count buffers through its Expand. The branches scan
     // independently — measured faster than sharing one repartition
     // exchange, whose shuffle costs more than the second columnar scan.
-    val ev = evFrame(s, d)
+    // One materialized pass of the parsed projection (the lmLikelihood
+    // checkpoint pattern): the sketch aggregate, the users branch, and
+    // the props branch would otherwise each rescan events and the
+    // json-path extraction would run per branch — the measured cost of
+    // this query was the repeated parse, not the aggregation.
+    val ev = evFrame(s, d).localCheckpoint(false)
     val sketch = sketchAgg(ev)
-    // null-SAFE join key: a NULL event_type is a legitimate group in
-    // both aggregations (and in the oracle's GROUP BY); a plain inner
-    // join would silently drop it
-    val exact = ev.groupBy($"event_type".as("et"))
-      .agg(countDistinct($"user_id").as("exact_users"),
-           countDistinct($"pk").as("exact_props"))
-    sketch.join(broadcast(exact), $"event_type" <=> $"et").drop("et")
-      .select($"event_type", $"exact_users", $"exact_props", $"n",
-        within($"approx_users", $"exact_users").as("users_ok"),
-        within($"approx_props", $"exact_props").as("props_ok"))
+    // Exact counts as a distinct-PAIR pre-aggregation, not a
+    // multi-countDistinct (whose distinct-rewrite Expand doubles the
+    // occurrence stream through the exchange): the tagged union's
+    // distinct() combines map-side, so the exchange carries only the
+    // surviving (event_type, value, which) pairs, and the counts are
+    // a second tiny conditional aggregate — the x34 presence trick.
+    // countDistinct semantics preserved: null values drop before the
+    // distinct (the cast to string is injective, so pair counts are
+    // unchanged), a NULL event_type remains a legitimate group (the
+    // groupBy keeps it; a join on the key could not), and a group
+    // whose values are all null coalesces to 0 under the left join.
+    val exact = ev
+      .select($"event_type".as("et"), $"user_id".cast("string").as("v"),
+        lit("u").as("w"))
+      .unionAll(ev.select($"event_type".as("et"), $"pk".as("v"),
+        lit("p").as("w")))
+      .filter($"v".isNotNull).distinct()
+      .groupBy($"et")
+      .agg(sum(when($"w" === "u", 1L).otherwise(0L)).as("exact_users"),
+           sum(when($"w" === "p", 1L).otherwise(0L)).as("exact_props"))
+    sketch.join(broadcast(exact), $"event_type" <=> $"et", "left").drop("et")
+      .select($"event_type",
+        coalesce($"exact_users", lit(0L)).as("exact_users"),
+        coalesce($"exact_props", lit(0L)).as("exact_props"), $"n",
+        within($"approx_users", coalesce($"exact_users", lit(0L)))
+          .as("users_ok"),
+        within($"approx_props", coalesce($"exact_props", lit(0L)))
+          .as("props_ok"))
       .smallOrdered($"event_type")
   }
 
