@@ -71,6 +71,25 @@ object TrainingDataDemo {
       .withColumn("split", operators.TextOps.splitCol($"text"))
     outDir.foreach(o =>
       corpus.write.mode("overwrite").partitionBy("split").parquet(o))
+
+    // 6. token-budget mixture over the TRAIN split: the water-filling
+    // plan (x36) computed on the corpus that actually survived
+    // curation, applied by the same content-hash rule as x19 — keep a
+    // doc iff its md5 ppm-bucket falls under its source's planned
+    // rate. Small sources pass whole (rate 1.0); capped sources thin
+    // deterministically toward their allocation.
+    val train = corpus.filter($"split" === "train")
+      .localCheckpoint(false)
+    val plan = operators.TextOps
+      .mixturePlanOf(train.select($"source", $"text"))
+    report += ("mixture_budget_tokens" ->
+      plan.agg(sum($"alloc")).as[Long].head())
+    val rates = plan.select($"source",
+      round($"rate" * 1e6, 0).cast("long").as("rate_ppm"))
+    val mixed = train.join(broadcast(rates), "source")
+      .filter(conv(substring(md5($"text"), 1, 8), 16, 10).cast("long")
+        % 1000000L < $"rate_ppm")
+    report += ("train_after_mixture_budget" -> mixed.count())
     (corpus, report.result())
   }
 

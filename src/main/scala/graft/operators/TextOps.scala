@@ -451,11 +451,17 @@ object TextOps {
     * division; rates ROUND to 6; allocations use the 6-decimal rate
     * as a SCALED INTEGER (tokens · r6 div 10⁶ — integer arithmetic,
     * no float multiply near a floor boundary). */
-  def mixturePlan(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  def mixturePlan(s: SparkSession, d: String): DataFrame =
+    mixturePlanOf(docs(s, d))
+
+  /** The same plan for an arbitrary (source, text) frame — pipeline
+    * compositions (TrainingDataDemo) budget their CURRENT corpus, not
+    * the raw table. */
+  def mixturePlanOf(docsFrame: DataFrame): DataFrame = {
+    import docsFrame.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     // corpus-sized stage: per-source token totals (x09's identity)
-    val tok = docs(s, d)
+    val tok = docsFrame
       .select($"source", nTokensCol($"text").as("nt"))
       .groupBy($"source").agg(sum($"nt").as("tokens"))
     // ≤|sources| rows from here on: single-partition windows are the

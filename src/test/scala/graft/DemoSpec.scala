@@ -64,5 +64,21 @@ class DemoSpec extends AnyFunSuite with SparkTestSession {
       assert(n <= x23Cells(cell), s"demo cell $cell exceeds the x23 audit")
     }
     assert(demoCells.values.sum === counts("after_decontamination"))
+
+    // x36 — mixture budget: the plan runs on the demo's OWN train
+    // corpus, so reconcile structurally: the budget is half that
+    // corpus's tokens (within per-source rounding slack), and the
+    // sampled stage is a subset of train that each capped source
+    // thinned
+    val train = corpus.filter($"split" === "train")
+    val trainTokens = train
+      .select(size(split(trim($"text"), "\\s+")).cast("long"))
+      .as[Long].collect().sum
+    val k = train.select($"source").distinct().count()
+    val budget = trainTokens / operators.TextOps.MixtureBudgetDen
+    assert(counts("mixture_budget_tokens") <= budget)
+    assert(counts("mixture_budget_tokens") >= budget - k)
+    assert(counts("train_after_mixture_budget") <= train.count())
+    assert(counts("train_after_mixture_budget") > 0L)
   }
 }
