@@ -495,6 +495,43 @@ object TextOps {
       .smallOrdered($"source")
   }
 
+  // ---- corpus report card -----------------------------------------------
+
+  /** x37 — the per-source "dataset card" in ONE narrow pass: document
+    * and token counts, token-length extrema, language mix, and quality
+    * mass, composed from the same column identities x07/x08/x09
+    * validate individually (langIdCol / qualityCol / nTokensCol), so
+    * the report can never drift from the audited operators. This is
+    * the summary a corpus team publishes with a release and re-runs
+    * after every pipeline change.
+    *
+    * Scale shape: one scan, every per-doc feature fused into the same
+    * projection (the gate-battery pattern x14 uses), one map-combined
+    * group aggregate. Quality sums are 1e4-SCALED LONGS — float
+    * summation order never touches the aggregate, so partial
+    * aggregation stays order-invariant and the oracle matches bit-wise
+    * (the x27 integer-score rule); the average materializes only at
+    * the end as one exact-integer division. */
+  def corpusReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"source",
+        langIdCol($"text").as("lang"),
+        nTokensCol($"text").as("nt"),
+        round(round(qualityCol($"text"), 4) * 10000.0, 0).cast("long")
+          .as("q4"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"nt").as("tokens"),
+           min($"nt").as("min_tokens"), max($"nt").as("max_tokens"),
+           sum(when($"lang" === "en", 1L).otherwise(0L)).as("n_en"),
+           sum(when($"lang" === "und", 1L).otherwise(0L)).as("n_und"),
+           sum($"q4").as("total_q4"))
+      .withColumn("avg_quality",
+        round($"total_q4" / ($"n_docs" * 10000.0), 4))
+      .smallOrdered($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x07_text_langid"      -> textLangId _,
     "x08_text_quality"     -> textQuality _,
@@ -508,9 +545,45 @@ object TextOps {
     "x28_pii_redaction"    -> piiRedaction _,
     "x32_group_sample"     -> groupSample _,
     "x36_mixture_plan"     -> mixturePlan _,
+    "x37_corpus_report"    -> corpusReport _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // x37: per-doc features are verbatim the x07 (language vote) and
+    // x08 (quality formula) oracle fragments; only the aggregation is
+    // new, so a mismatch here isolates to the report, not the features.
+    "x37_corpus_report" ->
+      s"""WITH c AS (SELECT source,
+         |  len(regexp_extract_all(lower(text), '$stopEn')) AS en_n,
+         |  len(regexp_extract_all(lower(text), '$stopDe')) AS de_n,
+         |  len(regexp_extract_all(lower(text), '$stopEs')) AS es_n,
+         |  len(regexp_extract_all(lower(text), '$stopFr')) AS fr_n,
+         |  len(regexp_extract_all(lower(text), '[\\x{4e00}-\\x{9fff}]')) AS zh_n,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+         |  CAST(len(regexp_extract_all(lower(text), '$stopEn')) AS BIGINT) AS n_stop,
+         |  length(text) AS n_chars FROM documents),
+         |d AS (SELECT source, n_tokens,
+         |  CASE WHEN greatest(en_n, de_n, es_n, fr_n, zh_n) = 0 THEN 'und'
+         |       WHEN en_n = greatest(en_n, de_n, es_n, fr_n, zh_n) THEN 'en'
+         |       WHEN de_n = greatest(en_n, de_n, es_n, fr_n, zh_n) THEN 'de'
+         |       WHEN es_n = greatest(en_n, de_n, es_n, fr_n, zh_n) THEN 'es'
+         |       WHEN fr_n = greatest(en_n, de_n, es_n, fr_n, zh_n) THEN 'fr'
+         |       ELSE 'zh' END AS lang,
+         |  CAST(round(ROUND((least(n_tokens, 100) / 100.0) * 0.4
+         |      + least((n_stop / n_tokens) * 5.0, 1.0) * 0.4
+         |      + (1.0 - least((n_punct / n_chars) * 10.0, 1.0)) * 0.2, 4)
+         |      * 10000.0, 0) AS BIGINT) AS q4
+         |  FROM c)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+         |  CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+         |  CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+         |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         |  CAST(sum(CASE WHEN lang = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_und,
+         |  CAST(sum(q4) AS BIGINT) AS total_q4,
+         |  round(sum(q4) / (count(*) * 10000.0), 4) AS avg_quality
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "x36_mixture_plan" ->
       s"""WITH tok AS (
          |  SELECT source,

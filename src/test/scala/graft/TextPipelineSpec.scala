@@ -51,6 +51,33 @@ class TextPipelineSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("x37 report reconciles against the x07/x08/x09 audits") {
+    val report = TextOps.corpusReport(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // tokens per source == x09's ws_tokens
+    val x09 = TextOps.textTokens(spark, sf)
+      .select($"source", $"ws_tokens").as[(String, Long)].collect().toMap
+    // language counts per source == x07's per-doc predictions
+    val langs = Tables.documents(spark, sf).select($"doc_id", $"source")
+      .join(TextOps.textLangId(spark, sf), "doc_id")
+      .groupBy($"source").agg(
+        sum(when($"pred_lang" === "en", 1L).otherwise(0L)).as("en"),
+        sum(when($"pred_lang" === "und", 1L).otherwise(0L)).as("und"))
+      .as[(String, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // quality mass per source == the sum of x08's rounded per-doc scores
+    val q4 = Tables.documents(spark, sf).select($"doc_id", $"source")
+      .join(TextOps.textQuality(spark, sf), "doc_id")
+      .groupBy($"source")
+      .agg(sum(round($"quality" * 10000.0, 0).cast("long")).as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(report.nonEmpty)
+    report.foreach { case (src, r) =>
+      assert(r.getLong(2) === x09(src), s"tokens $src")
+      assert((r.getLong(5), r.getLong(6)) === langs(src), s"langs $src")
+      assert(r.getLong(7) === q4(src), s"quality mass $src")
+    }
+  }
+
   test("packing partitions the corpus: every doc in exactly one bin") {
     val packed = TextOps.packSequences(spark, sf)
     val docTotal = Tables.documents(spark, sf).count()
