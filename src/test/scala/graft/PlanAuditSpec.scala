@@ -160,6 +160,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert("lineitem\\.parquet".r.findAllIn(p).size <= 2)
   }
 
+  test("x36: corpus work is one aggregate; the cap solve never shuffles it") {
+    // the only corpus-sized operation is the per-source token
+    // aggregate; the water-filling algebra must ride tiny frames
+    // (single-partition window + broadcast), never a SortMergeJoin or
+    // a second documents scan
+    val p = plan("x36_mixture_plan")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+  }
+
+  test("x37: the report card is one scan and one aggregation, no joins") {
+    val p = plan("x37_corpus_report")
+    assert(!p.contains("Join"))
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+  }
+
   test("custom expressions appear in codegen'd projections") {
     // q16's BroadcastNestedLoopJoin doesn't do whole-stage codegen (the
     // projection above it still compiles the expression); x05's
