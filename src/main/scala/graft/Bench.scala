@@ -22,9 +22,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle width ≠ compute width: narrow CPU-bound stages get their
+    // parallelism from Tables.rebalance (defaultParallelism = all
+    // cores), while post-shuffle reduce stages at bench scale carry
+    // orders of magnitude less data than their inputs — AQE was
+    // already coalescing them to 1–4 partitions BY SIZE, but the map
+    // side still wrote (and the scheduler still launched) `cpus`
+    // buckets per exchange first. Right-sizing the initial width to 8
+    // measured 26.3 → 19.6 s on the full 67-query suite (same host,
+    // back-to-back; the dedup family −0.3..−1.0 s each, worst
+    // regression +0.1 s). Cluster deploys size this to their own data,
+    // as SCALE.md documents.
+    val shuffleParts =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled",
