@@ -72,9 +72,13 @@ object SearchOps {
     // x06's pattern, worthwhile when queries arrive repeatedly.)
     val tfCols = QueryTerms.zipWithIndex.map { case (t, i) =>
       size(filter($"toks", x => x === t)).cast("long").as(s"tf$i") }
+    // base feeds BOTH the stats aggregate and the scoring branch —
+    // materialize the scan+tokenize once (the lmLikelihood/x13
+    // checkpoint pattern) instead of re-parsing the corpus per branch.
     val base = Tables.rebalance(Tables.documents(s, d))
       .select($"doc_id", toksCol.as("toks"))
       .select(Seq($"doc_id", size($"toks").cast("long").as("dl")) ++ tfCols: _*)
+      .localCheckpoint(false)
 
     // Corpus stats + per-term document frequencies: ONE tiny
     // aggregate → single-row broadcast (the x31 stats pattern).

@@ -256,7 +256,14 @@ object SketchOps {
     graft.plans.GraftExpressions.register(docs.sparkSession)
     docs
       .select(
-        when(substring(col("source"), 4, 8).cast("int") % 2 === 0, "a")
+        // Half = md5(source) parity — the repo's content-keyed idiom.
+        // A positional parse of the fixture's srcN names would null out
+        // (and silently bucket as "b") any other source value, and this
+        // helper is also the production streaming path
+        // (SketchStream.processOverlapBatch) where arbitrary sources
+        // are expected.
+        when(conv(substring(md5(col("source")), 1, 8), 16, 10)
+          .cast("long") % 2 === 0, "a")
           .otherwise("b").as("half"),
         split(lower(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= 3)
@@ -470,7 +477,7 @@ object SketchOps {
     // tolerance booleans are TRUE by assertion, computed Spark-side.
     "x34_corpus_overlap" ->
       """WITH w AS (
-        |  SELECT CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+        |  SELECT CASE WHEN ('0x' || substr(md5(source), 1, 8))::BIGINT % 2 = 0
         |              THEN 'a' ELSE 'b' END AS half,
         |         string_split_regex(lower(text), '\s+') AS w
         |  FROM documents

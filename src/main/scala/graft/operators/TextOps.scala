@@ -490,8 +490,16 @@ object TextOps {
         .otherwise(round($"cap" / $"tokens" * 1000000.0, 0).cast("long")))
       .select($"source", $"tokens",
         when($"whole", 1.0).otherwise(round($"cap" / $"tokens", 6)).as("rate"),
+        // Split the scaled-integer product around the divide so it can
+        // never overflow 2^63 inside the design range: tokens·r6i wraps
+        // once a capped source passes ~9.2e12 tokens (inside the 100 TB
+        // target), while (tokens div 10⁶)·r6i tops out ~10⁶× lower and
+        // (tokens mod 10⁶)·r6i < 10¹². Exactly equal to the single
+        // product for non-negative inputs (both engines floor-divide).
         when($"whole", $"tokens")
-          .otherwise(expr("tokens * r6i div 1000000")).as("alloc"))
+          .otherwise(expr(
+            "(tokens div 1000000) * r6i + ((tokens % 1000000) * r6i) div 1000000"))
+          .as("alloc"))
       .smallOrdered($"source")
   }
 
@@ -604,15 +612,17 @@ object TextOps {
          |    k - i + 1 AS r FROM base),
          |c AS (SELECT *, tokens * r > (budget - pbefore) AS capped FROM t),
          |p AS (SELECT i AS pi, (budget - pbefore) / r AS cap
-         |      FROM c WHERE capped ORDER BY i LIMIT 1)
+         |      FROM c WHERE capped ORDER BY i LIMIT 1),
+         |j AS (SELECT *,
+         |        CAST(round(cap / tokens * 1000000, 0) AS BIGINT) AS r6i
+         |      FROM c LEFT JOIN p ON TRUE)
          |SELECT source, tokens,
          |  CASE WHEN pi IS NULL OR i < pi THEN 1.0
          |       ELSE round(cap / tokens, 6) END AS rate,
          |  CASE WHEN pi IS NULL OR i < pi THEN tokens
-         |       ELSE tokens * CAST(round(cap / tokens * 1000000, 0) AS BIGINT)
-         |            // 1000000 END AS alloc
-         |FROM c LEFT JOIN p ON TRUE
-         |ORDER BY source""".stripMargin,
+         |       ELSE (tokens // 1000000) * r6i
+         |            + ((tokens % 1000000) * r6i) // 1000000 END AS alloc
+         |FROM j ORDER BY source""".stripMargin,
     "x32_group_sample" ->
       s"""SELECT source, rn, doc_id, rk FROM (
          |  SELECT source, doc_id,

@@ -138,6 +138,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("SortMergeJoin"))
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("TakeOrderedAndProject"))
+    // the checkpointed base feeds both the stats and scoring branches:
+    // the corpus is parsed once, never re-tokenized per branch
+    assert("documents\\.parquet".r.findAllIn(p).size <= 1,
+      "stats + scoring must share one tokenized corpus pass")
   }
 
   test("x34b: the production overlap plan is one scan, no Expand, no join") {
