@@ -402,6 +402,25 @@ object SketchOps {
       .smallOrdered($"rf")
   }
 
+  /** x35b — the sketch-only production artifact (no oracle: GK
+    * estimates depend on partial-merge order → rows-only check; x35 is
+    * the tolerance-validated twin — the x13b/x34b pattern). ONE grouped
+    * aggregate of bounded mergeable GK summaries; the exact
+    * sort_array(collect_list) validator branch never enters this plan,
+    * which is what a 100 TB deployment actually runs. */
+  def approxQuantilesSketch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select($"l_returnflag".as("rf"), $"l_extendedprice".cast("double").as("v"))
+      .groupBy($"rf")
+      .agg(count(lit(1)).as("n"),
+        percentile_approx($"v", array(lit(0.5), lit(0.95)),
+          lit(QuantAccuracy)).as("ap"))
+      .select($"rf", $"n",
+        round($"ap"(0), 4).as("p50_est"), round($"ap"(1), 4).as("p95_est"))
+      .smallOrdered($"rf")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x13_approx_distinct"  -> approxDistinct _,
     "x13b_approx_distinct_sketch" -> approxDistinctSketch _,
@@ -410,6 +429,7 @@ object SketchOps {
     "x34_corpus_overlap"   -> corpusOverlap _,
     "x34b_corpus_overlap_sketch" -> corpusOverlapSketch _,
     "x35_approx_quantiles" -> approxQuantiles _,
+    "x35b_approx_quantiles_sketch" -> approxQuantilesSketch _,
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -164,6 +164,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert("lineitem\\.parquet".r.findAllIn(p).size <= 2)
   }
 
+  test("x35b: the production quantile plan is GK-only — no group buffers") {
+    // x35 keeps the sort_array(collect_list) exact branch for the
+    // oracle; the registered production entry must be the pure
+    // percentile_approx aggregation — no per-group value buffer, no
+    // join back, one lineitem scan
+    val p = plan("x35b_approx_quantiles_sketch")
+    assert(!p.contains("collect_list"), "sketch-only plan must not buffer groups")
+    assert(!p.contains("sort_array"))
+    assert(!p.contains("Join"), "sketch-only plan must not join")
+    assert("lineitem\\.parquet".r.findAllIn(p).size === 1)
+  }
+
   test("x36: corpus work is one aggregate; the cap solve never shuffles it") {
     // the only corpus-sized operation is the per-source token
     // aggregate; the water-filling algebra must ride tiny frames

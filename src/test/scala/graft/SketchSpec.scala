@@ -68,6 +68,34 @@ class SketchSpec extends AnyFunSuite with SparkTestSession {
     assert(r.getLong(3) === r.getLong(0) + r.getLong(1) - r.getLong(2))
   }
 
+  test("x35b: production estimates sit inside x35's exact rank bounds") {
+    // the sketch-only twin re-aggregates independently (merge order may
+    // differ), but its estimates must satisfy the SAME rank-error
+    // contract the validated twin asserts
+    val exact = SketchOps.approxQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val rows = SketchOps.approxQuantilesSketch(spark, sf).collect()
+    assert(rows.length === exact.size)
+    val byFlag = Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_extendedprice".cast("double"))
+      .as[(String, Double)].collect().groupBy(_._1)
+    def quantileOf(v: Array[Double], p: Double): Double = {
+      val s = v.sorted
+      val pos = p * (s.length - 1)
+      val lo = s(math.floor(pos).toInt); val hi = s(math.ceil(pos).toInt)
+      lo + (pos - math.floor(pos)) * (hi - lo)
+    }
+    rows.foreach { r =>
+      val vs = byFlag(r.getString(0)).map(_._2)
+      val (p50, p95) = (r.getDouble(2), r.getDouble(3))
+      assert(p50 >= quantileOf(vs, 0.5 - SketchOps.QuantDelta) &&
+        p50 <= quantileOf(vs, 0.5 + SketchOps.QuantDelta), r.toString)
+      assert(p95 >= quantileOf(vs, 0.95 - SketchOps.QuantDelta) &&
+        p95 <= quantileOf(vs, 0.95 + SketchOps.QuantDelta), r.toString)
+      assert(exact.contains(r.getString(0)))
+    }
+  }
+
   test("x35: estimates sit inside the exact rank-error bounds; exact match") {
     val rows = SketchOps.approxQuantiles(spark, sf).collect()
     assert(rows.nonEmpty)
