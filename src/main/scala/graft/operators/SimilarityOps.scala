@@ -91,16 +91,16 @@ object SimilarityOps {
     * also what parquet partition-value inference yields on read, so
     * probe joins hit the raw partition attribute (a cast there would
     * defeat partition pruning). */
-  def ensureAnnIndex(s: SparkSession, d: String,
-                     indexRoot: String = sys.props("java.io.tmpdir")): String = {
-    import s.implicits._
+  /** Content key for an index over `$d/$table`: names + sizes + mtimes
+    * of the source files, so a corpus REGENERATED at the same path gets
+    * a fresh index dir instead of silently serving from the old data.
+    * `version` versions the index definition itself (planes /
+    * quantization / training constants) — bump it if those change. */
+  private def indexPath(s: SparkSession, d: String, table: String,
+                        kind: String, version: String,
+                        indexRoot: String): String = {
     val hconf = s.sparkContext.hadoopConfiguration
-    // Content key: names + sizes + mtimes of the source files, so a
-    // corpus REGENERATED at the same path gets a fresh index dir
-    // instead of silently serving neighbors from the old data. ("v1"
-    // versions the plane/quantization definitions themselves — bump it
-    // if lshSignature ever changes.)
-    val srcPath = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val srcPath = new org.apache.hadoop.fs.Path(s"$d/$table")
     val srcFs = srcPath.getFileSystem(hconf)
     val sig = {
       val parts = srcFs.listStatus(srcPath).map(st =>
@@ -113,8 +113,15 @@ object SimilarityOps {
     // indexRoot defaults to the local tmpdir for single-node runs; a
     // cluster deploy passes a shared filesystem path (e.g. an object-
     // store prefix) so executors and later sessions see the same index.
-    val path = new org.apache.hadoop.fs.Path(
-      indexRoot, s"graft-ann-index-$safe-v1-$sig").toString
+    new org.apache.hadoop.fs.Path(
+      indexRoot, s"graft-$kind-index-$safe-$version-$sig").toString
+  }
+
+  def ensureAnnIndex(s: SparkSession, d: String,
+                     indexRoot: String = sys.props("java.io.tmpdir")): String = {
+    import s.implicits._
+    val hconf = s.sparkContext.hadoopConfiguration
+    val path = indexPath(s, d, "embeddings.parquet", "ann", "v1", indexRoot)
     val destPath = new org.apache.hadoop.fs.Path(path)
     val fs = destPath.getFileSystem(hconf)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
@@ -291,14 +298,92 @@ object SimilarityOps {
     cents
   }
 
-  /** IVF: vectors assigned to their nearest trained centroid; a query
-    * probes only the NProbe nearest centroid lists (integer-dot
-    * ranking), then exact double cosine on the probed lists' members.
-    * The trained centroid table (tiny: ~n/97 rows) is materialized
-    * once with localCheckpoint — it is referenced from several
-    * subplans, and the non-broadcast references would otherwise re-run
-    * the whole training chain per reference. */
+  /** The IVF index artifacts for a corpus dir, built ONCE (train +
+    * assign leave the query path — the 100 TB shape, where training is
+    * a periodic batch job and serving reads only probed lists):
+    *  - `centroids/`: (cid, c: array<long>) — the trained coarse
+    *    quantizer (kmeansCentroids' exact integer output, ~n/97 rows).
+    *  - `assign/`: (vec_id) PARTITIONED BY cid — each vector's nearest
+    *    centroid list; a probe's equi-join against the NProbe ranked
+    *    cids partition-prunes to just those list directories.
+    * Same staged-rename concurrency discipline as ensureAnnIndex:
+    * private staging dir, exactly one rename wins, `assign/_SUCCESS`
+    * is the completion marker (it is the LAST artifact written). */
+  def ensureIvfIndex(s: SparkSession, d: String,
+                     indexRoot: String = sys.props("java.io.tmpdir")): String = {
+    import s.implicits._
+    val hconf = s.sparkContext.hadoopConfiguration
+    val path = indexPath(s, d, "embeddings.parquet", "ivf", "v1", indexRoot)
+    val destPath = new org.apache.hadoop.fs.Path(path)
+    val fs = destPath.getFileSystem(hconf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "assign/_SUCCESS"))) {
+      if (fs.exists(destPath)) fs.delete(destPath, true)
+      val staging = new org.apache.hadoop.fs.Path(
+        path + s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+      // one corpus scan+quantize feeds all Lloyd crossings AND the
+      // final assignment (the annIvfInMemory checkpoint rationale)
+      val qv = Tables.embeddings(s, d)
+        .select($"vec_id", quantize($"embedding".cast("array<double>")).as("q"))
+        .localCheckpoint(false)
+      val cents = kmeansCentroids(s, qv, KmeansIters).localCheckpoint(true)
+      cents.write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(staging, "centroids").toString)
+      // cid stored as INT: its domain is the seed vec_ids (small by
+      // construction), and parquet partition-value inference reads the
+      // partition attribute back as int — matching types keep the
+      // probe equi-join on the raw attribute so pruning applies
+      assign(s, qv, cents)
+        .select($"vec_id", $"cid".cast("int").as("cid"))
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(new org.apache.hadoop.fs.Path(staging, "assign").toString)
+      if (!fs.rename(staging, destPath)) fs.delete(staging, true)
+    }
+    path
+  }
+
+  /** x12 — IVF ANN served from the MATERIALIZED index: centroid
+    * ranking reads the tiny trained table, the probed cids broadcast
+    * into an equi-join against the cid-PARTITIONED assignment table
+    * (dynamic partition pruning → only the NProbe list directories are
+    * read), and exact cosine runs on the probed lists' members only.
+    * Training (the 6-job Lloyd chain) happens once at index build and
+    * never again on the query path. Results are identical to
+    * annIvfInMemory — training math is exact integer arithmetic — so
+    * the unrolled-Lloyd DuckDB oracle validates THIS entry too. */
   def annIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = ensureIvfIndex(s, d)
+    val cents = s.read.parquet(s"$root/centroids")
+    val assigned = s.read.parquet(s"$root/assign")
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val probe = emb.filter($"vec_id" === 0).select($"e".as("qe"))
+    val probeQ = Tables.embeddings(s, d).filter($"vec_id" === 0)
+      .select(quantize($"embedding".cast("array<double>")).as("qq"))
+    val probeCids = cents.crossJoin(broadcast(probeQ))
+      .select($"cid", longDot(s, $"c", $"qq").as("dot"))
+      .orderBy($"dot".desc, $"cid").limit(NProbe)
+      .select($"cid".cast("int").as("cid"))
+    val candidates = assigned.filter($"vec_id" =!= 0)
+      .join(broadcast(probeCids), "cid")
+      .select($"vec_id")
+    emb.join(broadcast(candidates), "vec_id")
+      .crossJoin(broadcast(probe))
+      .select($"vec_id", round(CoreQueries.cosine(s, $"e", $"qe"), 4).as("sim"))
+      .orderBy($"sim".desc, $"vec_id")
+      .limit(TopK)
+  }
+
+  /** IVF trained and served inside ONE plan — the ad-hoc one-shot form
+    * (and the equivalence witness for the materialized index): vectors
+    * assigned to their nearest trained centroid; a query probes only
+    * the NProbe nearest centroid lists (integer-dot ranking), then
+    * exact double cosine on the probed lists' members. The trained
+    * centroid table (tiny: ~n/97 rows) is materialized once with
+    * localCheckpoint — it is referenced from several subplans, and the
+    * non-broadcast references would otherwise re-run the whole
+    * training chain per reference. */
+  def annIvfInMemory(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))

@@ -93,6 +93,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("x12: served from the materialized IVF index, probe list-pruned") {
+    // training must be absent from the query path (the plan reads the
+    // persisted centroids + assignments, never re-runs Lloyd), and the
+    // cid-partitioned assignment scan must carry a dynamic
+    // partition-pruning filter fed by the probed centroid ids
+    val p = plan("x12_ann_ivf")
+    assert(p.contains("graft-ivf-index"), "must scan the materialized index")
+    assert(p.contains("dynamicpruning"),
+      "assignment scan must carry a dynamic partition-pruning filter")
+  }
+
   test("x17: isolated docs rejoin via broadcast, not a corpus shuffle") {
     val p = plan("x17_dedup_clusters")
     assert(p.contains("BroadcastHashJoin"))

@@ -55,6 +55,16 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     assert(served === inMem)
   }
 
+  test("index-served annIvf equals the in-memory train+serve plan") {
+    // training is exact integer arithmetic, so the persisted index and
+    // the one-plan form must serve identical neighbors
+    val served = SimilarityOps.annIvf(spark, sf)
+      .as[(Long, Double)].collect().toSeq
+    val inMem = SimilarityOps.annIvfInMemory(spark, sf)
+      .as[(Long, Double)].collect().toSeq
+    assert(served === inMem)
+  }
+
   test("ann searches are deterministic across invocations") {
     val a = SimilarityOps.annLsh(spark, sf).as[(Long, Double)].collect().toSeq
     val b = SimilarityOps.annLsh(spark, sf).as[(Long, Double)].collect().toSeq
