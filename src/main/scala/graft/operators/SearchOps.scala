@@ -58,6 +58,36 @@ object SearchOps {
     * dropped so leading/trailing whitespace cannot mint ghost terms. */
   private def toksCol = filter(split(lower(col("text")), "\\s+"), _ =!= "")
 
+  /** BM25 scoring over a per-doc frame (doc_id, dl, tf0..tfN) and a
+    * single-row stats frame (n_docs, sum_dl, df0..dfN) — ONE shared
+    * implementation so the query-time scan (x33) and the index-served
+    * probe (x33b) perform bit-identical float arithmetic: per-term
+    * contributions round to 6 and sum in fixed QueryTerms order (float
+    * addition is not associative), final score rounds to 4. */
+  private def scoreBm25(base: DataFrame, stats: DataFrame): DataFrame = {
+    import base.sparkSession.implicits._
+    val scored = base.crossJoin(broadcast(stats))
+      .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs")
+    def w(i: Int): Column = {
+      val tf = col(s"tf$i"); val dfc = col(s"df$i")
+      round(
+        log(($"n_docs" - dfc + 0.5) / (dfc + 0.5) + 1.0) *
+          (tf * (K1 + 1.0)) /
+          (tf + lit(K1) * (lit(1.0 - B) + lit(B) * $"dl" / $"avgdl")), 6)
+    }
+    val score = QueryTerms.indices
+      .map(i => when(col(s"tf$i") > 0, w(i)).otherwise(0.0))
+      .reduceLeft(_ + _)
+    val nTerms = QueryTerms.indices
+      .map(i => when(col(s"tf$i") > 0, 1L).otherwise(0L))
+      .reduceLeft(_ + _)
+    scored
+      .select($"doc_id", round(score, 4).as("score"), nTerms.as("n_terms"))
+      .filter($"n_terms" > 0)
+      .orderBy($"score".desc, $"doc_id")
+      .limit(TopK)
+  }
+
   def bm25Search(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // Per-document term frequencies as NARROW per-row columns — for a
@@ -86,38 +116,121 @@ object SearchOps {
       sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
     val stats = base.agg(count(lit(1)).as("n_docs"),
       Seq(sum($"dl").as("sum_dl")) ++ dfCols: _*)
+    scoreBm25(base, stats)
+  }
 
-    val scored = base.crossJoin(broadcast(stats))
-      .withColumn("avgdl", $"sum_dl".cast("double") / $"n_docs")
-    // Per-term BM25 contribution, rounded to 6 before the FIXED-ORDER
-    // sum (float addition is not associative; the oracle adds in the
-    // same QueryTerms order).
-    def w(i: Int): Column = {
-      val tf = col(s"tf$i"); val dfc = col(s"df$i")
-      round(
-        log(($"n_docs" - dfc + 0.5) / (dfc + 0.5) + 1.0) *
-          (tf * (K1 + 1.0)) /
-          (tf + lit(K1) * (lit(1.0 - B) + lit(B) * $"dl" / $"avgdl")), 6)
+  // ---- materialized inverted index (the serving path) -------------------
+
+  /** Term-bucket count for the postings partitioning: enough that a
+    * probe reads a small corpus fraction, few enough that the
+    * directory count stays trivial. */
+  val TermBuckets = 64
+
+  /** The term's bucket as a Spark column — md5-derived (the repo's
+    * content-hash idiom), so the bucket of a term is a pure function of
+    * the string on any engine or session. */
+  private[graft] def termBucketCol(t: Column): Column =
+    pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
+      lit(TermBuckets.toLong)).cast("int")
+
+  /** The same bucket function evaluated driver-side, for turning a
+    * QUERY's literal terms into partition-pruning literals. A spec
+    * (SearchSpec) pins JVM≡Spark agreement. */
+  private[graft] def termBucketJvm(t: String): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % TermBuckets).toInt
+  }
+
+  /** The materialized inverted index for a corpus dir, built ONCE
+    * (the x06/x12 ensure pattern — staged-rename build, content-keyed
+    * path):
+    *  - `postings/`: (term, doc_id, tf, dl) PARTITIONED BY tb (the
+    *    term's bucket) — a query's terms map to bucket literals and the
+    *    probe scan reads only those directories.
+    *  - `stats/`: one row (n_docs, sum_dl) — corpus-wide constants a
+    *    probe must not rescan the corpus for (they cover docs with no
+    *    postings row).
+    * The build pays one corpus tokenize + one (doc_id, term) shuffle —
+    * the standard index-construction cost, amortized over every
+    * subsequent query (repeated-query serving is the production mode
+    * for decontamination triage / eval-slice assembly). */
+  def ensureBm25Index(s: SparkSession, d: String,
+                      indexRoot: String = sys.props("java.io.tmpdir")): String = {
+    import s.implicits._
+    val hconf = s.sparkContext.hadoopConfiguration
+    val path = SimilarityOps.indexPath(
+      s, d, "documents.parquet", "bm25", "v1", indexRoot)
+    val destPath = new org.apache.hadoop.fs.Path(path)
+    val fs = destPath.getFileSystem(hconf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "postings/_SUCCESS"))) {
+      if (fs.exists(destPath)) fs.delete(destPath, true)
+      val staging = new org.apache.hadoop.fs.Path(
+        path + s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+      val docs = Tables.rebalance(Tables.documents(s, d))
+        .select($"doc_id", toksCol.as("toks"))
+        .select($"doc_id", $"toks", size($"toks").cast("long").as("dl"))
+        .localCheckpoint(false)
+      // stats FIRST (tiny), postings LAST — postings/_SUCCESS is the
+      // completion marker, so a crash between the writes re-builds
+      docs.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+        .write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(staging, "stats").toString)
+      docs.select($"doc_id", $"dl", explode($"toks").as("term"))
+        .groupBy($"doc_id", $"term")
+        .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
+        .withColumn("tb", termBucketCol($"term"))
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(new org.apache.hadoop.fs.Path(staging, "postings").toString)
+      if (!fs.rename(staging, destPath)) fs.delete(staging, true)
     }
-    val score = QueryTerms.indices
-      .map(i => when(col(s"tf$i") > 0, w(i)).otherwise(0.0))
-      .reduceLeft(_ + _)
-    val nTerms = QueryTerms.indices
-      .map(i => when(col(s"tf$i") > 0, 1L).otherwise(0L))
-      .reduceLeft(_ + _)
-    scored
-      .select($"doc_id", round(score, 4).as("score"), nTerms.as("n_terms"))
-      .filter($"n_terms" > 0)
-      .orderBy($"score".desc, $"doc_id")
-      .limit(TopK)
+    path
+  }
+
+  /** x33b — BM25 served from the materialized index: the query's terms
+    * become bucket LITERALS (static partition pruning — only the
+    * probed term directories are read), document frequencies fall out
+    * of the pruned postings themselves, corpus stats come from the
+    * persisted one-row table, and scoring is the SAME shared arithmetic
+    * as x33 — so the identical DuckDB oracle validates this entry
+    * bit-for-bit. Per-query work is proportional to the query terms'
+    * posting lists, not the corpus. */
+  def bm25SearchIndexed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = ensureBm25Index(s, d)
+    val stats0 = s.read.parquet(s"$root/stats")
+    val tbs = QueryTerms.map(termBucketJvm).distinct
+    // Pruned-bucket scan, exact term filter pushed to parquet. The df
+    // and tf branches each read the pruned postings directly — NO
+    // checkpoint here (unlike x33's corpus-wide base): the pruned read
+    // is |query-term postings|-sized, and a checkpoint would hide the
+    // partition-pruned scan from the plan the audit pins.
+    val hits = s.read.parquet(s"$root/postings")
+      .filter($"tb".isin(tbs: _*) && $"term".isin(QueryTerms: _*))
+      .select($"doc_id", $"term", $"tf", $"dl")
+    val dfs = hits.agg(
+      QueryTerms.zipWithIndex.map { case (t, i) =>
+        sum(when($"term" === t, 1L).otherwise(0L)).as(s"df$i") }.head,
+      QueryTerms.zipWithIndex.drop(1).map { case (t, i) =>
+        sum(when($"term" === t, 1L).otherwise(0L)).as(s"df$i") }: _*)
+    val stats = stats0.crossJoin(broadcast(dfs))
+    val base = hits.groupBy($"doc_id")
+      .agg(max($"dl").as("dl"),
+        QueryTerms.zipWithIndex.map { case (t, i) =>
+          max(when($"term" === t, $"tf").otherwise(0L)).as(s"tf$i") }: _*)
+    scoreBm25(base, stats)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x33_bm25_search" -> bm25Search _,
+    "x33b_bm25_search_indexed" -> bm25SearchIndexed _,
   )
 
-  val oracleSql: Map[String, String] = Map(
-    "x33_bm25_search" -> {
+  /** ONE oracle definition for both the scan form and the index-served
+    * form — they are the same query (shared scoring arithmetic; the
+    * index changes only what gets read), so they must hash-match the
+    * same SQL. */
+  private lazy val bm25OracleSql: String = {
       val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
       val cases = QueryTerms.zipWithIndex.map { case (t, i) =>
         s"max(CASE WHEN term = '$t' THEN w END) AS w$i" }.mkString(",\n        |       ")
@@ -145,6 +258,10 @@ object SearchOps {
         |      FROM w GROUP BY doc_id)
         |SELECT doc_id, round($sum, 4) AS score, n_terms
         |FROM agg ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
-    },
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "x33_bm25_search" -> bm25OracleSql,
+    "x33b_bm25_search_indexed" -> bm25OracleSql,
   )
 }

@@ -96,9 +96,9 @@ object SimilarityOps {
     * a fresh index dir instead of silently serving from the old data.
     * `version` versions the index definition itself (planes /
     * quantization / training constants) — bump it if those change. */
-  private def indexPath(s: SparkSession, d: String, table: String,
-                        kind: String, version: String,
-                        indexRoot: String): String = {
+  private[operators] def indexPath(s: SparkSession, d: String, table: String,
+                                   kind: String, version: String,
+                                   indexRoot: String): String = {
     val hconf = s.sparkContext.hadoopConfiguration
     val srcPath = new org.apache.hadoop.fs.Path(s"$d/$table")
     val srcFs = srcPath.getFileSystem(hconf)

@@ -155,6 +155,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       "stats + scoring must share one tokenized corpus pass")
   }
 
+  test("x33b: served from the inverted index, probed buckets only") {
+    // the corpus must be absent from the query path — the plan reads
+    // the persisted postings with the query terms' bucket literals as
+    // partition filters and the term filter pushed to parquet
+    val p = plan("x33b_bm25_search_indexed")
+    assert(p.contains("graft-bm25-index"), "must scan the materialized index")
+    assert(!p.contains("documents.parquet"),
+      "the corpus must not be rescanned at query time")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin"))
+    val f = formatted("x33b_bm25_search_indexed")
+    assert("PartitionFilters: \\[[^\\]]*tb".r.findFirstIn(f).isDefined,
+      "postings scan must prune on the term-bucket partition column")
+    assert("PushedFilters: \\[[^\\]]*In\\(term".r.findFirstIn(f).isDefined,
+      "term membership must push down to the postings scan")
+  }
+
   test("x34b: the production overlap plan is one scan, no Expand, no join") {
     // three conditional HLL++ buffers in ONE aggregation: a
     // distinct-rewrite Expand or a join-back means the set-algebra

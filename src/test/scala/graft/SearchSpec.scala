@@ -54,4 +54,25 @@ class SearchSpec extends AnyFunSuite with SparkTestSession {
     val b = SearchOps.bm25Search(spark, sf).as[(Long, Double, Long)].collect().toSeq
     assert(a === b)
   }
+
+  test("x33b: index-served BM25 equals the query-time scan form") {
+    // same scoring arithmetic over the same postings — the persisted
+    // index must change WHAT IS READ, never the answer
+    val served = SearchOps.bm25SearchIndexed(spark, sf)
+      .as[(Long, Double, Long)].collect().toSeq
+    val scan = SearchOps.bm25Search(spark, sf)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(served === scan)
+  }
+
+  test("term-bucket function agrees between the JVM and Spark forms") {
+    // the probe prunes partitions with DRIVER-computed bucket literals
+    // against SPARK-computed partition values — any disagreement
+    // silently empties a term's postings
+    val terms = SearchOps.QueryTerms ++ Seq("", "a", "Ünïcode-테스트", "the")
+    val sparkSide = terms.toDF("t")
+      .select($"t", SearchOps.termBucketCol($"t").as("b"))
+      .as[(String, Int)].collect().toMap
+    terms.foreach(t => assert(SearchOps.termBucketJvm(t) === sparkSide(t), t))
+  }
 }
