@@ -121,8 +121,50 @@ object Bench {
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = good.map(_._2).sum
+
+    // Same-boot comparator: raw totals are not comparable across VM
+    // boots (README's matched-pair A/B measured ±25% swings on
+    // identical code), so the artifact carries its OWN DuckDB run of
+    // the identical oracle SQL on the same parquet, same boot — the
+    // ratio is the portable number. Skipped quietly (nulls) when
+    // python3/duckdb aren't present or SPARK_GRAFT_DUCK=off. The
+    // ratio compares like with like: Spark seconds summed over the
+    // ORACLE-CHECKED queries only (the sketch-only twins have no SQL).
+    val duck: Option[(Double, Double, Int)] =
+      if (sys.env.getOrElse("SPARK_GRAFT_DUCK", "auto") == "off") None
+      else try {
+        val oracles = SparkEntry.oracleSql.filter(o => selected.contains(o._1))
+        val esc = (s: String) => "\"" + s.flatMap {
+          case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+          case '\r' => "\\r"; case '\t' => "\\t"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+        } + "\""
+        val tmp = java.io.File.createTempFile("graft-oracle-", ".json")
+        tmp.deleteOnExit()
+        val w = new java.io.PrintWriter(tmp, "UTF-8")
+        try w.print(oracles.map { case (k, v) => s"${esc(k)}: ${esc(v)}" }
+          .mkString("{", ",", "}")) finally w.close()
+        val duckReps = sys.env.getOrElse("SPARK_GRAFT_DUCK_REPS", "3")
+        val pb = new ProcessBuilder("python3", "dev/duckbench.py",
+          tmp.getPath, sfDir, duckReps)
+        pb.redirectErrorStream(false)
+        val proc = pb.start()
+        val out = new String(proc.getInputStream.readAllBytes, "UTF-8")
+        proc.waitFor()
+        "\"value\": *([0-9.Ee+-]+)".r.findFirstMatchIn(out).map { m =>
+          val d = m.group(1).toDouble
+          val sparkOracle = good.filter(g => oracles.contains(g._1)).map(_._2).sum
+          (d, sparkOracle, oracles.size)
+        }
+      } catch { case _: Throwable => None }
+    val duckJson = duck match {
+      case Some((d, so, n)) =>
+        val ratio = if (d > 0) so / d else -1.0
+        s""","duckdb":$d,"spark_oracle":$so,"n_oracle":$n,"ratio":${math.round(ratio * 1000) / 1000.0}"""
+      case None => ""","duckdb":null,"ratio":null"""
+    }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"warmup":$warmedUp,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"warmup":$warmedUp$duckJson,"sf":"$sfDir"}"""
     // The full line grows with the query count and a tail-windowed
     // reader can clip its head (round-4 BENCH parsed:null), so the full
     // JSON also lands in a file and the LAST stdout line is a compact
@@ -133,7 +175,7 @@ object Bench {
     val w = new java.io.PrintWriter(outFile, "UTF-8")
     try w.println(full) finally w.close()
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${good.size},"n_failed":${failed.size},"warmup":$warmedUp,"sf":"$sfDir","detail":"${outFile.getPath}"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${good.size},"n_failed":${failed.size},"warmup":$warmedUp$duckJson,"sf":"$sfDir","detail":"${outFile.getPath}"}""")
     spark.stop()
   }
 }
