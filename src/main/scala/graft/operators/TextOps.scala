@@ -520,9 +520,16 @@ object TextOps {
     * aggregation stays order-invariant and the oracle matches bit-wise
     * (the x27 integer-score rule); the average materializes only at
     * the end as one exact-integer division. */
-  def corpusReport(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    docs(s, d)
+  /** The card's per-source PARTIAL aggregate over an arbitrary
+    * documents frame — every column is mergeable (counts/sums add,
+    * extrema min/max, quality mass is an exact scaled-long sum), which
+    * is what lets the streaming card (ReportStream) keep one partial
+    * row-set per micro-batch and recover the exact whole-window card by
+    * re-aggregation, including after retention drops batches. */
+  private[graft] def reportPartialsOf(docsFrame: DataFrame): DataFrame = {
+    import docsFrame.sparkSession.implicits._
+    graft.plans.GraftExpressions.register(docsFrame.sparkSession)
+    docsFrame
       .select($"source",
         langIdCol($"text").as("lang"),
         nTokensCol($"text").as("nt"),
@@ -535,10 +542,21 @@ object TextOps {
            sum(when($"lang" === "en", 1L).otherwise(0L)).as("n_en"),
            sum(when($"lang" === "und", 1L).otherwise(0L)).as("n_und"),
            sum($"q4").as("total_q4"))
+  }
+
+  /** The finishing step shared by the batch card and the streaming
+    * merge: the average materializes ONLY here, as one exact-integer
+    * division — float order never touches any aggregate. */
+  private[graft] def finishReport(partials: DataFrame): DataFrame = {
+    import partials.sparkSession.implicits._
+    partials
       .withColumn("avg_quality",
         round($"total_q4" / ($"n_docs" * 10000.0), 4))
       .smallOrdered($"source")
   }
+
+  def corpusReport(s: SparkSession, d: String): DataFrame =
+    finishReport(reportPartialsOf(docs(s, d)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x07_text_langid"      -> textLangId _,

@@ -193,7 +193,13 @@ class LayoutSpec extends AnyFunSuite with SparkTestSession {
       val w = t.toLowerCase.split("\\s+").toSeq
       if (w.size < 3) Set.empty else w.sliding(3).map(_.mkString(" ")).toSet
     }
-    val (ad, bd) = raw.partition(_._1.drop(3).toInt % 2 == 0)
+    // the md5(source)-parity half rule, recomputed independently
+    def halfA(src: String): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(src.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 2 == 0
+    }
+    val (ad, bd) = raw.partition(d => halfA(d._1))
     val sa = ad.iterator.flatMap(d => shingles(d._2)).toSet
     val sb = bd.iterator.flatMap(d => shingles(d._2)).toSet
     val su = sa ++ sb
