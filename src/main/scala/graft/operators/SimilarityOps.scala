@@ -416,6 +416,139 @@ object SimilarityOps {
       .limit(TopK)
   }
 
+  // ---- IVF-PQ (x38): product-quantized residuals over the IVF lists ----
+
+  /** PQ subspaces: the 64-dim residual splits into PqM blocks of PqSub. */
+  val PqM = 8
+  val PqSub: Int = Dim / PqM
+  /** Codebook seeds: the first PqK multiples of PqSeedStep present —
+    * a deterministic, SQL-reproducible stand-in for per-subspace
+    * k-means (the codebook TRAINING quality is not the contract; the
+    * encode/ADC/rerank algebra is). 16 codewords = 4-bit PQ, a
+    * standard public configuration. */
+  val PqSeedStep = 7
+  val PqK = 16
+  /** ADC-ranked candidates retrieved before the exact rerank. */
+  val PqCandidates = 20
+
+  /** Integer squared L2 between two equal-length long arrays — the
+    * exact arithmetic both the encoder and the ADC tables share (and
+    * DuckDB reproduces): residual coords are ≤ ~4e6, so the summed
+    * square is ≤ ~1.3e14 — safely inside BIGINT. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** The IVF-PQ index artifacts (Jégou–Douze–Schmid PAMI 2011: encode
+    * each vector's RESIDUAL from its coarse centroid with a product
+    * quantizer; serve by asymmetric distance computation over probed
+    * lists, then exact rerank). Built ONCE on top of ensureIvfIndex:
+    *  - `codebook/`: (m, code, cw: array<long>) — PqK codewords per
+    *    subspace, the residual subvectors of the seed rows.
+    *  - `codes/`: (vec_id, codes: array<int>) PARTITIONED BY cid —
+    *    each vector compressed to PqM 4-bit codes (the 100 TB memory
+    *    trade: 8 bytes/vector instead of 512, scanned per probe).
+    * Same staged-rename/content-key discipline as every other index;
+    * `codes/_SUCCESS` (the last write) is the completion marker. */
+  def ensureIvfPqIndex(s: SparkSession, d: String,
+                       indexRoot: String = sys.props("java.io.tmpdir")): String = {
+    import s.implicits._
+    val hconf = s.sparkContext.hadoopConfiguration
+    val path = indexPath(s, d, "embeddings.parquet", "ivfpq", "v1", indexRoot)
+    val destPath = new org.apache.hadoop.fs.Path(path)
+    val fs = destPath.getFileSystem(hconf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "codes/_SUCCESS"))) {
+      if (fs.exists(destPath)) fs.delete(destPath, true)
+      val staging = new org.apache.hadoop.fs.Path(
+        path + s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+      val ivf = ensureIvfIndex(s, d, indexRoot)
+      val cents = s.read.parquet(s"$ivf/centroids")
+        .select($"cid".cast("int").as("cid"), $"c")
+      val assigned = s.read.parquet(s"$ivf/assign")
+      // residuals r = q − c(cid): one corpus scan, feeds the codebook
+      // AND the encoder (checkpointed — the x13/x33 shared-base rule)
+      val res = Tables.embeddings(s, d)
+        .select($"vec_id", quantize($"embedding".cast("array<double>")).as("q"))
+        .join(assigned, "vec_id")
+        .join(broadcast(cents), "cid")
+        .select($"vec_id", $"cid", zip_with($"q", $"c", (a, b) => a - b).as("r"))
+        .localCheckpoint(false)
+      res.filter($"vec_id" % PqSeedStep === 0 &&
+          $"vec_id" < PqSeedStep.toLong * PqK)
+        .select($"vec_id".cast("int").as("code"),
+          posexplode(transform(sequence(lit(0), lit(PqM - 1)),
+            m => slice($"r", m * PqSub + 1, lit(PqSub)))).as(Seq("m", "cw")))
+        .select($"m", $"code", $"cw")
+        .write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(staging, "codebook").toString)
+      // encode: per subspace, the codeword with min integer L2 (ties →
+      // smaller code — array_min's lexicographic struct order)
+      val cbRow = s.read
+        .parquet(new org.apache.hadoop.fs.Path(staging, "codebook").toString)
+        .agg(collect_list(struct($"m", $"code", $"cw")).as("cb"))
+      res.crossJoin(broadcast(cbRow))
+        .select($"vec_id", $"cid",
+          transform(sequence(lit(0), lit(PqM - 1)), m =>
+            array_min(transform(
+              filter($"cb", e => e.getField("m") === m),
+              e => struct(
+                sqDist(slice($"r", m * PqSub + 1, lit(PqSub)),
+                  e.getField("cw")).as("d"),
+                e.getField("code").as("code"))))
+              .getField("code")).as("codes"))
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(new org.apache.hadoop.fs.Path(staging, "codes").toString)
+      if (!fs.rename(staging, destPath)) fs.delete(staging, true)
+    }
+    path
+  }
+
+  /** x38 — IVF-PQ ANN, served from the materialized codes: the probe
+    * ranks coarse centroids (x12's rule), builds the per-probed-list
+    * ADC lookup tables (NProbe × PqM × PqK rows — broadcastable at any
+    * corpus size), scans ONLY the probed lists' codes (partition
+    * pruning on cid), sums table lookups into each candidate's
+    * asymmetric distance, and exactly reranks the PqCandidates best by
+    * true double cosine. Everything before the rerank is exact integer
+    * arithmetic, so the DuckDB oracle reproduces codes, ADC sums, and
+    * the final ranking bit-for-bit. */
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = ensureIvfPqIndex(s, d)
+    val cents = s.read.parquet(s"${ensureIvfIndex(s, d)}/centroids")
+    val cb = s.read.parquet(s"$root/codebook")
+    val codes = s.read.parquet(s"$root/codes")
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val probe = emb.filter($"vec_id" === 0).select($"e".as("qe"))
+    val probeQ = Tables.embeddings(s, d).filter($"vec_id" === 0)
+      .select(quantize($"embedding".cast("array<double>")).as("qq"))
+    val probeCids = cents.crossJoin(broadcast(probeQ))
+      .select($"cid", longDot(s, $"c", $"qq").as("dot"))
+      .orderBy($"dot".desc, $"cid").limit(NProbe)
+      .select($"cid".cast("int").as("cid"))
+    // per-probed-list query residual, then the ADC lookup tables
+    val qres = cents.select($"cid".cast("int").as("cid"), $"c")
+      .join(broadcast(probeCids), "cid").crossJoin(broadcast(probeQ))
+      .select($"cid", zip_with($"qq", $"c", (a, b) => a - b).as("qr"))
+    val adcTab = qres.crossJoin(broadcast(cb))
+      .select($"cid", $"m", $"code",
+        sqDist(slice($"qr", $"m" * PqSub + 1, lit(PqSub)), $"cw").as("d"))
+    // probed lists only (partition-pruned), one lookup row per (vec, m)
+    val adc = codes.join(broadcast(probeCids), "cid")
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id", $"cid", posexplode($"codes").as(Seq("m", "code")))
+      .join(broadcast(adcTab), Seq("cid", "m", "code"))
+      .groupBy($"vec_id").agg(sum($"d").as("adc"))
+      .orderBy($"adc".asc, $"vec_id").limit(PqCandidates)
+    emb.join(broadcast(adc), "vec_id")
+      .crossJoin(broadcast(probe))
+      .select($"vec_id", $"adc",
+        round(CoreQueries.cosine(s, $"e", $"qe"), 4).as("sim"))
+      .orderBy($"sim".desc, $"vec_id")
+      .limit(TopK)
+  }
+
   /** Quantization levels for the SQ8 codes ([0, 255] per coordinate). */
   val SqLevels = 255L
   /** Candidates retrieved by quantized dot before the exact rerank. */
@@ -491,6 +624,7 @@ object SimilarityOps {
     "x12_ann_ivf"  -> annIvf _,
     "x22_knn_join" -> knnJoin _,
     "x31_ann_sq8"  -> annSq8 _,
+    "x38_ann_ivfpq" -> annIvfPq _,
   )
 
   /** One Lloyd iteration as DuckDB CTEs: integer-dot assignment
@@ -612,24 +746,7 @@ object SimilarityOps {
         |  FROM cands)
         |WHERE rn <= $KnnJoinK ORDER BY qid, rn""".stripMargin,
     "x12_ann_ivf" ->
-      s"""WITH qv AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS e,
-        |    list_transform(embedding::DOUBLE[],
-        |      x -> CAST(round(x * $QuantL, 0) AS BIGINT)) AS q
-        |  FROM embeddings),
-        |c0 AS (SELECT vec_id AS cid, q AS c FROM qv
-        |       WHERE vec_id % $CentroidStep = 0),
-        |${ivfIterCtes(1, "c0")},
-        |${ivfIterCtes(2, "c1")},
-        |af AS (SELECT vec_id, cid FROM (
-        |  SELECT v.vec_id, c.cid,
-        |    row_number() OVER (PARTITION BY v.vec_id
-        |      ORDER BY list_dot_product(v.q, c.c) DESC, c.cid) AS rn
-        |  FROM qv v CROSS JOIN c2 c) WHERE rn = 1),
-        |pq AS (SELECT e, q FROM qv WHERE vec_id = 0),
-        |pc AS (SELECT c2.cid FROM c2, pq
-        |       ORDER BY list_dot_product(c2.c, pq.q) DESC, c2.cid
-        |       LIMIT $NProbe)
+      s"""WITH $ivfServeCtes
         |SELECT v.vec_id,
         |  ROUND(list_dot_product(v.e, pq.e) /
         |    (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(pq.e, pq.e))),
@@ -637,5 +754,75 @@ object SimilarityOps {
         |FROM af JOIN pc USING (cid) JOIN qv v USING (vec_id), pq
         |WHERE v.vec_id <> 0
         |ORDER BY sim DESC, v.vec_id LIMIT $TopK""".stripMargin,
+    // x38: the full IVF-PQ pipeline in SQL — shared training/probing
+    // CTEs, then residuals, the seeded codebook, argmin encoding, ADC
+    // lookup tables, candidate distances, and the exact rerank. Every
+    // step before the final cosine is BIGINT arithmetic, so codes and
+    // adc match Spark's bit-for-bit.
+    "x38_ann_ivfpq" ->
+      s"""WITH $ivfServeCtes,
+        |res AS (
+        |  SELECT v.vec_id, a.cid,
+        |    list_transform(range(1, ${Dim + 1}), i -> v.q[i] - c.c[i]) AS r
+        |  FROM af a JOIN qv v USING (vec_id) JOIN c2 c ON c.cid = a.cid),
+        |cb AS (
+        |  SELECT m.range AS m, res.vec_id AS code,
+        |    res.r[m.range * $PqSub + 1 : m.range * $PqSub + $PqSub] AS cw
+        |  FROM res, range($PqM) m
+        |  WHERE res.vec_id % $PqSeedStep = 0
+        |    AND res.vec_id < ${PqSeedStep.toLong * PqK}),
+        |codes AS (SELECT vec_id, cid, m, code FROM (
+        |  SELECT res.vec_id, res.cid, cb.m, cb.code,
+        |    row_number() OVER (PARTITION BY res.vec_id, cb.m
+        |      ORDER BY list_sum(list_transform(range(1, ${PqSub + 1}),
+        |        i -> (res.r[cb.m * $PqSub + i] - cb.cw[i])
+        |           * (res.r[cb.m * $PqSub + i] - cb.cw[i]))), cb.code) AS rn
+        |  FROM res, cb) WHERE rn = 1),
+        |qres AS (
+        |  SELECT c2.cid,
+        |    list_transform(range(1, ${Dim + 1}), i -> pq.q[i] - c2.c[i]) AS qr
+        |  FROM c2 JOIN pc USING (cid), pq),
+        |adctab AS (
+        |  SELECT q.cid, cb.m, cb.code,
+        |    list_sum(list_transform(range(1, ${PqSub + 1}),
+        |      i -> (q.qr[cb.m * $PqSub + i] - cb.cw[i])
+        |         * (q.qr[cb.m * $PqSub + i] - cb.cw[i]))) AS d
+        |  FROM qres q, cb),
+        |cadc AS (
+        |  SELECT codes.vec_id, CAST(sum(t.d) AS BIGINT) AS adc
+        |  FROM codes JOIN adctab t
+        |    ON t.cid = codes.cid AND t.m = codes.m AND t.code = codes.code
+        |  WHERE codes.vec_id <> 0
+        |  GROUP BY 1 ORDER BY adc, vec_id LIMIT $PqCandidates)
+        |SELECT v.vec_id, c.adc,
+        |  ROUND(list_dot_product(v.e, pq.e) /
+        |    (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(pq.e, pq.e))),
+        |    4) AS sim
+        |FROM cadc c JOIN qv v USING (vec_id), pq
+        |ORDER BY sim DESC, v.vec_id LIMIT $TopK""".stripMargin,
   )
+
+  /** Shared oracle CTE chain for the IVF family: quantized vectors,
+    * the unrolled KmeansIters(=2) Lloyd training, final assignment,
+    * and the probe's ranked centroid lists — ONE definition feeding
+    * the x12 and x38 oracles (the sigCtes anti-drift convention). */
+  private def ivfServeCtes: String =
+    s"""qv AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS e,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> CAST(round(x * $QuantL, 0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, q AS c FROM qv
+       |       WHERE vec_id % $CentroidStep = 0),
+       |${ivfIterCtes(1, "c0")},
+       |${ivfIterCtes(2, "c1")},
+       |af AS (SELECT vec_id, cid FROM (
+       |  SELECT v.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY list_dot_product(v.q, c.c) DESC, c.cid) AS rn
+       |  FROM qv v CROSS JOIN c2 c) WHERE rn = 1),
+       |pq AS (SELECT e, q FROM qv WHERE vec_id = 0),
+       |pc AS (SELECT c2.cid FROM c2, pq
+       |       ORDER BY list_dot_product(c2.c, pq.q) DESC, c2.cid
+       |       LIMIT $NProbe)""".stripMargin
 }

@@ -104,6 +104,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       "assignment scan must carry a dynamic partition-pruning filter")
   }
 
+  test("x38: IVF-PQ serves from materialized codes, probed lists only") {
+    // codes + codebook come from the persisted index (no re-encode on
+    // the query path); the codes scan partition-prunes to the probed
+    // cids; every join broadcasts; the rerank top-K is bounded
+    val p = plan("x38_ann_ivfpq")
+    assert(p.contains("graft-ivfpq-index"), "must scan the materialized codes")
+    assert(p.contains("dynamicpruning"),
+      "codes scan must carry a dynamic partition-pruning filter")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("x17: isolated docs rejoin via broadcast, not a corpus shuffle") {
     val p = plan("x17_dedup_clusters")
     assert(p.contains("BroadcastHashJoin"))
