@@ -113,11 +113,25 @@ class LayoutSpec extends AnyFunSuite with SparkTestSession {
     val li = Tables.lineitem(spark, sf).select($"l_partkey", $"l_suppkey")
     val root = java.nio.file.Files.createTempDirectory("graft-zprune")
     val zdir = s"$root/z"; val bdir = s"$root/base"
-    LayoutOps.writeZOrdered(spark, li, $"l_partkey", $"l_suppkey",
-      zdir, files = 16)
-    // stats-hostile baseline: round-robin layout, every file spans the
-    // whole domain of both columns
-    li.repartition(16).write.parquet(bdir)
+    // PIN the row-group size for both writes: the assertion below
+    // compares row counts from SURVIVING row groups, and a parquet or
+    // Spark upgrade that changed the default block size could silently
+    // turn it into a tautology (one giant row group per file reads
+    // all-or-nothing). 1 MiB keeps the fixture's files at a stable
+    // ≥1-row-group-per-file geometry under any default.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val prevBlock = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 1 << 20)
+    try {
+      LayoutOps.writeZOrdered(spark, li, $"l_partkey", $"l_suppkey",
+        zdir, files = 16)
+      // stats-hostile baseline: round-robin layout, every file spans the
+      // whole domain of both columns
+      li.repartition(16).write.parquet(bdir)
+    } finally {
+      if (prevBlock == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", prevBlock)
+    }
     val (mnp, mxp, mns, mxs) = li
       .agg(min($"l_partkey"), max($"l_partkey"),
            min($"l_suppkey"), max($"l_suppkey"))
