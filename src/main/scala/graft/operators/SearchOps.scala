@@ -88,7 +88,13 @@ object SearchOps {
       .limit(TopK)
   }
 
-  def bm25Search(s: SparkSession, d: String): DataFrame = {
+  def bm25Search(s: SparkSession, d: String): DataFrame =
+    bm25SearchOf(Tables.rebalance(Tables.documents(s, d)))
+
+  /** The scan form over an arbitrary (doc_id, text, …) frame — the
+    * equivalence witness for the index/streaming serving paths. */
+  def bm25SearchOf(docsFrame: DataFrame): DataFrame = {
+    val s = docsFrame.sparkSession
     import s.implicits._
     // Per-document term frequencies as NARROW per-row columns — for a
     // fixed small query, tf of each term is an array scan, so the
@@ -105,7 +111,7 @@ object SearchOps {
     // base feeds BOTH the stats aggregate and the scoring branch —
     // materialize the scan+tokenize once (the lmLikelihood/x13
     // checkpoint pattern) instead of re-parsing the corpus per branch.
-    val base = Tables.rebalance(Tables.documents(s, d))
+    val base = docsFrame
       .select($"doc_id", toksCol.as("toks"))
       .select(Seq($"doc_id", size($"toks").cast("long").as("dl")) ++ tfCols: _*)
       .localCheckpoint(false)
@@ -142,6 +148,53 @@ object SearchOps {
     (java.lang.Long.parseLong(hex, 16) % TermBuckets).toInt
   }
 
+  /** (doc_id, toks, dl) — the tokenized frame the index build and the
+    * streaming postings partials (SearchStream) share. */
+  private[graft] def tokenizedOf(docsFrame: DataFrame): DataFrame = {
+    import docsFrame.sparkSession.implicits._
+    docsFrame
+      .select($"doc_id", toksCol.as("toks"))
+      .select($"doc_id", $"toks", size($"toks").cast("long").as("dl"))
+  }
+
+  /** The postings relation (doc_id, term, tf, dl, tb) of a tokenized
+    * frame — one (doc_id, term) shuffle, term-bucket column attached. */
+  private[graft] def postingsOf(tokenized: DataFrame): DataFrame = {
+    import tokenized.sparkSession.implicits._
+    tokenized.select($"doc_id", $"dl", explode($"toks").as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
+      .withColumn("tb", termBucketCol($"term"))
+  }
+
+  /** The one-row corpus stats (n_docs, sum_dl) of a tokenized frame —
+    * covers docs that produce no postings row. */
+  private[graft] def statsOf(tokenized: DataFrame): DataFrame = {
+    import tokenized.sparkSession.implicits._
+    tokenized.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+  }
+
+  /** BM25 top-K from a query-term postings frame (doc_id, term, tf,
+    * dl) plus a one-row (n_docs, sum_dl) frame: df falls out of the
+    * hits, the per-doc tf vector pivots out of them too, and scoring is
+    * the shared scoreBm25 arithmetic — used by the materialized-index
+    * probe (x33b) and the streaming postings state (SearchStream). */
+  private[graft] def scoreFromHits(hits: DataFrame,
+                                   stats0: DataFrame): DataFrame = {
+    import hits.sparkSession.implicits._
+    val dfs = hits.agg(
+      QueryTerms.zipWithIndex.map { case (t, i) =>
+        sum(when($"term" === t, 1L).otherwise(0L)).as(s"df$i") }.head,
+      QueryTerms.zipWithIndex.drop(1).map { case (t, i) =>
+        sum(when($"term" === t, 1L).otherwise(0L)).as(s"df$i") }: _*)
+    val stats = stats0.crossJoin(broadcast(dfs))
+    val base = hits.groupBy($"doc_id")
+      .agg(max($"dl").as("dl"),
+        QueryTerms.zipWithIndex.map { case (t, i) =>
+          max(when($"term" === t, $"tf").otherwise(0L)).as(s"tf$i") }: _*)
+    scoreBm25(base, stats)
+  }
+
   /** The materialized inverted index for a corpus dir, built ONCE
     * (the x06/x12 ensure pattern — staged-rename build, content-keyed
     * path):
@@ -167,19 +220,13 @@ object SearchOps {
       if (fs.exists(destPath)) fs.delete(destPath, true)
       val staging = new org.apache.hadoop.fs.Path(
         path + s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-      val docs = Tables.rebalance(Tables.documents(s, d))
-        .select($"doc_id", toksCol.as("toks"))
-        .select($"doc_id", $"toks", size($"toks").cast("long").as("dl"))
+      val docs = tokenizedOf(Tables.rebalance(Tables.documents(s, d)))
         .localCheckpoint(false)
       // stats FIRST (tiny), postings LAST — postings/_SUCCESS is the
       // completion marker, so a crash between the writes re-builds
-      docs.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
-        .write.mode("overwrite")
+      statsOf(docs).write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(staging, "stats").toString)
-      docs.select($"doc_id", $"dl", explode($"toks").as("term"))
-        .groupBy($"doc_id", $"term")
-        .agg(count(lit(1)).as("tf"), max($"dl").as("dl"))
-        .withColumn("tb", termBucketCol($"term"))
+      postingsOf(docs)
         .write.mode("overwrite").partitionBy("tb")
         .parquet(new org.apache.hadoop.fs.Path(staging, "postings").toString)
       if (!fs.rename(staging, destPath)) fs.delete(staging, true)
@@ -208,17 +255,7 @@ object SearchOps {
     val hits = s.read.parquet(s"$root/postings")
       .filter($"tb".isin(tbs: _*) && $"term".isin(QueryTerms: _*))
       .select($"doc_id", $"term", $"tf", $"dl")
-    val dfs = hits.agg(
-      QueryTerms.zipWithIndex.map { case (t, i) =>
-        sum(when($"term" === t, 1L).otherwise(0L)).as(s"df$i") }.head,
-      QueryTerms.zipWithIndex.drop(1).map { case (t, i) =>
-        sum(when($"term" === t, 1L).otherwise(0L)).as(s"df$i") }: _*)
-    val stats = stats0.crossJoin(broadcast(dfs))
-    val base = hits.groupBy($"doc_id")
-      .agg(max($"dl").as("dl"),
-        QueryTerms.zipWithIndex.map { case (t, i) =>
-          max(when($"term" === t, $"tf").otherwise(0L)).as(s"tf$i") }: _*)
-    scoreBm25(base, stats)
+    scoreFromHits(hits, stats0)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
