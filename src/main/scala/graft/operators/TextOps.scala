@@ -344,6 +344,50 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  // ---- hashed linear quality classifier ---------------------------------
+
+  /** md5-derived classifier weights live in [-ClsHalf, ClsHalf]. */
+  val ClsWeightRange = 1001L
+  val ClsHalf = 500L
+
+  /** x39 — model-based quality gate: a HASHED LINEAR CLASSIFIER over
+    * unigram features, the fastText-architecture filter (Joulin et al.
+    * 2016) with feature hashing (Weinberger et al., ICML 2009) that
+    * public corpus recipes (CCNet's companion classifier, the
+    * LLaMA-style "quality model" gates) run corpus-wide. The weight
+    * table is md5-derived integers — the LSH-planes idiom: a trained
+    * model is a PARAMETER of this operator; the contract under test is
+    * the scoring algebra (hash → weight lookup → integer sum →
+    * logistic), which is what must scale and match the oracle.
+    *
+    * Exactness: per-token weights and the document sum are BIGINT end
+    * to end (order-invariant — partial aggregation can never drift a
+    * float); `keep` is the integer comparison s_int ≥ 0, and the
+    * logistic materializes once per doc from identical doubles,
+    * ROUNDed to 4 (the x33 ln precedent).
+    *
+    * Scale shape: ONE narrow map — no shuffle at all before the
+    * presentation sort; the weight "table" needs no join because
+    * feature hashing evaluates it in place. */
+  def qualityClassifier(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"doc_id",
+        filter(split(lower($"text"), "\\s+"), t => t =!= "").as("toks"))
+      .select($"doc_id",
+        size($"toks").cast("long").as("n_toks"),
+        aggregate(
+          transform($"toks", t =>
+            conv(substring(md5(concat(lit("q_"), t)), 1, 8), 16, 10)
+              .cast("long") % ClsWeightRange - ClsHalf),
+          lit(0L), (acc, v) => acc + v).as("s_int"))
+      .withColumn("prob",
+        round(lit(1.0) / (lit(1.0) +
+          exp(-$"s_int" / (($"n_toks" + 1L) * (ClsHalf * 1.0)))), 4))
+      .withColumn("keep", $"s_int" >= 0L)
+      .orderBy($"doc_id")
+  }
+
   // ---- PII redaction ------------------------------------------------------
 
   /** PII patterns shared by the Spark columns and the DuckDB oracle.
@@ -572,6 +616,7 @@ object TextOps {
     "x32_group_sample"     -> groupSample _,
     "x36_mixture_plan"     -> mixturePlan _,
     "x37_corpus_report"    -> corpusReport _,
+    "x39_quality_classifier" -> qualityClassifier _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -641,6 +686,25 @@ object TextOps {
          |       ELSE (tokens // 1000000) * r6i
          |            + ((tokens % 1000000) * r6i) // 1000000 END AS alloc
          |FROM j ORDER BY source""".stripMargin,
+    // x39: weights recomputed in place from the same md5 rule; the sum
+    // is BIGINT (list_sum of an empty list is NULL → coalesce 0, the
+    // same zero Spark's aggregate() initial value yields).
+    "x39_quality_classifier" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |                x -> x <> '') AS toks
+         |  FROM documents),
+         |s AS (SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_toks,
+         |    CAST(coalesce(list_sum(list_transform(toks,
+         |      x -> ('0x' || substr(md5('q_' || x), 1, 8))::BIGINT
+         |           % $ClsWeightRange - $ClsHalf)), 0) AS BIGINT) AS s_int
+         |  FROM t)
+         |SELECT doc_id, n_toks, s_int,
+         |  round(1.0 / (1.0 + exp(-s_int / ((n_toks + 1) * $ClsHalf.0))), 4)
+         |    AS prob,
+         |  s_int >= 0 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
     "x32_group_sample" ->
       s"""SELECT source, rn, doc_id, rk FROM (
          |  SELECT source, doc_id,

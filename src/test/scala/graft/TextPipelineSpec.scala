@@ -348,6 +348,35 @@ class TextPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(got.exists(_._4) && got.exists(!_._4))
   }
 
+  test("x39 classifier score equals a driver-side hashed-weights recompute") {
+    val got = TextOps.qualityClassifier(spark, sf)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    def weight(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"q_$tok".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % TextOps.ClsWeightRange -
+        TextOps.ClsHalf
+    }
+    val ref = Tables.documents(spark, sf)
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+        id -> ((toks.length.toLong, toks.map(weight).sum))
+      }.toMap
+    assert(got.length === ref.size)
+    got.foreach { case (id, n, s, prob, keep) =>
+      assert((n, s) === ref(id), s"classifier score for doc $id")
+      assert(keep === (s >= 0L))
+      val want = BigDecimal(1.0 / (1.0 +
+        math.exp(-s / ((n + 1) * TextOps.ClsHalf.toDouble))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(prob === want, s"logistic for doc $id")
+    }
+    // the gate separates a real tail on the fixture
+    assert(got.exists(_._5) && got.exists(!_._5))
+  }
+
   test("stratified sample is bounded, stratified, and deterministic") {
     val a = TextOps.stratifiedSample(spark, sf).collect()
     assert(a.nonEmpty)
