@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   * shards, each stage one of the library's audited operators:
   *
   *   PII scrub audit (x28) → language/quality gates + exact dedup
-  *   (x14's rules via DocCuration.curateBatch) → near-dup cluster
-  *   representatives (x02 pairs → x17 components) → benchmark
-  *   decontamination (x24's leaked-prefix eval) → deterministic
-  *   content-hash split (x23) → split-partitioned parquet shards.
+  *   (x14's rules via DocCuration.curateBatch) → classifier quality
+  *   gate (x39) → near-dup cluster representatives (x02 pairs → x17
+  *   components) → benchmark decontamination (x24's leaked-prefix
+  *   eval) → deterministic content-hash split (x23) →
+  *   split-partitioned parquet shards.
   *
   * {{{
   *   sbt "runMain graft.TrainingDataDemo [sfDir] [outDir]"
@@ -46,6 +47,14 @@ object TrainingDataDemo {
       .select($"doc_id").localCheckpoint(false)
     report += ("after_gates_and_exact_dedup" -> gated.count())
 
+    // 2b. model-based quality gate (x39): the hashed linear classifier
+    // complements the heuristic gates the way public recipes pair a
+    // quality model with rule filters — keep docs it scores ≥ 0
+    val kept = operators.TextOps.qualityClassifier(spark, sfDir)
+      .filter($"keep").select($"doc_id")
+    val classed = gated.join(kept, "doc_id").localCheckpoint(false)
+    report += ("after_classifier_gate" -> classed.count())
+
     // 3. near-dup components (MinHash LSH pairs → connected-component
     // labels): keep ONE doc per component, re-picked AMONG the gate
     // survivors (min doc_id of the surviving members). Filtering to the
@@ -54,7 +63,7 @@ object TrainingDataDemo {
     // surviving near-dups would be discarded for not being the rep of a
     // doc that was itself already gone.
     val labels = operators.DedupOps.dedupClusters(spark, sfDir)
-    val deduped = gated.join(labels, "doc_id")
+    val deduped = classed.join(labels, "doc_id")
       .groupBy($"rep").agg(min($"doc_id").as("doc_id"))
       .select($"doc_id")
     report += ("after_near_dup_clustering" -> deduped.count())

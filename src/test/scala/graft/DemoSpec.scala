@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 class DemoSpec extends AnyFunSuite with SparkTestSession {
   import spark.implicits._
 
-  test("demo stage counts reconcile against x14/x17/x24/x23") {
+  test("demo stage counts reconcile against x14/x39/x17/x24/x23") {
     val (corpus, report) = TrainingDataDemo.run(spark, sf, None)
     val counts = report.toMap
     val docs = Tables.documents(spark, sf)
@@ -30,10 +30,16 @@ class DemoSpec extends AnyFunSuite with SparkTestSession {
     assert(counts("after_gates_and_exact_dedup") ===
       cur.select($"fp").distinct().count())
 
-    // x17 — near-dup clustering: the demo keeps exactly one survivor
-    // per cluster that has at least one gate-surviving member
+    // x39 — classifier gate: the stage equals the gate survivors whose
+    // classifier score is nonnegative, per the audited query itself
+    val kept = operators.TextOps.qualityClassifier(spark, sf)
+      .filter($"keep").select($"doc_id")
     val gated = graft.streaming.DocCuration.curateBatch(docs)
-      .select($"doc_id")
+      .select($"doc_id").join(kept, "doc_id")
+    assert(counts("after_classifier_gate") === gated.count())
+
+    // x17 — near-dup clustering: the demo keeps exactly one survivor
+    // per cluster that has at least one classifier-surviving member
     val labels = operators.DedupOps.dedupClusters(spark, sf)
     val nSurvivingClusters = labels.join(gated, "doc_id")
       .select($"rep").distinct().count()
