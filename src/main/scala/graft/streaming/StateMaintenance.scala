@@ -1,0 +1,149 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Maintenance for the batch_id-partitioned partial-state tables
+  * (CMS counters, HLL overlap sketches, report-card partials): after a
+  * long retention window the state accumulates one partition per
+  * micro-batch, and while the MERGED view stays correct at any
+  * partition count, thousands of tiny directories are an operational
+  * cost (listing, open-per-file) every merge pays. Compaction folds
+  * all partials with batch_id ≤ upTo into ONE partial stored at
+  * batch_id = upTo; the merged view is unchanged because every state's
+  * merge is associative (sums re-sum, HLL unions re-union, extrema
+  * re-extreme) — the compacted partial is just a pre-merged prefix.
+  *
+  * SAFETY CONTRACT (documented, spec-pinned):
+  *  - Call with upTo ≤ the stream's last COMMITTED batch id. foreachBatch
+  *    replays target only uncommitted ids, so a replay can never
+  *    overwrite a compacted prefix.
+  *  - The fold is not atomic across the overwrite and the deletes. A
+  *    `_graft_compacting` marker written first makes the operation
+  *    RECOVERABLE: if a previous compaction died mid-way, the next
+  *    `compactBatches` call on the dir finishes its deletes before
+  *    doing anything else. Readers between a crash and the recovery
+  *    may double-count the prefix — run compaction from the single
+  *    maintenance process that owns the state dir (the same ownership
+  *    the stream's checkpoint already implies), as parquet compaction
+  *    jobs do everywhere.
+  */
+object StateMaintenance {
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def batchPartitions(spark: SparkSession,
+                              dir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+      .map(st => (st.getPath.getName.stripPrefix("batch_id=").toLong, st.getPath))
+  }
+
+  private def marker(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_graft_compacting")
+
+  /** Read the marker's upTo if a previous compaction died mid-way. */
+  private def pendingUpTo(spark: SparkSession, dir: String): Option[Long] = {
+    val f = fs(spark, dir)
+    if (!f.exists(marker(dir))) None
+    else {
+      val in = f.open(marker(dir))
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Finish an interrupted compaction: the merged prefix already lives
+    * at batch_id = upTo (it is written before the marker's deletes
+    * begin), so recovery = delete the remaining strictly-older
+    * partitions and drop the marker. */
+  private def recover(spark: SparkSession, dir: String): Unit =
+    pendingUpTo(spark, dir).foreach { upTo =>
+      val f = fs(spark, dir)
+      batchPartitions(spark, dir)
+        .filter(_._1 < upTo)
+        .foreach { case (_, path) => f.delete(path, true) }
+      f.delete(marker(dir), true)
+    }
+
+  /** Fold every partial with batch_id ≤ upTo into one partial at
+    * batch_id = upTo. `merge` re-aggregates the batch_id-stripped
+    * partial rows into one partial row-set (the same associative
+    * algebra the state's merged view applies); `extraPartitions` keeps
+    * any further partition columns (e.g. the postings' term bucket).
+    * No-op when ≤ 1 partition is in range. */
+  def compactBatches(spark: SparkSession, stateDir: String, upTo: Long,
+                     merge: DataFrame => DataFrame,
+                     extraPartitions: Seq[String] = Seq.empty): Unit = {
+    recover(spark, stateDir)
+    val inRange = batchPartitions(spark, stateDir).filter(_._1 <= upTo)
+    if (inRange.size > 1) {
+      val f = fs(spark, stateDir)
+      // materialize the merged prefix BEFORE touching the directory —
+      // Spark refuses to overwrite a path it is still reading from,
+      // and a crash before any mutation must leave the state untouched
+      val merged = merge(
+        spark.read.parquet(stateDir)
+          .filter(col("batch_id") <= upTo).drop("batch_id"))
+        .withColumn("batch_id", lit(upTo))
+        .localCheckpoint(true)
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id" +: extraPartitions: _*)
+        .parquet(stateDir)
+      // marker AFTER the merged write: from here the fold is complete
+      // at upTo and recovery only needs to finish the deletes
+      val out = f.create(marker(stateDir), true)
+      try out.write(upTo.toString.getBytes("UTF-8")) finally out.close()
+      inRange.filter(_._1 < upTo)
+        .foreach { case (_, path) => f.delete(path, true) }
+      f.delete(marker(stateDir), true)
+    }
+  }
+
+  /** CMS counter state: partials re-ADD (SketchStream.mergedCounters'
+    * algebra). */
+  def compactCounters(spark: SparkSession, stateDir: String,
+                      upTo: Long): Unit =
+    compactBatches(spark, stateDir, upTo,
+      _.groupBy(col("r"), col("pos")).agg(sum(col("cnt")).as("cnt")))
+
+  /** HLL overlap state: partials re-UNION per half (register max —
+    * idempotent, so compaction composes with replay trivially). */
+  def compactOverlap(spark: SparkSession, stateDir: String,
+                     upTo: Long): Unit =
+    compactBatches(spark, stateDir, upTo,
+      _.groupBy(col("half")).agg(hll_union_agg(col("sk")).as("sk")))
+
+  /** Report-card state: the same per-source merge mergedReport applies
+    * (sums add, extrema min/max). */
+  def compactReport(spark: SparkSession, stateDir: String,
+                    upTo: Long): Unit =
+    compactBatches(spark, stateDir, upTo,
+      _.groupBy(col("source"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("tokens")).as("tokens"),
+          min(col("min_tokens")).as("min_tokens"),
+          max(col("max_tokens")).as("max_tokens"),
+          sum(col("n_en")).as("n_en"),
+          sum(col("n_und")).as("n_und"),
+          sum(col("total_q4")).as("total_q4")))
+
+  /** BM25 postings state: documents are disjoint across batches, so
+    * postings rows pass through unchanged (the fold only rewrites many
+    * small partitions into one, keeping the term-bucket partitioning);
+    * the stats table re-adds. */
+  def compactPostings(spark: SparkSession, stateDir: String,
+                      upTo: Long): Unit = {
+    compactBatches(spark, s"$stateDir/postings", upTo,
+      identity, extraPartitions = Seq("tb"))
+    compactBatches(spark, s"$stateDir/stats", upTo,
+      _.agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_dl")).as("sum_dl")))
+  }
+}
