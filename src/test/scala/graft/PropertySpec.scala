@@ -89,6 +89,29 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     assert(got === want)
   }
 
+  test("x36 alloc split-product ≡ BigInt model at 100 TB token counts") {
+    // the divide-before-multiply form must equal floor(tokens·r6i/10⁶)
+    // exactly, INCLUDING token counts where the naive product wraps
+    // 2^63 (the design target is ~2.5e13 tokens per source)
+    val gen = for {
+      tokens <- Gen.oneOf(Gen.chooseNum(0L, 1000000L),
+        Gen.chooseNum(1L, 30000000000000L))   // up to 3e13
+      r6i <- Gen.chooseNum(0L, 1000000L)
+    } yield (tokens, r6i)
+    val cases = Gen.listOfN(400, gen).sample.get :+
+      ((25000000000000L, 999999L)) :+ ((9300000000000L, 1000000L))
+    val got = cases.toDF("tokens", "r6i")
+      .select($"tokens", $"r6i",
+        expr("(tokens div 1000000) * r6i + ((tokens % 1000000) * r6i) div 1000000")
+          .as("alloc"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (t, r, alloc) =>
+      val want = (BigInt(t) * BigInt(r) / BigInt(1000000)).toLong
+      assert(alloc === want, s"alloc($t, $r)")
+      assert(alloc >= 0L, s"negative alloc at ($t, $r) — overflow")
+    }
+  }
+
   test("md5 token-hash column ≡ JVM MessageDigest model (x03 hash)") {
     val toks = Seq("the", "quick", "Brown", "fox", "", "déjà", "42")
     val got = toks.toDF("t")
