@@ -208,6 +208,48 @@ object TextOps {
       .orderBy($"source", $"bin")
   }
 
+  // ---- context-window chunking -------------------------------------------
+
+  /** Chunk geometry: ChunkSize tokens per window, ChunkStride tokens
+    * between window starts (overlap = ChunkSize − ChunkStride). */
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  /** x41 — context-window CHUNKING with stride, the dual of x18's
+    * packing: long documents split into overlapping fixed-token
+    * windows (the standard preprocessing for context-bounded training
+    * and for passage-level retrieval/dedup). Chunk count per doc is
+    * 1 + ⌈max(n − size, 0) / stride⌉ — the last window covers the
+    * tail, and no fully-redundant trailing window is emitted. Each
+    * chunk carries its token count and an md5 fingerprint of the
+    * joined window (so downstream exact dedup can run at CHUNK
+    * granularity — x01's rule one level down).
+    *
+    * Scale shape: one narrow pass — tokenize, per-row posexplode of
+    * the window starts, slice/fingerprint in the same projection; no
+    * shuffle before the presentation sort. Row growth is n/stride per
+    * doc, the unavoidable output size of chunking. */
+  def chunkDocuments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"doc_id", filter(split($"text", "\\s+"), t => t =!= "").as("toks"))
+      .select($"doc_id", $"toks", size($"toks").cast("long").as("n"))
+      .filter($"n" > 0)
+      .withColumn("n_chunks",
+        lit(1L) + ceil(greatest($"n" - ChunkSize, lit(0L)) /
+          lit(ChunkStride.toDouble)).cast("long"))
+      .select($"doc_id", $"toks", $"n",
+        posexplode(sequence(lit(0L), $"n_chunks" - 1L)).as(Seq("ci", "c")))
+      .select($"doc_id", $"c".cast("long").as("chunk_id"),
+        least(lit(ChunkSize.toLong), $"n" - $"c" * ChunkStride)
+          .as("n_chunk_toks"),
+        md5(concat_ws(" ",
+          slice($"toks", ($"c" * ChunkStride + 1L).cast("int"),
+            lit(ChunkSize))))
+          .as("fp"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   // ---- deterministic stratified sampling (data mixing) -------------------
 
   /** Per-source sampling-rate formula constants (per-mille): rate =
@@ -617,6 +659,7 @@ object TextOps {
     "x36_mixture_plan"     -> mixturePlan _,
     "x37_corpus_report"    -> corpusReport _,
     "x39_quality_classifier" -> qualityClassifier _,
+    "x41_chunk_documents"  -> chunkDocuments _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -686,6 +729,26 @@ object TextOps {
          |       ELSE (tokens // 1000000) * r6i
          |            + ((tokens % 1000000) * r6i) // 1000000 END AS alloc
          |FROM j ORDER BY source""".stripMargin,
+    // x41: same chunk-count formula and window slices; DuckDB list
+    // slicing is 1-based inclusive, hence [start+1 : start+size].
+    "x41_chunk_documents" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t
+         |      WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, toks, n,
+         |    1 + CAST(ceil(greatest(n - $ChunkSize, 0)
+         |                  / $ChunkStride.0) AS BIGINT) AS n_chunks
+         |  FROM n),
+         |g AS (SELECT doc_id, toks, n,
+         |        unnest(range(0, n_chunks)) AS cid FROM c)
+         |SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+         |  least($ChunkSize, n - cid * $ChunkStride) AS n_chunk_toks,
+         |  md5(array_to_string(
+         |    toks[CAST(cid * $ChunkStride + 1 AS INT) :
+         |         CAST(cid * $ChunkStride + $ChunkSize AS INT)], ' ')) AS fp
+         |FROM g ORDER BY doc_id, chunk_id""".stripMargin,
     // x39: weights recomputed in place from the same md5 rule; the sum
     // is BIGINT (list_sum of an empty list is NULL → coalesce 0, the
     // same zero Spark's aggregate() initial value yields).

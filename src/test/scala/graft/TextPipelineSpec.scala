@@ -377,6 +377,43 @@ class TextPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(got.exists(_._5) && got.exists(!_._5))
   }
 
+  test("x41 chunks cover every token; fingerprints match a driver slice") {
+    val got = TextOps.chunkDocuments(spark, sf)
+      .as[(Long, Long, Long, String)].collect()
+    val toks = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty).toSeq }
+      .filter(_._2.nonEmpty).toMap
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc.keySet === toks.keySet)
+    byDoc.foreach { case (id, chunks) =>
+      val n = toks(id).length
+      val sorted = chunks.sortBy(_._2)
+      // consecutive ids from 0, matching the ceil chunk-count rule
+      assert(sorted.map(_._2).toSeq === (0L until sorted.length.toLong))
+      assert(sorted.length ===
+        1 + math.ceil(math.max(n - TextOps.ChunkSize, 0)
+          / TextOps.ChunkStride.toDouble).toLong)
+      sorted.foreach { case (_, c, len, fp) =>
+        val start = (c * TextOps.ChunkStride).toInt
+        assert(len === math.min(TextOps.ChunkSize, n - start), s"doc $id c $c")
+        val window = toks(id).slice(start, start + TextOps.ChunkSize)
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(window.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(fp === md, s"fp of doc $id chunk $c")
+      }
+      // the windows jointly cover [0, n)
+      val covered = sorted.map { case (_, c, len, _) =>
+        val s0 = (c * TextOps.ChunkStride).toInt; (s0, s0 + len.toInt) }
+      assert(covered.head._1 === 0 && covered.map(_._2).max >= n)
+      covered.toSeq.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(s2 <= e1, "gap between chunks")
+        case _ => ()
+      }
+    }
+  }
+
   test("stratified sample is bounded, stratified, and deterministic") {
     val a = TextOps.stratifiedSample(spark, sf).collect()
     assert(a.nonEmpty)
