@@ -234,6 +234,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert("documents\\.parquet".r.findAllIn(p).size === 1)
   }
 
+  test("x39/x41: narrow per-row queries — no hash exchange, no join") {
+    // classifier scoring and chunking are pure per-row maps: the only
+    // exchange either plan may carry is the presentation range sort
+    for (q <- Seq("x39_quality_classifier", "x41_chunk_documents")) {
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning"), q)
+      assert(!p.contains("Join"), q)
+    }
+  }
+
+  test("x40: banding join shape — no cartesian, no sort-merge") {
+    val p = plan("x40_media_phash_dedup")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("custom expressions appear in codegen'd projections") {
     // q16's BroadcastNestedLoopJoin doesn't do whole-stage codegen (the
     // projection above it still compiles the expression); x05's
