@@ -175,7 +175,7 @@ object SimilarityOps {
     * applies, expressed as an explodable list so the batch path can
     * use an equi-join. (cb within hamming-r of bucket ⟺ cb = bucket
     * XOR m for a mask m with bit_count(m) ≤ r.) */
-  private val ProbeMasks: Seq[Long] =
+  private[graft] val ProbeMasks: Seq[Long] =
     (0L until (1L << NumPlanes))
       .filter(m => java.lang.Long.bitCount(m) <= ProbeRadius)
 

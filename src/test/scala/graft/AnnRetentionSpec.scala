@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.SimilarityOps
+import graft.streaming.{AnnStream, StateMaintenance}
+
+/** The incrementally-maintained ANN-LSH index: batch-partitioned
+  * bucket assignments must serve exactly what the in-memory multiprobe
+  * search answers over the same vectors, under growth, retention, and
+  * compaction — a vector's bucket never depends on the rest of the
+  * corpus, so the index needs no rebuild for any of the three. */
+class AnnRetentionSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def inMemory(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    SimilarityOps.annLshFrame(spark, df).as[(Long, Double)].collect().toSeq
+
+  private def emb = Tables.embeddings(spark, sf)
+    .select($"vec_id", $"embedding")
+
+  test("streaming ANN: served equals in-memory; retention + compaction hold") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ann-stream")
+    val state = s"$root/state"
+    // empty state answers empty, not a path error
+    assert(AnnStream.servedAnnLsh(spark, state).count() === 0)
+    // vec 0 (the probe) lands in batch 1 so batch-0 retention keeps it
+    val b0 = emb.filter($"vec_id" % 3 === 2)
+    val b1 = emb.filter($"vec_id" % 3 === 0)
+    val b2 = emb.filter($"vec_id" % 3 === 1)
+    AnnStream.processVectorBatch(b0, state, 0L)
+    AnnStream.processVectorBatch(b1, state, 1L)
+    AnnStream.processVectorBatch(b2, state, 2L)
+    def frame(dfs: org.apache.spark.sql.DataFrame*) =
+      dfs.reduce(_ union _)
+        .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    assert(AnnStream.servedAnnLsh(spark, state).as[(Long, Double)]
+      .collect().toSeq === inMemory(frame(b0, b1, b2)))
+    // replay: rewriting a batch's partitions is a no-op
+    AnnStream.processVectorBatch(b2, state, 2L)
+    assert(AnnStream.servedAnnLsh(spark, state).as[(Long, Double)]
+      .collect().toSeq === inMemory(frame(b0, b1, b2)))
+    // retention: drop batch 0 → the index IS the remaining corpus's
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(state, "batch_id=0"), true))
+    assert(AnnStream.servedAnnLsh(spark, state).as[(Long, Double)]
+      .collect().toSeq === inMemory(frame(b1, b2)))
+    // compaction: fold the remaining prefix — answers unchanged
+    AnnStream.compactVectors(spark, state, 2L)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(state))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("batch_id=")).toSet
+    assert(dirs === Set("batch_id=2"))
+    assert(AnnStream.servedAnnLsh(spark, state).as[(Long, Double)]
+      .collect().toSeq === inMemory(frame(b1, b2)))
+  }
+}
