@@ -524,6 +524,62 @@ object DedupOps {
       .orderBy($"va", $"vb")
   }
 
+  // ---- exact duplicated substrings --------------------------------------
+
+  /** Duplicated-window width in word tokens. Lee et al. use 50 BPE
+    * tokens at web scale; the width is an operating constant, not part
+    * of the span-merging semantics. */
+  val SubstringGramK = 8
+
+  /** x43 — exact duplicated-SUBSTRING spans (the suffix-array stage of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022, re-expressed relationally): a word 8-gram
+    * occurring in ≥ 2 DISTINCT documents marks a duplicated window at
+    * its position; overlapping windows merge into MAXIMAL spans
+    * (gaps-and-islands over each doc's marked positions — positions are
+    * sorted, so a new island starts exactly when a position clears the
+    * previous window), and each affected document reports its span
+    * count and duplicated-token budget. This is the substring-level
+    * dedup the document-level family (x01–x05) can't see: two long
+    * documents sharing one boilerplate paragraph are untouched by
+    * whole-doc or near-dup rules but carry removable duplicated spans.
+    *
+    * Scale shape: ONE corpus scan; grams travel as md5 fingerprints
+    * (32-byte bounded keys — both engines recompute the same md5, so
+    * the fingerprint grouping IS the oracle's grouping); two hash
+    * shuffles (gram df, mark-join back) plus one per-document window —
+    * work ∝ total tokens, never pairwise in documents. The gram
+    * explode is the same posexplode discipline as the banding ops:
+    * transient, never materialized wider than (doc, pos, 16 bytes). */
+  def dedupSubstrings(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = SubstringGramK
+    val w = words(s, d).filter(size($"w") >= k)
+    val grams = w.select($"doc_id", size($"w").cast("long").as("n_tokens"),
+        posexplode(transform(sequence(lit(0), size($"w") - k),
+          i => md5(concat_ws(" ", slice($"w", i + 1, lit(k)))))))
+      .select($"doc_id", $"n_tokens", $"pos", $"col".as("g"))
+    val dup = grams.groupBy($"g")
+      .agg(count_distinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2).select($"g")
+    val hits = grams.join(dup, "g").select($"doc_id", $"n_tokens", $"pos")
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    val spans = hits
+      .withColumn("brk",
+        when(lag($"pos", 1).over(byDoc).isNull ||
+          $"pos" > lag($"pos", 1).over(byDoc) + (k - 1), 1).otherwise(0))
+      .withColumn("island", sum($"brk").over(byDoc))
+      .groupBy($"doc_id", $"n_tokens", $"island")
+      .agg(min($"pos").as("s"), (max($"pos") + (k - 1)).as("e"))
+    spans.groupBy($"doc_id", $"n_tokens")
+      .agg(count(lit(1)).as("n_spans"),
+        sum($"e" - $"s" + 1).cast("long").as("dup_tokens"))
+      .select($"doc_id", $"n_tokens", $"n_spans", $"dup_tokens",
+        round($"dup_tokens" / $"n_tokens", 4).as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact"         -> dedupExact _,
     "x02_dedup_minhash_lsh"   -> dedupMinhashLsh _,
@@ -531,6 +587,7 @@ object DedupOps {
     "x04_dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "x05_dedup_embedding"     -> dedupEmbedding _,
     "x17_dedup_clusters"      -> dedupClusters _,
+    "x43_dedup_substrings"    -> dedupSubstrings _,
     "x20_contamination"       -> contamination _,
     "x21_repetition_filter"   -> repetitionFilter _,
     "x24_contamination_eval"  -> contaminationEval _,
@@ -694,5 +751,41 @@ object DedupOps {
         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.4
         |ORDER BY va, vb""".stripMargin,
+    // x43: positions are 0-based on both sides; the parallel unnest
+    // zips range(...) with its list_transform (DuckDB's lateral-range
+    // restriction), and the fingerprint md5(gram string) is recomputed
+    // identically, so marking/merging cannot drift from Spark's.
+    "x43_dedup_substrings" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+        |  FROM documents
+        |  WHERE len(string_split_regex(lower(text), '\\s+')) >= $SubstringGramK),
+        |g AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |    unnest(range(0, len(w) - ${SubstringGramK - 1})) AS pos,
+        |    unnest(list_transform(range(0, len(w) - ${SubstringGramK - 1}),
+        |      i -> md5(array_to_string(w[i + 1 : i + $SubstringGramK], ' ')))) AS g
+        |  FROM w),
+        |dup AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT doc_id, n_tokens, pos FROM g JOIN dup USING (g)),
+        |isl AS (
+        |  SELECT doc_id, n_tokens, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |                    + ${SubstringGramK - 1}
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM hits),
+        |isl2 AS (
+        |  SELECT doc_id, n_tokens, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, n_tokens, island, min(pos) AS s,
+        |    max(pos) + ${SubstringGramK - 1} AS e
+        |  FROM isl2 GROUP BY 1, 2, 3)
+        |SELECT doc_id, n_tokens, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+        |  ROUND(CAST(sum(e - s + 1) AS BIGINT) / n_tokens, 4) AS dup_frac
+        |FROM spans GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
   )
 }

@@ -619,12 +619,70 @@ object SimilarityOps {
       .orderBy($"sim".desc, $"vec_id").limit(TopK)
   }
 
+  /** Semantic-dup bar: cluster-mates at round(cos, 4) ≥ this are
+    * duplicates (the same near-dup bar x05 uses, so the two operators'
+    * verdicts are comparable on the same corpus). */
+  val SemTau = 0.4
+
+  /** x42 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication INSIDE the trained coarse-quantizer clusters. Every
+    * vector joins its x12 cluster (the materialized IVF index — the
+    * clustering is shared with serving, trained once); within each
+    * cluster, pairs at cosine ≥ SemTau are duplicates, and each pair
+    * KEEPS the member farther from the centroid (the paper's
+    * keep-low-centroid-similarity rule: outliers carry the cluster's
+    * diversity), measured by the exact integer dot of the quantized
+    * vector with the integer centroid — ties keep the lower vec_id.
+    * Output is the full per-vector verdict (cluster, centroid dot,
+    * kept), i.e. the curation decision a pipeline applies as a
+    * semi-join.
+    *
+    * Scale shape: pairwise work is confined to clusters (~CentroidStep
+    * members each — the k ∝ n seeding bounds cluster size, which is
+    * the whole point of SemDeDup vs all-pairs), the tiny centroid
+    * table broadcasts, the self-join shuffles both sides on cid
+    * identically (one exchange, reused), and the verdict join on
+    * vec_id is a hash join — no collect, no cross product. The member
+    * frame (two joins over the corpus) is localCheckpointed once and
+    * feeds both self-join sides and the final verdict, instead of
+    * re-deriving the corpus scan three times. */
+  def semDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = ensureIvfIndex(s, d)
+    val cents = s.read.parquet(s"$root/centroids")
+    val assigned = s.read.parquet(s"$root/assign")
+      .select($"vec_id", $"cid".cast("long").as("cid"))
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val mem = assigned
+      .join(emb, "vec_id")
+      .join(broadcast(cents), "cid")
+      .select($"vec_id", $"cid", $"e",
+        longDot(s, quantize($"e"), $"c").as("cdot"))
+      .localCheckpoint(false)
+    val m1 = mem.select($"cid", $"vec_id".as("va"), $"e".as("ea"),
+      $"cdot".as("da"))
+    val m2 = mem.select($"cid", $"vec_id".as("vb"), $"e".as("eb"),
+      $"cdot".as("db"))
+    val drops = m1.join(m2, "cid")
+      .filter($"va" < $"vb" &&
+        round(CoreQueries.cosine(s, $"ea", $"eb"), 4) >= SemTau)
+      .select(when($"da" < $"db", $"vb")
+        .when($"db" < $"da", $"va")
+        .otherwise($"vb").as("vec_id"))
+      .distinct()
+    mem.join(drops.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select($"vec_id", $"cid", $"cdot", $"dropped".isNull.as("kept"))
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x06_ann_lsh"  -> annLsh _,
     "x12_ann_ivf"  -> annIvf _,
     "x22_knn_join" -> knnJoin _,
     "x31_ann_sq8"  -> annSq8 _,
     "x38_ann_ivfpq" -> annIvfPq _,
+    "x42_dedup_semantic" -> semDedup _,
   )
 
   /** One Lloyd iteration as DuckDB CTEs: integer-dot assignment
@@ -800,6 +858,27 @@ object SimilarityOps {
         |    4) AS sim
         |FROM cadc c JOIN qv v USING (vec_id), pq
         |ORDER BY sim DESC, v.vec_id LIMIT $TopK""".stripMargin,
+    // x42: same shared training/assignment CTEs; the pair rule and the
+    // keep-the-outlier CASE mirror semDedup's exact BIGINT cdot
+    // arithmetic, so verdicts match bit-for-bit.
+    "x42_dedup_semantic" ->
+      s"""WITH $ivfServeCtes,
+        |mem AS (
+        |  SELECT a.vec_id, a.cid, v.e,
+        |    CAST(list_dot_product(v.q, c.c) AS BIGINT) AS cdot
+        |  FROM af a JOIN qv v USING (vec_id) JOIN c2 c ON c.cid = a.cid),
+        |drops AS (
+        |  SELECT DISTINCT CASE WHEN m1.cdot < m2.cdot THEN m2.vec_id
+        |                       WHEN m2.cdot < m1.cdot THEN m1.vec_id
+        |                       ELSE m2.vec_id END AS vec_id
+        |  FROM mem m1 JOIN mem m2 ON m1.cid = m2.cid AND m1.vec_id < m2.vec_id
+        |  WHERE ROUND(list_dot_product(m1.e, m2.e) /
+        |    (sqrt(list_dot_product(m1.e, m1.e)) *
+        |     sqrt(list_dot_product(m2.e, m2.e))), 4) >= $SemTau)
+        |SELECT m.vec_id, CAST(m.cid AS BIGINT) AS cid, m.cdot,
+        |  d.vec_id IS NULL AS kept
+        |FROM mem m LEFT JOIN drops d USING (vec_id)
+        |ORDER BY m.vec_id""".stripMargin,
   )
 
   /** Shared oracle CTE chain for the IVF family: quantized vectors,
