@@ -544,13 +544,16 @@ object DedupOps {
     * documents sharing one boilerplate paragraph are untouched by
     * whole-doc or near-dup rules but carry removable duplicated spans.
     *
-    * Scale shape: ONE corpus scan; grams travel as md5 fingerprints
-    * (32-byte bounded keys — both engines recompute the same md5, so
-    * the fingerprint grouping IS the oracle's grouping); two hash
-    * shuffles (gram df, mark-join back) plus one per-document window —
-    * work ∝ total tokens, never pairwise in documents. The gram
+    * Scale shape: ONE corpus scan — both gram derivations (df counting
+    * and position marking) hang off the same rebalance exchange, which
+    * the planner reuses (pinned in PlanAuditSpec). Grams travel as md5
+    * fingerprints (32-byte bounded keys — both engines recompute the
+    * same md5, so the fingerprint grouping IS the oracle's grouping);
+    * the work is hash shuffles on those fingerprints (two-phase exact
+    * distinct-doc counting, then the mark join) plus one per-document
+    * window — ∝ total tokens, never pairwise in documents. The gram
     * explode is the same posexplode discipline as the banding ops:
-    * transient, never materialized wider than (doc, pos, 16 bytes). */
+    * transient, never materialized wider than (doc, pos, fingerprint). */
   def dedupSubstrings(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -250,6 +250,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("x42: self-join sides share one cid exchange; drop set broadcasts") {
+    val p = plan("x42_dedup_semantic")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"))
+    // m1/m2 are identical projections of the checkpointed member frame:
+    // the second side must reuse the first's cid hash exchange, not
+    // re-shuffle the corpus
+    assert(p.contains("ReusedExchange"))
+    // the per-vector verdict joins the bounded drop set as a broadcast
+    assert("BroadcastHashJoin \\[vec_id".r.findAllIn(p).nonEmpty)
+  }
+
+  test("x43: corpus scanned once — gram branches share the rebalance exchange") {
+    val p = plan("x43_dedup_substrings")
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+    assert(p.contains("ReusedExchange"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("custom expressions appear in codegen'd projections") {
     // q16's BroadcastNestedLoopJoin doesn't do whole-stage codegen (the
     // projection above it still compiles the expression); x05's
