@@ -89,6 +89,18 @@ object TrainingDataDemo {
     // deterministically toward their allocation.
     val train = corpus.filter($"split" === "train")
       .localCheckpoint(false)
+
+    // 6a. residual substring-duplication audit (x43's span core over
+    // the train split): whole-doc dedup is done by now, but distinct
+    // documents can still SHARE long verbatim passages — this reports
+    // the duplicated-token budget a surgical x44 pass would excise
+    // (an audit stage like the PII count, not a mutation)
+    val spanTokens = operators.DedupOps
+      .substringSpansOf(train.select($"doc_id", $"text"))
+      .agg(coalesce(sum($"e" - $"s" + 1), lit(0L)).cast("long"))
+      .as[Long].head()
+    report += ("train_dup_span_tokens" -> spanTokens)
+
     val plan = operators.TextOps
       .mixturePlanOf(train.select($"source", $"text"))
     report += ("mixture_budget_tokens" ->

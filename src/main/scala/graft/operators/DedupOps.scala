@@ -554,32 +554,86 @@ object DedupOps {
     * window — ∝ total tokens, never pairwise in documents. The gram
     * explode is the same posexplode discipline as the banding ops:
     * transient, never materialized wider than (doc, pos, fingerprint). */
-  def dedupSubstrings(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** The maximal duplicated spans of an arbitrary (doc_id, text) frame:
+    * (doc_id, n_tokens, s, e) with [s, e] disjoint per doc — the shared
+    * core of the x43 report, the x44 surgical removal, and the demo's
+    * train-corpus audit (one definition, so none can drift). */
+  def substringSpansOf(docs: DataFrame): DataFrame =
+    substringSpansOfWords(
+      wordsOf(docs).filter(size(col("w")) >= SubstringGramK))
+
+  /** The span core over an already-tokenized (doc_id, w) frame — split
+    * out so x44 can derive the tokenized corpus ONCE and feed spans,
+    * token explode, and the final rejoin from the same materialized
+    * frame instead of re-scanning per branch. */
+  private def substringSpansOfWords(w: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val k = SubstringGramK
-    val w = words(s, d).filter(size($"w") >= k)
-    val grams = w.select($"doc_id", size($"w").cast("long").as("n_tokens"),
-        posexplode(transform(sequence(lit(0), size($"w") - k),
-          i => md5(concat_ws(" ", slice($"w", i + 1, lit(k)))))))
-      .select($"doc_id", $"n_tokens", $"pos", $"col".as("g"))
-    val dup = grams.groupBy($"g")
-      .agg(count_distinct($"doc_id").as("nd"))
-      .filter($"nd" >= 2).select($"g")
-    val hits = grams.join(dup, "g").select($"doc_id", $"n_tokens", $"pos")
-    val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
-    val spans = hits
+    val grams = w.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        posexplode(transform(sequence(lit(0), size(col("w")) - k),
+          i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(k)))))))
+      .select(col("doc_id"), col("n_tokens"), col("pos"), col("col").as("g"))
+    val dup = grams.groupBy(col("g"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("g"))
+    val hits = grams.join(dup, "g").select("doc_id", "n_tokens", "pos")
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
       .withColumn("brk",
-        when(lag($"pos", 1).over(byDoc).isNull ||
-          $"pos" > lag($"pos", 1).over(byDoc) + (k - 1), 1).otherwise(0))
-      .withColumn("island", sum($"brk").over(byDoc))
-      .groupBy($"doc_id", $"n_tokens", $"island")
-      .agg(min($"pos").as("s"), (max($"pos") + (k - 1)).as("e"))
-    spans.groupBy($"doc_id", $"n_tokens")
+        when(lag(col("pos"), 1).over(byDoc).isNull ||
+          col("pos") > lag(col("pos"), 1).over(byDoc) + (k - 1), 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("n_tokens"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (k - 1)).as("e"))
+  }
+
+  def dedupSubstrings(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    substringSpansOf(Tables.documents(s, d).select($"doc_id", $"text"))
+      .groupBy($"doc_id", $"n_tokens")
       .agg(count(lit(1)).as("n_spans"),
         sum($"e" - $"s" + 1).cast("long").as("dup_tokens"))
       .select($"doc_id", $"n_tokens", $"n_spans", $"dup_tokens",
         round($"dup_tokens" / $"n_tokens", 4).as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+
+  /** x44 — SURGICAL duplicated-span removal (the "remove, don't drop"
+    * arm of Lee et al.): every x43 span is excised from its document,
+    * and what remains is fingerprinted — per doc, the surviving token
+    * count and the md5 of the cleaned text (so the whole rewrite is
+    * bitwise-checkable without shipping the texts). Docs whose every
+    * token sat in a span survive as explicit zero-token rows (a real
+    * outcome at real dup rates — whole-doc copies clean to empty).
+    *
+    * Scale shape: the tokenized corpus is derived ONCE
+    * (localCheckpoint — the x13 repeated-parse rule) and feeds all
+    * three consumers (span derivation, token explode, final rejoin);
+    * the excision is one anti-join of exploded token positions against
+    * exploded span positions — both keyed on (doc_id, pos),
+    * shuffle-bounded by total tokens — and one per-doc ordered
+    * reassembly whose state is bounded by document length (the
+    * x18/x41 per-doc collect bound). */
+  def removeDupSpans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = SubstringGramK
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val w = wordsOf(docs).filter(size($"w") >= k).localCheckpoint(false)
+    val cov = substringSpansOfWords(w)
+      .select($"doc_id", explode(sequence($"s", $"e")).as("pos"))
+    val toks = w.select($"doc_id",
+      posexplode($"w").as(Seq("pos", "tok")))
+    val keptAgg = toks.join(cov, Seq("doc_id", "pos"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct($"pos", $"tok"))),
+            x => x.getField("tok")))).as("clean_fp"))
+    w.select($"doc_id", size($"w").cast("long").as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"n_kept", lit(0L)).as("kept_tokens"),
+        coalesce($"clean_fp", md5(lit(""))).as("clean_fp"))
       .orderBy($"doc_id")
   }
 
@@ -591,6 +645,7 @@ object DedupOps {
     "x05_dedup_embedding"     -> dedupEmbedding _,
     "x17_dedup_clusters"      -> dedupClusters _,
     "x43_dedup_substrings"    -> dedupSubstrings _,
+    "x44_remove_dup_spans"    -> removeDupSpans _,
     "x20_contamination"       -> contamination _,
     "x21_repetition_filter"   -> repetitionFilter _,
     "x24_contamination_eval"  -> contaminationEval _,
@@ -754,41 +809,65 @@ object DedupOps {
         |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.4
         |ORDER BY va, vb""".stripMargin,
-    // x43: positions are 0-based on both sides; the parallel unnest
+    // x43/x44: positions are 0-based on both sides; the parallel unnest
     // zips range(...) with its list_transform (DuckDB's lateral-range
     // restriction), and the fingerprint md5(gram string) is recomputed
     // identically, so marking/merging cannot drift from Spark's.
     "x43_dedup_substrings" ->
-      s"""WITH w AS (
-        |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
-        |  FROM documents
-        |  WHERE len(string_split_regex(lower(text), '\\s+')) >= $SubstringGramK),
-        |g AS (
-        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
-        |    unnest(range(0, len(w) - ${SubstringGramK - 1})) AS pos,
-        |    unnest(list_transform(range(0, len(w) - ${SubstringGramK - 1}),
-        |      i -> md5(array_to_string(w[i + 1 : i + $SubstringGramK], ' ')))) AS g
-        |  FROM w),
-        |dup AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
-        |hits AS (SELECT doc_id, n_tokens, pos FROM g JOIN dup USING (g)),
-        |isl AS (
-        |  SELECT doc_id, n_tokens, pos,
-        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-        |           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-        |                    + ${SubstringGramK - 1}
-        |         THEN 1 ELSE 0 END AS brk
-        |  FROM hits),
-        |isl2 AS (
-        |  SELECT doc_id, n_tokens, pos,
-        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        |  FROM isl),
-        |spans AS (
-        |  SELECT doc_id, n_tokens, island, min(pos) AS s,
-        |    max(pos) + ${SubstringGramK - 1} AS e
-        |  FROM isl2 GROUP BY 1, 2, 3)
+      s"""WITH $SubstringSpanCtes
         |SELECT doc_id, n_tokens, CAST(count(*) AS BIGINT) AS n_spans,
         |  CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
         |  ROUND(CAST(sum(e - s + 1) AS BIGINT) / n_tokens, 4) AS dup_frac
         |FROM spans GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+    // x44: spans explode to covered positions; the cleaned fingerprint
+    // is the md5 of the surviving tokens re-joined in position order —
+    // fully-covered docs coalesce to the md5('') empty fingerprint.
+    "x44_remove_dup_spans" ->
+      s"""WITH $SubstringSpanCtes,
+        |cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM spans),
+        |toks AS (
+        |  SELECT doc_id, unnest(range(0, len(w))) AS pos, unnest(w) AS tok
+        |  FROM w),
+        |keptagg AS (
+        |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    md5(string_agg(t.tok, ' ' ORDER BY t.pos)) AS clean_fp
+        |  FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+        |  WHERE c.pos IS NULL GROUP BY t.doc_id)
+        |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+        |  coalesce(k.n_kept, 0) AS kept_tokens,
+        |  coalesce(k.clean_fp, md5('')) AS clean_fp
+        |FROM w LEFT JOIN keptagg k USING (doc_id) ORDER BY w.doc_id""".stripMargin,
   )
+
+  /** Shared x43/x44 oracle CTE chain — tokenized docs, fingerprinted
+    * 8-grams, ≥2-distinct-doc marking, and the gaps-and-islands merge
+    * to maximal spans (the ShingleBaseCtes anti-drift convention). */
+  private def SubstringSpanCtes: String =
+    s"""w AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+      |  FROM documents
+      |  WHERE len(string_split_regex(lower(text), '\\s+')) >= $SubstringGramK),
+      |g AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+      |    unnest(range(0, len(w) - ${SubstringGramK - 1})) AS pos,
+      |    unnest(list_transform(range(0, len(w) - ${SubstringGramK - 1}),
+      |      i -> md5(array_to_string(w[i + 1 : i + $SubstringGramK], ' ')))) AS g
+      |  FROM w),
+      |dup AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+      |hits AS (SELECT doc_id, n_tokens, pos FROM g JOIN dup USING (g)),
+      |isl AS (
+      |  SELECT doc_id, n_tokens, pos,
+      |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+      |           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+      |                    + ${SubstringGramK - 1}
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM hits),
+      |isl2 AS (
+      |  SELECT doc_id, n_tokens, pos,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM isl),
+      |spans AS (
+      |  SELECT doc_id, n_tokens, island, min(pos) AS s,
+      |    max(pos) + ${SubstringGramK - 1} AS e
+      |  FROM isl2 GROUP BY 1, 2, 3)""".stripMargin
 }

@@ -71,6 +71,16 @@ class DemoSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(demoCells.values.sum === counts("after_decontamination"))
 
+    // x43 — residual substring duplication: the reported budget equals
+    // the span operator run directly on the returned corpus's train
+    // split (exact reconciliation, not a bound)
+    val trainDocs = corpus.filter($"split" === "train")
+      .select($"doc_id", $"text")
+    val resid = operators.DedupOps.substringSpansOf(trainDocs)
+      .agg(coalesce(sum($"e" - $"s" + 1), lit(0L)).cast("long"))
+      .as[Long].head()
+    assert(counts("train_dup_span_tokens") === resid)
+
     // x36 — mixture budget: the plan runs on the demo's OWN train
     // corpus, so reconcile structurally: the budget is half that
     // corpus's tokens (within per-source rounding slack), and the

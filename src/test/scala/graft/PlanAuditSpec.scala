@@ -270,6 +270,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("x44: one tokenize feeds spans/tokens/rejoin — no re-scan per branch") {
+    // the tokenized corpus is checkpointed once; the three consumers
+    // read the materialized frame, so the parquet file appears at most
+    // once (the checkpoint's own evaluation) in the final plan
+    val p = plan("x44_remove_dup_spans")
+    assert("documents\\.parquet".r.findAllIn(p).size <= 1)
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("custom expressions appear in codegen'd projections") {
     // q16's BroadcastNestedLoopJoin doesn't do whole-stage codegen (the
     // projection above it still compiles the expression); x05's

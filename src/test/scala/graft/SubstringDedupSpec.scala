@@ -49,4 +49,37 @@ class SubstringDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(got.nonEmpty, "fixture should contain cross-doc duplicated substrings")
     assert(got === expected)
   }
+
+  test("x44: surgical removal matches a plain-Scala excision, fingerprints included") {
+    val k = DedupOps.SubstringGramK
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").toSeq
+    }.filter(_._2.size >= k).toMap
+    val gramDocs = toks.toSeq
+      .flatMap { case (id, w) =>
+        w.sliding(k).map(_.mkString(" ")).map(g => (g, id)).toSeq
+      }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+    val expected = toks.toSeq.map { case (id, w) =>
+      val covered = w.sliding(k).zipWithIndex.flatMap {
+        case (g, i) if gramDocs(g.mkString(" ")) >= 2 => i until (i + k)
+        case _ => Nil
+      }.toSet
+      val kept = w.zipWithIndex.collect {
+        case (tok, i) if !covered(i) => tok
+      }
+      (id, w.size.toLong, kept.size.toLong, md5hex(kept.mkString(" ")))
+    }.sortBy(_._1)
+    val got = DedupOps.removeDupSpans(spark, sf)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === expected)
+    assert(got.exists(_._3 == 0L), "whole-doc copies should clean to empty")
+    // untouched docs keep their full text verbatim
+    assert(got.exists(r => r._2 == r._3))
+  }
 }
