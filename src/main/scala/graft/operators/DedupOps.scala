@@ -75,9 +75,9 @@ object DedupOps {
 
   /** Shingle sets for an arbitrary (doc_id, text) frame — the SAME
     * tokenize + ≥3-words + distinct word-3-gram rules as the corpus
-    * pipeline, so frame-based operators (contaminationFrames) cannot
-    * drift from the corpus queries. */
-  private def shingleSetsOf(docs: DataFrame): DataFrame = {
+    * pipeline, so frame-based operators (contaminationFrames, the
+    * streaming dedup index) cannot drift from the corpus queries. */
+  def shingleSetsOf(docs: DataFrame): DataFrame = {
     graft.plans.GraftExpressions.register(docs.sparkSession)
     wordsOf(docs)
       .filter(size(col("w")) >= 3)
@@ -121,16 +121,26 @@ object DedupOps {
   /** Candidate pairs from banding: docs sharing any (band, band-key)
     * bucket. Bucket sizes stay small, so the per-bucket pair expansion
     * is bounded — the step that keeps this linear at scale. */
-  def lshCandidates(sigs: DataFrame): DataFrame = {
-    // band key = xxhash64 of the band's slice of the signature — an
-    // 8-byte shuffle key instead of a concatenated string (the shuffle
-    // payload is the dominant cost of banding at scale); a band-hash
-    // collision can only ADD a candidate, which exact-verify removes.
-    val bands = sigs.select(col("doc_id"),
+  def lshCandidates(sigs: DataFrame): DataFrame =
+    candidatesFromBands(bandKeys(sigs))
+
+  /** (doc_id, band, key) — each doc's 32 band keys. Band key = xxhash64
+    * of the band's slice of the signature — an 8-byte shuffle key
+    * instead of a concatenated string (the shuffle payload is the
+    * dominant cost of banding at scale); a band-hash collision can
+    * only ADD a candidate, which exact-verify removes. This is also
+    * the persisted relation of the streaming dedup index (a doc's band
+    * keys are a pure function of its text, the AnnStream property). */
+  def bandKeys(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)),
           b => xxhash64(slice(col("sig"), b * RowsPerBand + 1,
             lit(RowsPerBand))))))
       .toDF("doc_id", "band", "key")
+
+  /** Candidate pairs from a band-key relation: docs sharing any
+    * (band, key) bucket, melted per bucket. */
+  def candidatesFromBands(bands: DataFrame): DataFrame =
     bands.groupBy("band", "key")
       .agg(collect_set(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -138,7 +148,6 @@ object DedupOps {
       .select(col("da"), explode(col("ids")).as("db"))
       .filter(col("da") < col("db"))
       .distinct()
-  }
 
   /** Exact-Jaccard verification of candidate pairs against the shingle
     * identity sets (exact up to 64-bit shingle-hash identity — BAND
@@ -171,18 +180,23 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
   }
 
-  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    // The tokenize+shingle stage feeds BOTH the signature branch and the
-    // exact-verify join. A lazy localCheckpoint materializes it on first
-    // use so the regex+shingling compute (the dominant narrow cost) runs
-    // once instead of twice — the single-job analogue of persisting the
-    // shingle table, which is exactly what a 100 TB pipeline does before
-    // fanning out to multiple dedup consumers.
-    val sets = shingleSets(s, d).localCheckpoint(false)
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
+    dedupMinhashLshOf(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** The full x02 pipeline over an arbitrary (doc_id, text) frame (the
+    * streaming index's equivalence witness). The tokenize+shingle
+    * stage feeds BOTH the signature branch and the exact-verify join —
+    * a lazy localCheckpoint materializes it on first use so the
+    * regex+shingling compute (the dominant narrow cost) runs once
+    * instead of twice: the single-job analogue of persisting the
+    * shingle table, which is exactly what a 100 TB pipeline does
+    * before fanning out to multiple dedup consumers. */
+  def dedupMinhashLshOf(docs: DataFrame): DataFrame = {
+    val sets = shingleSetsOf(docs).localCheckpoint(false)
     verifyJaccard(lshCandidates(minhashSignatures(sets)), sets,
         JaccardThreshold)
-      .orderBy($"da", $"db")
+      .orderBy(col("da"), col("db"))
   }
 
   // ---- SimHash ----------------------------------------------------------

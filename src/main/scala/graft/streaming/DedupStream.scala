@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.operators.DedupOps
+
+/** The MinHash-LSH dedup index maintained INCREMENTALLY under ingest —
+  * x02's expensive narrow work (tokenize → shingle → 128-perm
+  * signature → band keys) runs exactly once per document, on the
+  * micro-batch that lands it. A document's shingle set and band keys
+  * are pure functions of its text (the AnnStream property — no
+  * corpus-dependent training), so each batch's partials are final on
+  * landing and the union of retained partitions IS the retained
+  * corpus's dedup index:
+  *
+  *  - `sets/`:  (doc_id, s) PARTITIONED BY batch_id — the exact-verify
+  *              shingle identity sets.
+  *  - `bands/`: (doc_id, key) PARTITIONED BY (batch_id, band) — the
+  *              32 band keys per doc; candidate generation groups
+  *              these compact 8-byte keys, never re-reading texts.
+  *
+  * Serving re-runs only the CHEAP tail (band-bucket grouping + exact
+  * verify over candidate shingle sets) — identical candidate rule and
+  * verify arithmetic to x02, so the served pairs equal the one-shot
+  * x02 over exactly the retained documents (spec-pinned under growth,
+  * replay, retention, and compaction). Same partial-state discipline
+  * as the postings/card/sketch/ANN streams: replay-safe dynamic
+  * overwrite keyed by batch_id, retention = batch-partition drop,
+  * compaction = identity merge (docs are disjoint across batches). */
+object DedupStream {
+
+  private val setsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("s", ArrayType(LongType)),
+      StructField("batch_id", LongType)))
+  }
+
+  private val bandsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("key", LongType),
+      StructField("batch_id", LongType),
+      StructField("band", IntegerType)))
+  }
+
+  /** One micro-batch of (doc_id, text) rows: shingle once (the
+    * checkpoint feeds both artifacts), land the batch's identity sets
+    * and band keys into its own partitions. */
+  def processDocBatch(batch: DataFrame, stateDir: String,
+                      batchId: Long): Unit = {
+    val sets = DedupOps.shingleSetsOf(batch).localCheckpoint(false)
+    sets.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$stateDir/sets")
+    DedupOps.bandKeys(DedupOps.minhashSignatures(sets))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "band").parquet(s"$stateDir/bands")
+  }
+
+  /** Start the index-maintenance stream over a parquet file-drop of
+    * documents (AvailableNow = drain-and-stop). */
+  def startDocStream(spark: SparkSession, inputDir: String,
+                     stateDir: String, checkpointDir: String,
+                     maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val schema = spark.read.parquet(inputDir).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader.parquet(inputDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processDocBatch(batch.select(col("doc_id"), col("text")),
+          stateDir, batchId)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  private def readOr(spark: SparkSession, dir: String,
+                     schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Near-dup pairs of the RETAINED window, served from the persisted
+    * partials: band-bucket candidates from the compact key relation,
+    * exact-Jaccard verify against the persisted identity sets — the
+    * x02 output over exactly the retained documents. */
+  def servedDupPairs(spark: SparkSession, stateDir: String): DataFrame = {
+    val sets = readOr(spark, s"$stateDir/sets", setsSchema)
+      .select(col("doc_id"), col("s"))
+    val bands = readOr(spark, s"$stateDir/bands", bandsSchema)
+      .select(col("doc_id"), col("band"), col("key"))
+    DedupOps.verifyJaccard(DedupOps.candidatesFromBands(bands), sets,
+        DedupOps.JaccardThreshold)
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** Fold a committed prefix of batches into one partition per
+    * artifact (docs are disjoint across batches — identity merge;
+    * bands keep their band partitioning). */
+  def compact(spark: SparkSession, stateDir: String, upTo: Long): Unit = {
+    StateMaintenance.compactBatches(spark, s"$stateDir/sets", upTo,
+      identity)
+    StateMaintenance.compactBatches(spark, s"$stateDir/bands", upTo,
+      identity, extraPartitions = Seq("band"))
+  }
+}
