@@ -149,4 +149,53 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
         s"minhash estimate $est vs expected ≈$expectedJ")
     }
   }
+
+  test("x43 span core on generated corpora ≡ plain-Scala recompute") {
+    // planted shared passages (adjacent/overlapping windows, multiple
+    // spans per doc, one full copy) over a vocabulary wide enough that
+    // spurious cross-doc 8-grams are impossible (40^8 shapes), so every
+    // span the operator finds must trace to a plant — and vice versa
+    val rng = new scala.util.Random(29)
+    val vocab = Vector.tabulate(40)(i => s"w$i")
+    val k = operators.DedupOps.SubstringGramK
+    val base = scala.collection.mutable.Map.empty[Long, Vector[String]]
+    (0 until 30).foreach { id =>
+      base(id.toLong) =
+        Vector.fill(10 + rng.nextInt(50))(vocab(rng.nextInt(vocab.size)))
+    }
+    (0 until 12).foreach { _ =>
+      val a = rng.nextInt(30).toLong
+      val b = rng.nextInt(30).toLong
+      if (a != b && base(a).size > k) {
+        val len = k + rng.nextInt(13)
+        val s = rng.nextInt(math.max(1, base(a).size - len))
+        val passage = base(a).slice(s, s + len)
+        val at = rng.nextInt(base(b).size + 1)
+        base(b) = base(b).patch(at, passage, 0)
+      }
+    }
+    base(30L) = base(0L) // whole-doc copy
+    val docs = base.toSeq.map { case (id, w) => (id, w.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = operators.DedupOps.substringSpansOf(docs)
+      .select($"doc_id", $"s", $"e")
+      .as[(Long, Int, Int)].collect().toSeq.sorted
+    val gramDocs = base.toSeq
+      .flatMap { case (id, w) =>
+        w.sliding(k).map(_.mkString(" ")).map(g => (g, id)).toSeq
+      }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+    val expected = base.toSeq.filter(_._2.size >= k).flatMap { case (id, w) =>
+      val marked = w.sliding(k).zipWithIndex.collect {
+        case (g, i) if gramDocs(g.mkString(" ")) >= 2 => i
+      }.toSeq
+      marked.foldLeft(List.empty[(Int, Int)]) {
+        case ((ps, pe) :: rest, i) if i <= pe => (ps, math.max(pe, i + k - 1)) :: rest
+        case (acc, i) => (i, i + k - 1) :: acc
+      }.map { case (s, e) => (id, s, e) }
+    }.sorted
+    assert(got === expected)
+    assert(got.nonEmpty && got.map(_._1).distinct.size > 2,
+      "plants should produce spans across several docs")
+  }
 }
