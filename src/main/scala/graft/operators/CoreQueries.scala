@@ -478,6 +478,61 @@ object CoreQueries {
       .smallOrdered($"c_nationkey", $"rn")
   }
 
+  /** Interval islanding gap and the equi-join bucket width (both 30
+    * min — the bucket granularity only trades explode factor against
+    * residual-filter selectivity, never results). */
+  val IntervalGapSec = 1800L
+  val IntervalBucketSec = 1800L
+  /** Which users' activity defines the intervals (the build side). */
+  val IntervalOwnerMod = 10
+
+  /** x45 — INTERVAL (range) JOIN at scale: which other users are active
+    * DURING each tracked user's activity sessions? The build side
+    * derives closed intervals [s, e] from every 10th user's event
+    * stream (gaps-and-islands on the 30-min rule — stated explicitly
+    * with lag, identically in the oracle, rather than through
+    * session_window, so both engines compute the same islands); the
+    * probe side is everyone else's events; the join predicate is
+    * `sec BETWEEN s AND e`.
+    *
+    * A raw range predicate gives Spark a BroadcastNestedLoopJoin —
+    * O(probe × intervals) compares, the classic range-join scale trap.
+    * Instead both sides BUCKETIZE to 30-min epochs: an interval
+    * explodes to the buckets it covers, an event maps to exactly ONE
+    * bucket, and the join becomes a hash EQUI-join on the bucket key
+    * with the BETWEEN as residual filter. Work is ∝ events +
+    * Σ interval-widths/bucket — linear, shuffled on a dense integer
+    * key, skew-safe under AQE; an event matches a given interval via
+    * exactly one bucket, so no post-join dedup is needed. This is the
+    * compose-existing-ops answer (preference (a)) for an operator
+    * Spark has no native physical strategy for. */
+  def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"ts".cast("long").as("sec"))
+    val w = Window.partitionBy($"user_id").orderBy($"sec")
+    val intervals = ev.filter($"user_id" % IntervalOwnerMod === 0)
+      .withColumn("brk",
+        when(lag($"sec", 1).over(w).isNull ||
+          $"sec" - lag($"sec", 1).over(w) > IntervalGapSec, 1).otherwise(0))
+      .withColumn("island", sum($"brk").over(w))
+      .groupBy($"user_id".as("owner"), $"island")
+      .agg(min($"sec").as("s"), max($"sec").as("e"))
+    val ivBuckets = intervals.select($"owner", $"s", $"e",
+      explode(sequence(floor($"s" / IntervalBucketSec).cast("long"),
+        floor($"e" / IntervalBucketSec).cast("long"))).as("b"))
+    val probe = ev.filter($"user_id" % IntervalOwnerMod =!= 0)
+      .select($"user_id", $"sec",
+        floor($"sec" / IntervalBucketSec).cast("long").as("b"))
+    probe.join(ivBuckets, "b")
+      .filter($"sec".between($"s", $"e"))
+      .groupBy($"owner", $"s", $"e")
+      .agg(count(lit(1)).as("n_events"),
+           count_distinct($"user_id").as("n_users"))
+      .orderBy($"owner", $"s", $"e")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_hourly_counts"      -> hourlyCounts _,
     "q02_hourly_user_scores" -> hourlyUserScores _,
@@ -508,6 +563,7 @@ object CoreQueries {
     "q27_cube"               -> cubeAgg _,
     "q28_moving_avg"         -> movingAvg _,
     "x16_grouped_topk"       -> groupedTopK _,
+    "x45_interval_join"      -> intervalJoin _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -727,5 +783,33 @@ object CoreQueries {
         |               ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
         |      FROM customer)
         |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+    // x45: the oracle derives the SAME lag-islands and then states the
+    // range join directly (BETWEEN) — DuckDB's nested-loop is fine at
+    // oracle scale; the Spark side's bucketized equi-join must produce
+    // identical pairs because an event matches an interval via exactly
+    // one bucket and the residual BETWEEN is the same predicate.
+    "x45_interval_join" ->
+      s"""WITH ev AS (
+        |  SELECT user_id, floor(epoch(ts))::BIGINT AS sec FROM events),
+        |isl AS (
+        |  SELECT user_id, sec,
+        |    CASE WHEN lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
+        |           OR sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec)
+        |                  > $IntervalGapSec
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM ev WHERE user_id % $IntervalOwnerMod = 0),
+        |isl2 AS (
+        |  SELECT user_id, sec,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY sec) AS island
+        |  FROM isl),
+        |iv AS (
+        |  SELECT user_id AS owner, min(sec) AS s, max(sec) AS e
+        |  FROM isl2 GROUP BY user_id, island)
+        |SELECT iv.owner, iv.s, iv.e, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users
+        |FROM iv JOIN ev p
+        |  ON p.user_id % $IntervalOwnerMod <> 0 AND p.sec BETWEEN iv.s AND iv.e
+        |GROUP BY iv.owner, iv.s, iv.e
+        |ORDER BY iv.owner, iv.s, iv.e""".stripMargin,
   )
 }

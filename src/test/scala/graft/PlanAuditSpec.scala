@@ -280,6 +280,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("x45: the range join plans as a hash equi-join, never a nested loop") {
+    // the whole point of the bucketization: a raw BETWEEN predicate
+    // would plan as BroadcastNestedLoopJoin (O(probe × intervals))
+    val p = plan("x45_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"))
+    assert("(BroadcastHashJoin|ShuffledHashJoin)".r.findFirstIn(p).isDefined)
+  }
+
   test("custom expressions appear in codegen'd projections") {
     // q16's BroadcastNestedLoopJoin doesn't do whole-stage codegen (the
     // projection above it still compiles the expression); x05's
