@@ -644,6 +644,37 @@ object TextOps {
   def corpusReport(s: SparkSession, d: String): DataFrame =
     finishReport(reportPartialsOf(docs(s, d)))
 
+  /** Merge candidates reported per BPE counting round. */
+  val BpeTopPairs = 20
+
+  /** x46 — BPE pair counting (Sennrich et al., ACL 2016): the
+    * DISTRIBUTED step of tokenizer training — count adjacent symbol
+    * pairs over the corpus, weighted by word frequency, and report the
+    * top merge candidates (count DESC, pair ASC — the deterministic
+    * merge-pick rule). One round is shown; the training loop iterates
+    * it against a shrinking vocabulary after each merge.
+    *
+    * Scale shape — the reason this is corpus-scale feasible at all:
+    * the corpus-sized work is ONE word-frequency aggregate (map-side
+    * combined, shuffle carries distinct words). Pair explosion runs on
+    * the DISTINCT-WORD table — Heaps'-law sized, orders of magnitude
+    * smaller than the corpus — so each merge round after the first
+    * touches no corpus data whatsoever. */
+  def bpePairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vocab = docs(s, d)
+      .select(explode(split(lower(trim($"text")), "\\s+")).as("word"))
+      .filter(length($"word") >= 2)
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+    vocab
+      .select($"freq", explode(transform(
+        sequence(lit(0), length($"word") - 2),
+        i => $"word".substr(i + 1, lit(2)))).as("pair"))
+      .groupBy($"pair").agg(sum($"freq").as("n"))
+      .orderBy($"n".desc, $"pair")
+      .limit(BpeTopPairs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x07_text_langid"      -> textLangId _,
     "x08_text_quality"     -> textQuality _,
@@ -660,6 +691,7 @@ object TextOps {
     "x37_corpus_report"    -> corpusReport _,
     "x39_quality_classifier" -> qualityClassifier _,
     "x41_chunk_documents"  -> chunkDocuments _,
+    "x46_bpe_pairs"        -> bpePairs _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -914,5 +946,21 @@ object TextOps {
          |    '$PiiIp', '<IP>', 'g'),
          |    '$PiiPhone', '<PHONE>', 'g')) AS redacted_fp
          |FROM a ORDER BY doc_id""".stripMargin,
+    // x46: 1-based inclusive slicing — word[i : i+1] is the 2-char
+    // pair at position i, i ∈ [1, len-1], matching Spark's
+    // substr(i+1, 2) over sequence(0, len-2).
+    "x46_bpe_pairs" ->
+      s"""WITH vocab AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+        |    FROM documents)
+        |  WHERE len(word) >= 2 GROUP BY word),
+        |pairs AS (
+        |  SELECT freq, unnest(list_transform(range(1, len(word)),
+        |    i -> word[i : i + 1])) AS pair
+        |  FROM vocab)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+        |FROM pairs GROUP BY pair
+        |ORDER BY n DESC, pair LIMIT $BpeTopPairs""".stripMargin,
   )
 }

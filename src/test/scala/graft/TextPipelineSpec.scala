@@ -425,4 +425,17 @@ class TextPipelineSpec extends AnyFunSuite with SparkTestSession {
     val b = TextOps.stratifiedSample(spark, sf).collect()
     assert(a.toSeq === b.toSeq)
   }
+
+  test("x46 BPE pair counts equal a driver-side recompute") {
+    val texts = Tables.documents(spark, sf)
+      .select($"text").as[String].collect().toSeq
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    for (t <- texts; w <- t.trim.toLowerCase.split("\\s+") if w.length >= 2;
+         i <- 0 until (w.length - 1))
+      counts(w.substring(i, i + 2)) = counts.getOrElse(w.substring(i, i + 2), 0L) + 1L
+    val expected = counts.toSeq.map { case (p, n) => (p, n) }
+      .sortBy { case (p, n) => (-n, p) }.take(TextOps.BpeTopPairs)
+    val got = TextOps.bpePairs(spark, sf).as[(String, Long)].collect().toSeq
+    assert(got === expected)
+  }
 }
