@@ -621,33 +621,36 @@ object DedupOps {
     * outcome at real dup rates — whole-doc copies clean to empty).
     *
     * Scale shape: the tokenized corpus is derived ONCE
-    * (localCheckpoint — the x13 repeated-parse rule) and feeds all
-    * three consumers (span derivation, token explode, final rejoin);
-    * the excision is one anti-join of exploded token positions against
-    * exploded span positions — both keyed on (doc_id, pos),
-    * shuffle-bounded by total tokens — and one per-doc ordered
-    * reassembly whose state is bounded by document length (the
-    * x18/x41 per-doc collect bound). */
+    * (localCheckpoint — the x13 repeated-parse rule) and feeds span
+    * derivation plus the final rejoin; the excision itself NEVER
+    * shuffles tokens — each doc's (few, disjoint) spans collect to one
+    * array row (the only shuffle beyond x43's, carrying span triples,
+    * not tokens), hash-join back to the tokenized row, and a single
+    * narrow lambda keeps the tokens outside every span and
+    * fingerprints the remainder in the same projection. Per-row work
+    * is O(tokens × spans) with spans per doc tiny; an earlier
+    * token-level anti-join formulation shuffled every token twice and
+    * measured ~3× slower at sf0.1. */
   def removeDupSpans(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val k = SubstringGramK
     val docs = Tables.documents(s, d).select($"doc_id", $"text")
-    val w = wordsOf(docs).filter(size($"w") >= k).localCheckpoint(false)
-    val cov = substringSpansOfWords(w)
-      .select($"doc_id", explode(sequence($"s", $"e")).as("pos"))
-    val toks = w.select($"doc_id",
-      posexplode($"w").as(Seq("pos", "tok")))
-    val keptAgg = toks.join(cov, Seq("doc_id", "pos"), "left_anti")
+    val w = wordsOf(docs).filter(size($"w") >= SubstringGramK)
+      .localCheckpoint(false)
+    val spanArr = substringSpansOfWords(w)
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        md5(concat_ws(" ",
-          transform(array_sort(collect_list(struct($"pos", $"tok"))),
-            x => x.getField("tok")))).as("clean_fp"))
-    w.select($"doc_id", size($"w").cast("long").as("n_tokens"))
-      .join(keptAgg, Seq("doc_id"), "left")
+      .agg(collect_list(struct($"s", $"e")).as("spans"))
+    w.join(spanArr, Seq("doc_id"), "left")
+      .select($"doc_id", size($"w").cast("long").as("n_tokens"),
+        filter(
+          transform($"w", (tok, i) => struct(i.as("i"), tok.as("tok"))),
+          p => coalesce(
+            !exists($"spans", sp => p.getField("i")
+              .between(sp.getField("s"), sp.getField("e"))),
+            lit(true))).as("kept"))
       .select($"doc_id", $"n_tokens",
-        coalesce($"n_kept", lit(0L)).as("kept_tokens"),
-        coalesce($"clean_fp", md5(lit(""))).as("clean_fp"))
+        size($"kept").cast("long").as("kept_tokens"),
+        md5(concat_ws(" ", transform($"kept", k => k.getField("tok"))))
+          .as("clean_fp"))
       .orderBy($"doc_id")
   }
 
