@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 import graft.operators.{CoreQueries, SimilarityOps}
 
 /** The ANN-LSH index maintained INCREMENTALLY under ingest — the x06
@@ -48,42 +48,33 @@ object AnnStream {
     * embedding rows (AvailableNow = drain-and-stop). */
   def startVectorStream(spark: SparkSession, inputDir: String,
                         stateDir: String, checkpointDir: String,
-                        maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
-    val schema = spark.read.parquet(inputDir).schema
-    val reader = spark.readStream.schema(schema)
-    maxFilesPerTrigger.foreach(n =>
-      reader.option("maxFilesPerTrigger", n.toString))
-    reader.parquet(inputDir)
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processVectorBatch(batch, stateDir, batchId)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-  }
+                        maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    StateMaintenance.startFileDropStream(spark, inputDir, checkpointDir,
+      maxFilesPerTrigger) { (batch, batchId) =>
+      processVectorBatch(batch, stateDir, batchId)
+    }
 
-  /** ANN top-K for a probe vector already in the state, served from
-    * the retained partitions: the probe's stored bucket explodes to
-    * its multiprobe keys and equi-joins the (batch, bucket)-partitioned
-    * state — identical candidate rule (and therefore identical
-    * answers) to the in-memory annLshFrame over exactly the retained
-    * vectors, which is what the retention spec pins. */
+  /** ANN top-K for a probe VECTOR, served from the retained
+    * partitions: the probe's bucket is recomputed from the vector (a
+    * pure function — no state lookup), explodes to its multiprobe
+    * keys, and equi-joins the (batch, bucket)-partitioned state, so a
+    * serve reads only the probed bucket directories — identical
+    * candidate rule (and therefore identical answers) to the in-memory
+    * annLshFrame over exactly the retained vectors, which is what the
+    * retention spec pins. `excludeId` drops the probe's own stored row
+    * when the probe is a corpus member. */
   def servedAnnLsh(spark: SparkSession, stateDir: String,
-                   probeId: Long = 0L): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val state =
-      if (fs.exists(p)) spark.read.schema(stateSchema).parquet(stateDir)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stateSchema)
-    val probe = state.filter(col("vec_id") === probeId)
-      .select(col("e").as("qe"),
+                   probeE: Seq[Double], excludeId: Long = -1L): DataFrame = {
+    import spark.implicits._
+    val state = StateMaintenance.readOr(spark, stateDir, stateSchema)
+    val probe = Seq(probeE).toDF("qe")
+      .select(col("qe"),
+        SimilarityOps.lshSignature(spark, col("qe")).cast("int").as("qb"))
+      .select(col("qe"),
         explode(array(SimilarityOps.ProbeMasks.map(m =>
-          col("bucket").bitwiseXOR(lit(m.toInt))): _*)).as("bucket"))
+          col("qb").bitwiseXOR(lit(m.toInt))): _*)).as("bucket"))
     state.join(broadcast(probe), "bucket")
-      .filter(col("vec_id") =!= probeId)
+      .filter(col("vec_id") =!= excludeId)
       .select(col("vec_id"),
         round(CoreQueries.cosine(spark, col("e"), col("qe")), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 import graft.operators.DedupOps
 
 /** The MinHash-LSH dedup index maintained INCREMENTALLY under ingest —
@@ -66,40 +66,21 @@ object DedupStream {
     * documents (AvailableNow = drain-and-stop). */
   def startDocStream(spark: SparkSession, inputDir: String,
                      stateDir: String, checkpointDir: String,
-                     maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
-    val schema = spark.read.parquet(inputDir).schema
-    val reader = spark.readStream.schema(schema)
-    maxFilesPerTrigger.foreach(n =>
-      reader.option("maxFilesPerTrigger", n.toString))
-    reader.parquet(inputDir)
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processDocBatch(batch.select(col("doc_id"), col("text")),
-          stateDir, batchId)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-  }
-
-  private def readOr(spark: SparkSession, dir: String,
-                     schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
+                     maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    StateMaintenance.startFileDropStream(spark, inputDir, checkpointDir,
+      maxFilesPerTrigger) { (batch, batchId) =>
+      processDocBatch(batch.select(col("doc_id"), col("text")),
+        stateDir, batchId)
+    }
 
   /** Near-dup pairs of the RETAINED window, served from the persisted
     * partials: band-bucket candidates from the compact key relation,
     * exact-Jaccard verify against the persisted identity sets — the
     * x02 output over exactly the retained documents. */
   def servedDupPairs(spark: SparkSession, stateDir: String): DataFrame = {
-    val sets = readOr(spark, s"$stateDir/sets", setsSchema)
+    val sets = StateMaintenance.readOr(spark, s"$stateDir/sets", setsSchema)
       .select(col("doc_id"), col("s"))
-    val bands = readOr(spark, s"$stateDir/bands", bandsSchema)
+    val bands = StateMaintenance.readOr(spark, s"$stateDir/bands", bandsSchema)
       .select(col("doc_id"), col("band"), col("key"))
     DedupOps.verifyJaccard(DedupOps.candidatesFromBands(bands), sets,
         DedupOps.JaccardThreshold)

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.StreamingQuery
 import graft.operators.SearchOps
 
 /** The BM25 inverted index maintained INCREMENTALLY under ingest —
@@ -64,30 +64,12 @@ object SearchStream {
     * a processing-time trigger). */
   def startPostingsStream(spark: SparkSession, inputDir: String,
                           stateDir: String, checkpointDir: String,
-                          maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
-    val schema = spark.read.parquet(inputDir).schema
-    val reader = spark.readStream.schema(schema)
-    maxFilesPerTrigger.foreach(n =>
-      reader.option("maxFilesPerTrigger", n.toString))
-    reader.parquet(inputDir)
-      .writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processPostingsBatch(batch, stateDir, batchId)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-  }
+                          maxFilesPerTrigger: Option[Int] = None): StreamingQuery =
+    StateMaintenance.startFileDropStream(spark, inputDir, checkpointDir,
+      maxFilesPerTrigger) { (batch, batchId) =>
+      processPostingsBatch(batch, stateDir, batchId)
+    }
 
-  private def readOr(spark: SparkSession, dir: String,
-                     schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(schema).parquet(dir)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
 
   /** BM25 for the fixed query over the RETAINED window: corpus stats
     * re-add across surviving batch partitions, the hits scan prunes to
@@ -96,9 +78,9 @@ object SearchStream {
     * run over exactly the retained documents. */
   def servedBm25(spark: SparkSession, stateDir: String): DataFrame = {
     val tbs = SearchOps.QueryTerms.map(SearchOps.termBucketJvm).distinct
-    val stats0 = readOr(spark, s"$stateDir/stats", statsSchema)
+    val stats0 = StateMaintenance.readOr(spark, s"$stateDir/stats", statsSchema)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-    val hits = readOr(spark, s"$stateDir/postings", postingsSchema)
+    val hits = StateMaintenance.readOr(spark, s"$stateDir/postings", postingsSchema)
       .filter(col("tb").isin(tbs: _*) &&
         col("term").isin(SearchOps.QueryTerms: _*))
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))

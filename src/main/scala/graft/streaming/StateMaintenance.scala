@@ -34,6 +34,41 @@ object StateMaintenance {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Read a state artifact with its declared schema, or an empty frame
+    * when the directory does not exist yet — the one definition every
+    * partial-state consumer (postings, ANN, dedup) shares, so
+    * first-serve-before-first-batch behaves identically everywhere. */
+  def readOr(spark: SparkSession, dir: String,
+             schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (fs(spark, dir).exists(p)) spark.read.schema(schema).parquet(dir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** The shared file-drop maintenance-stream skeleton: schema-sniffed
+    * parquet readStream → foreachBatch(processor) → AvailableNow
+    * (drain-and-stop; a 24/7 deployment swaps in a processing-time
+    * trigger). One definition so the trigger/checkpoint discipline of
+    * every incremental index (postings, ANN, dedup) changes in one
+    * place. */
+  def startFileDropStream(spark: SparkSession, inputDir: String,
+                          checkpointDir: String,
+                          maxFilesPerTrigger: Option[Int])(
+      processor: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = spark.read.parquet(inputDir).schema
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader.parquet(inputDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(processor)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   private def batchPartitions(spark: SparkSession,
                               dir: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
     val p = new org.apache.hadoop.fs.Path(dir)

@@ -65,7 +65,7 @@ class DedupRetentionSpec extends AnyFunSuite with SparkTestSession {
     docs.repartition(3).write.parquet(in)
     val q = DedupStream.startDocStream(spark, in, s"$root/state",
       s"$root/ckpt", maxFilesPerTrigger = Some(1))
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000))
     val served = DedupStream.servedDupPairs(spark, s"$root/state")
       .as[(Long, Long, Double)].collect().toSeq
     assert(served === oneShot(docs))
