@@ -55,4 +55,31 @@ object SkewOps {
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedBig.join(replicatedSmall, Seq(keyName, "_salt")).drop("_salt")
   }
+
+  /** Salt fan-out for the registered x47 entry. */
+  val X47Salts = 16
+
+  /** x47 — the salted two-phase aggregation as an ORACLE-CHECKED
+    * query: per-user event counts computed through the (key, salt)
+    * spread + re-merge, hash-compared against the oracle's plain
+    * GROUP BY. The salt must never reach the result — this entry makes
+    * that algebra part of the correctness gate rather than a
+    * spec-only claim, on the operator a pipeline reaches for when one
+    * hot key (the boilerplate fingerprint, the empty-string bucket)
+    * saturates a reducer that AQE's join-side splitting can't help. */
+  def saltedAgg(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+    saltedCount(ev, col("user_id"), X47Salts)
+      .select(col("key").as("user_id"), col("count").as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("x47_salted_agg" -> saltedAgg _)
+
+  val oracleSql: Map[String, String] = Map(
+    "x47_salted_agg" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
 }
