@@ -573,24 +573,44 @@ object DedupOps {
     * core of the x43 report, the x44 surgical removal, and the demo's
     * train-corpus audit (one definition, so none can drift). */
   def substringSpansOf(docs: DataFrame): DataFrame =
-    substringSpansOfWords(
-      wordsOf(docs).filter(size(col("w")) >= SubstringGramK))
+    substringSpansOfWords(substringWordsOf(docs))
 
   /** The span core over an already-tokenized (doc_id, w) frame — split
     * out so x44 can derive the tokenized corpus ONCE and feed spans,
     * token explode, and the final rejoin from the same materialized
     * frame instead of re-scanning per branch. */
   private def substringSpansOfWords(w: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val k = SubstringGramK
-    val grams = w.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
-        posexplode(transform(sequence(lit(0), size(col("w")) - k),
-          i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(k)))))))
-      .select(col("doc_id"), col("n_tokens"), col("pos"), col("col").as("g"))
+    val grams = substringGramsOfWords(w)
     val dup = grams.groupBy(col("g"))
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select(col("g"))
-    val hits = grams.join(dup, "g").select("doc_id", "n_tokens", "pos")
+    substringSpansFromHits(
+      grams.join(dup, "g").select("doc_id", "n_tokens", "pos"))
+  }
+
+  /** (doc_id, n_tokens, pos, g) — each doc's positioned, fingerprinted
+    * word 8-grams. Public as the per-document (corpus-independent)
+    * stage of the span pipeline: the streaming index persists exactly
+    * this relation per batch. */
+  def substringGramsOfWords(w: DataFrame): DataFrame = {
+    val k = SubstringGramK
+    w.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        posexplode(transform(sequence(lit(0), size(col("w")) - k),
+          i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(k)))))))
+      .select(col("doc_id"), col("n_tokens"), col("pos"), col("col").as("g"))
+  }
+
+  /** Tokenized (doc_id, w) for an arbitrary (doc_id, text) frame — the
+    * x43/x44 tokenize + ≥k guard, shared with the streaming index. */
+  def substringWordsOf(docs: DataFrame): DataFrame =
+    wordsOf(docs).filter(size(col("w")) >= SubstringGramK)
+
+  /** Marked positions → maximal spans (the gaps-and-islands merge) —
+    * shared by the one-shot and streaming forms so the merge rule
+    * cannot drift. */
+  def substringSpansFromHits(hits: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = SubstringGramK
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     hits
       .withColumn("brk",
@@ -634,8 +654,7 @@ object DedupOps {
   def removeDupSpans(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d).select($"doc_id", $"text")
-    val w = wordsOf(docs).filter(size($"w") >= SubstringGramK)
-      .localCheckpoint(false)
+    val w = substringWordsOf(docs).localCheckpoint(false)
     val spanArr = substringSpansOfWords(w)
       .groupBy($"doc_id")
       .agg(collect_list(struct($"s", $"e")).as("spans"))
