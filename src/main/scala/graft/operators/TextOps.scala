@@ -351,35 +351,73 @@ object TextOps {
     * model shuffles, and the scoring join all carry longs instead of
     * word strings, and counts keyed by hash equal counts keyed by word
     * absent collisions (see the expression doc for the math). */
-  def lmLikelihood(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, w1, w2) — the corpus's positioned bigram hashes (one
+    * tokenize + fused explode), shared by LM training and scoring. */
+  private def bigramsOf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = docs(s, d)
+    docs(s, d)
       .select($"doc_id", split(lower($"text"), "\\s+").as("w"))
       .filter(size($"w") >= 2)
-    // lazily checkpointed: the bigram explode feeds the c12 and c1
-    // model aggregates AND the scoring join — one tokenize + explode
-    // pass instead of three
-    val bg = w.select($"doc_id", explode(call_function(
+      .select($"doc_id", explode(call_function(
         graft.plans.GraftExpressions.BigramHashesFn, $"w")).as("p"))
       .select($"doc_id", $"p.w1", $"p.w2")
-      .localCheckpoint(false)
-    // ONE corpus-sized aggregate builds the c12 model; the unigram
-    // counts and the vocabulary both derive from the (much smaller)
-    // model relation, not from re-aggregating the corpus: c1(w1) is
-    // c12's row-sum over w2, and — since in a ≥2-word doc every
-    // position is some bigram's w1 or w2 — distinct(w1 ∪ w2) of the
-    // DISTINCT-bigram relation is exactly the corpus word set. The
-    // model is checkpointed: it feeds c1, v, and the scoring broadcast.
-    val c12 = bg.groupBy($"w1", $"w2").agg(count("*").as("c12"))
-      .localCheckpoint(false)
-    val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
-    val v = c12.select($"w1".as("word")).unionAll(c12.select($"w2".as("word")))
-      .agg(countDistinct($"word").as("v"))
-    bg.join(broadcast(c12), Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
-      .crossJoin(broadcast(v))
-      .select($"doc_id",
-        expr(s"((c12 + 1L) * ${LmProbScale}L) div (c1 + v)").as("sp"))
+  }
+
+  /** The TRAINED bigram-LM scoring table for a corpus dir, built ONCE
+    * (the ensureIvfIndex discipline — content-keyed path, staged
+    * rename, `model/_SUCCESS` marker): `model/` holds (w1, w2, sp),
+    * the add-one-smoothed scaled score ((c12+1)·SCALE div (c1+v)) with
+    * the unigram counts and vocabulary size already folded in, so
+    * SERVING is one broadcast join — the 100 TB shape, where the
+    * perplexity-filter LM is trained once (or on a reference corpus)
+    * and scores every ingest batch thereafter. Training derives c1 and
+    * the vocabulary from the (model-sized) distinct-bigram relation,
+    * never re-aggregating the corpus: c1(w1) is c12's row-sum, and in
+    * a ≥2-word doc every position is some bigram's w1 or w2, so
+    * distinct(w1 ∪ w2) is exactly the corpus word set. */
+  def ensureLmModel(s: SparkSession, d: String,
+                    indexRoot: String = sys.props("java.io.tmpdir")): String = {
+    import s.implicits._
+    val hconf = s.sparkContext.hadoopConfiguration
+    val path = SimilarityOps.indexPath(s, d, "documents.parquet", "lm",
+      "v1", indexRoot)
+    val destPath = new org.apache.hadoop.fs.Path(path)
+    val fs = destPath.getFileSystem(hconf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "model/_SUCCESS"))) {
+      if (fs.exists(destPath)) fs.delete(destPath, true)
+      val staging = new org.apache.hadoop.fs.Path(
+        path + s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+      val c12 = bigramsOf(s, d)
+        .groupBy($"w1", $"w2").agg(count("*").as("c12"))
+        .localCheckpoint(true)
+      val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
+      val v = c12.select($"w1".as("word"))
+        .unionAll(c12.select($"w2".as("word")))
+        .agg(countDistinct($"word").as("v"))
+      c12.join(c1, "w1").crossJoin(v)
+        .select($"w1", $"w2",
+          expr(s"((c12 + 1L) * ${LmProbScale}L) div (c1 + v)").as("sp"))
+        .write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(staging, "model").toString)
+      if (!fs.rename(staging, destPath)) fs.delete(staging, true)
+    }
+    path
+  }
+
+  /** x27 — LM likelihood served from the MATERIALIZED model: the
+    * corpus-sized work at query time is one bigram pass joined against
+    * the broadcast scoring table; the model aggregates (c12/c1/v) run
+    * once at build and never again. Trained on the same corpus in
+    * exact integer arithmetic, so results are identical to the fused
+    * in-plan form and the DuckDB oracle validates this entry
+    * unchanged (every corpus bigram is in the model by construction —
+    * the inner join drops nothing). */
+  def lmLikelihood(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = ensureLmModel(s, d)
+    val model = s.read.parquet(s"$root/model")
+    bigramsOf(s, d)
+      .join(broadcast(model), Seq("w1", "w2"))
       .groupBy($"doc_id")
       .agg(count("*").as("n_bigrams"), sum($"sp").as("sum_scaled_p"))
       .withColumn("flagged", $"sum_scaled_p" < $"n_bigrams" * LmFloorScaled)

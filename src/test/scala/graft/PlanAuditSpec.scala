@@ -280,6 +280,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("x27: served from the materialized LM model — no model aggregates in the query plan") {
+    val p = plan("x27_lm_likelihood")
+    // the scoring table is a FileScan of the built model; the corpus
+    // appears once (the bigram scoring pass) and the c12/c1/v training
+    // aggregates are absent from the serve plan
+    assert(p.contains("graft-lm-index"))
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+    assert(!p.contains("countDistinct"), "vocabulary aggregate must not serve")
+  }
+
   test("x45: the range join plans as a hash equi-join, never a nested loop") {
     // the whole point of the bucketization: a raw BETWEEN predicate
     // would plan as BroadcastNestedLoopJoin (O(probe × intervals))
