@@ -351,16 +351,54 @@ object TextOps {
     * model shuffles, and the scoring join all carry longs instead of
     * word strings, and counts keyed by hash equal counts keyed by word
     * absent collisions (see the expression doc for the math). */
-  /** (doc_id, w1, w2) — the corpus's positioned bigram hashes (one
-    * tokenize + fused explode), shared by LM training and scoring. */
-  private def bigramsOf(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, w1, w2) — a doc frame's positioned bigram hashes (one
+    * tokenize + fused explode), shared by LM training, scoring, and the
+    * incremental model maintenance (LmStream). */
+  def bigramsOfFrame(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
     import s.implicits._
-    docs(s, d)
-      .select($"doc_id", split(lower($"text"), "\\s+").as("w"))
+    graft.plans.GraftExpressions.register(s)
+    df.select($"doc_id", split(lower($"text"), "\\s+").as("w"))
       .filter(size($"w") >= 2)
       .select($"doc_id", explode(call_function(
         graft.plans.GraftExpressions.BigramHashesFn, $"w")).as("p"))
       .select($"doc_id", $"p.w1", $"p.w2")
+  }
+
+  private def bigramsOf(s: SparkSession, d: String): DataFrame =
+    bigramsOfFrame(docs(s, d))
+
+  /** (w1, w2, c12) → the scoring table (w1, w2, sp): c1 is c12's
+    * row-sum over w2, |V| is distinct(w1 ∪ w2) of the distinct-bigram
+    * relation (in a ≥2-word doc every position is some bigram's w1 or
+    * w2), and sp = (c12+1)·SCALE div (c1+v) — all model-sized
+    * aggregates, no corpus re-scan. Shared by the one-shot build and
+    * the streamed model (whose merged c12 partials feed it). */
+  def lmModelFromCounts(c12in: DataFrame): DataFrame = {
+    val s = c12in.sparkSession
+    import s.implicits._
+    val c12 = c12in.localCheckpoint(true)
+    val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
+    val v = c12.select($"w1".as("word"))
+      .unionAll(c12.select($"w2".as("word")))
+      .agg(countDistinct($"word").as("v"))
+    c12.join(c1, "w1").crossJoin(v)
+      .select($"w1", $"w2",
+        expr(s"((c12 + 1L) * ${LmProbScale}L) div (c1 + v)").as("sp"))
+  }
+
+  /** Score a doc frame against a trained (w1, w2, sp) scoring table:
+    * one bigram pass + one broadcast join. The INNER join scores only
+    * in-model bigrams — identical to the in-plan form when the model
+    * was trained on (a superset of) the scored corpus. */
+  def lmScore(docFrame: DataFrame, model: DataFrame): DataFrame = {
+    val s = docFrame.sparkSession
+    import s.implicits._
+    bigramsOfFrame(docFrame)
+      .join(broadcast(model), Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count("*").as("n_bigrams"), sum($"sp").as("sum_scaled_p"))
+      .withColumn("flagged", $"sum_scaled_p" < $"n_bigrams" * LmFloorScaled)
   }
 
   /** The TRAINED bigram-LM scoring table for a corpus dir, built ONCE
@@ -387,16 +425,8 @@ object TextOps {
       if (fs.exists(destPath)) fs.delete(destPath, true)
       val staging = new org.apache.hadoop.fs.Path(
         path + s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-      val c12 = bigramsOf(s, d)
-        .groupBy($"w1", $"w2").agg(count("*").as("c12"))
-        .localCheckpoint(true)
-      val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
-      val v = c12.select($"w1".as("word"))
-        .unionAll(c12.select($"w2".as("word")))
-        .agg(countDistinct($"word").as("v"))
-      c12.join(c1, "w1").crossJoin(v)
-        .select($"w1", $"w2",
-          expr(s"((c12 + 1L) * ${LmProbScale}L) div (c1 + v)").as("sp"))
+      lmModelFromCounts(bigramsOf(s, d)
+          .groupBy($"w1", $"w2").agg(count("*").as("c12")))
         .write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(staging, "model").toString)
       if (!fs.rename(staging, destPath)) fs.delete(staging, true)
@@ -415,12 +445,7 @@ object TextOps {
   def lmLikelihood(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val root = ensureLmModel(s, d)
-    val model = s.read.parquet(s"$root/model")
-    bigramsOf(s, d)
-      .join(broadcast(model), Seq("w1", "w2"))
-      .groupBy($"doc_id")
-      .agg(count("*").as("n_bigrams"), sum($"sp").as("sum_scaled_p"))
-      .withColumn("flagged", $"sum_scaled_p" < $"n_bigrams" * LmFloorScaled)
+    lmScore(docs(s, d), s.read.parquet(s"$root/model"))
       .orderBy($"doc_id")
   }
 
