@@ -493,6 +493,79 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  // ---- DSIR importance weighting -----------------------------------------
+
+  /** Hashed-feature space size for the importance model — bounded, so
+    * both distribution tables are ≤ DsirBuckets rows at any corpus
+    * size (the whole point of feature hashing). */
+  val DsirBuckets = 1024L
+
+  /** The language whose documents define the TARGET distribution. */
+  val DsirTargetLang = "en"
+
+  /** Per-token selection floor in micro-nats — the x27 calibrated-
+    * constant pattern (an absolute >0 cut never fires: add-one
+    * smoothing over a larger raw total shifts every ratio negative).
+    * On the fixture the per-token score averages ≈ −44.1k for target-
+    * language docs vs ≈ −47k…−48.7k for the rest, so −46000 selects
+    * the target-like tail. */
+  val DsirFloorMicroNats = -46000L
+
+  /** x48 — data-selection importance weighting (DSIR, Xie et al.,
+    * NeurIPS 2023): score every raw document by how target-like its
+    * hashed bag-of-words distribution is — the standard
+    * "select pretraining data to match a target domain" step, run
+    * corpus-wide. Features are md5-hashed unigrams in a
+    * [[DsirBuckets]]-bounded space; the model is the pair of add-one-
+    * smoothed bucket distributions (target = [[DsirTargetLang]] docs,
+    * raw = all docs), and a document's importance is the sum over its
+    * tokens of the per-bucket log-likelihood ratio. `selected` is the
+    * per-token score against [[DsirFloorMicroNats]] — the thresholded
+    * form of DSIR's resampling that needs no global rank at serving
+    * time (and the fixture-calibrated-constant idiom x27 uses).
+    *
+    * Exactness: per-bucket ratios are ROUNDed to integer micro-nats
+    * (the x33 ln precedent — both engines compute ln on identical
+    * doubles and a last-ulp divergence cannot move the 6-decimal
+    * rounding), so the per-doc score is a BIGINT sum —
+    * order-invariant under partial aggregation. Divisions run before
+    * multiplications, so nothing overflows at design-scale counts
+    * (the x36 lesson).
+    *
+    * Scale shape: ONE tokenize+hash pass feeds both the model and the
+    * scoring (checkpointed, the x13/x27 discipline); the model
+    * aggregate is map-side combined onto ≤ [[DsirBuckets]] keys; the
+    * ratio table is a broadcast; scoring is a narrow join + per-doc
+    * partial aggregate. No shuffle ever carries more than the
+    * distinct-bucket relation except the per-doc aggregate itself. A
+    * deployment scoring many ingest batches against a FIXED target
+    * snapshots the ratio table with the ensureLmModel pattern. */
+  def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val B = DsirBuckets
+    val toksb = docs(s, d)
+      .select($"doc_id", ($"lang" === DsirTargetLang).as("is_t"),
+        explode(filter(split(lower($"text"), "\\s+"), t => t =!= ""))
+          .as("t"))
+      .select($"doc_id", $"is_t",
+        (conv(substring(md5(concat(lit("dsir_"), $"t")), 1, 8), 16, 10)
+          .cast("long") % B).as("b"))
+      .localCheckpoint(false)
+    val m = toksb.groupBy($"b")
+      .agg(count(lit(1)).as("ct_r"), count_if($"is_t").as("ct_t"))
+    val tot = m.agg(sum($"ct_r").as("r_tot"), sum($"ct_t").as("t_tot"))
+    val lr = m.crossJoin(broadcast(tot))
+      .select($"b",
+        round((log(($"ct_t" + 1L) / ($"t_tot" + B)) -
+               log(($"ct_r" + 1L) / ($"r_tot" + B))) * 1e6)
+          .cast("long").as("lr6"))
+    toksb.join(broadcast(lr), "b")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum($"lr6").as("score6"))
+      .withColumn("selected", $"score6" > $"n_toks" * DsirFloorMicroNats)
+      .orderBy($"doc_id")
+  }
+
   // ---- PII redaction ------------------------------------------------------
 
   /** PII patterns shared by the Spark columns and the DuckDB oracle.
@@ -755,9 +828,37 @@ object TextOps {
     "x39_quality_classifier" -> qualityClassifier _,
     "x41_chunk_documents"  -> chunkDocuments _,
     "x46_bpe_pairs"        -> bpePairs _,
+    "x48_dsir_weights"     -> dsirWeights _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // x48: the same hashed-unigram model rebuilt in SQL — md5 bucket,
+    // fused raw/target counts, micro-nat-rounded log ratios (BIGINT
+    // from there on, so the per-doc sum is order-invariant).
+    "x48_dsir_weights" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, is_t,
+         |    ('0x' || substr(md5('dsir_' || t), 1, 8))::BIGINT
+         |      % $DsirBuckets AS b
+         |  FROM (SELECT doc_id, lang = '$DsirTargetLang' AS is_t,
+         |          unnest(list_filter(string_split_regex(lower(text),
+         |            '\\s+'), x -> x <> '')) AS t
+         |        FROM documents)),
+         |m AS (SELECT b, CAST(count(*) AS BIGINT) AS ct_r,
+         |        CAST(count(*) FILTER (WHERE is_t) AS BIGINT) AS ct_t
+         |      FROM toks GROUP BY b),
+         |tot AS (SELECT CAST(sum(ct_r) AS BIGINT) AS r_tot,
+         |               CAST(sum(ct_t) AS BIGINT) AS t_tot FROM m),
+         |lr AS (SELECT b,
+         |    CAST(round((ln((ct_t + 1) / (t_tot + $DsirBuckets)) -
+         |                ln((ct_r + 1) / (r_tot + $DsirBuckets)))
+         |               * 1000000) AS BIGINT) AS lr6
+         |  FROM m, tot)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |  CAST(sum(lr6) AS BIGINT) AS score6,
+         |  sum(lr6) > count(*) * $DsirFloorMicroNats AS selected
+         |FROM toks t JOIN lr USING (b)
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
     // x37: per-doc features are verbatim the x07 (language vote) and
     // x08 (quality formula) oracle fragments; only the aggregation is
     // new, so a mismatch here isolates to the report, not the features.

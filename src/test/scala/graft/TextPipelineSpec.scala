@@ -377,6 +377,53 @@ class TextPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(got.exists(_._5) && got.exists(!_._5))
   }
 
+  test("x48 dsir importance score equals a driver-side model recompute") {
+    val got = TextOps.dsirWeights(spark, sf)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val B = TextOps.DsirBuckets
+    def bucket(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dsir_$tok".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % B
+    }
+    val docsRef = Tables.documents(spark, sf)
+      .select($"doc_id", lower($"text"), $"lang")
+      .as[(Long, String, String)].collect()
+      .map { case (id, t, lang) =>
+        (id, t.split("\\s+").filter(_.nonEmpty).toSeq.map(bucket),
+          lang == TextOps.DsirTargetLang)
+      }
+    val ctR = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val ctT = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    docsRef.foreach { case (_, bs, isT) =>
+      bs.foreach { b => ctR(b) += 1; if (isT) ctT(b) += 1 }
+    }
+    val (rTot, tTot) = (ctR.values.sum, ctT.values.sum)
+    def lr6(b: Long): Long = BigDecimal(
+      (math.log((ctT(b) + 1.0) / (tTot + B)) -
+        math.log((ctR(b) + 1.0) / (rTot + B))) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val ref = docsRef.collect { case (id, bs, _) if bs.nonEmpty =>
+      id -> ((bs.length.toLong, bs.map(lr6).sum))
+    }.toMap
+    assert(got.length === ref.size)
+    got.foreach { case (id, n, s, sel) =>
+      assert((n, s) === ref(id), s"dsir score for doc $id")
+      assert(sel === (s > n * TextOps.DsirFloorMicroNats))
+    }
+    // the threshold separates a real subset, and selection ENRICHES
+    // the target language — the property DSIR exists to deliver
+    assert(got.exists(_._4) && got.exists(!_._4))
+    val langOf = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    def enFrac(ids: Seq[Long]) =
+      ids.count(langOf(_) == TextOps.DsirTargetLang).toDouble / ids.size
+    val selIds = got.filter(_._4).map(_._1).toSeq
+    assert(enFrac(selIds) > enFrac(got.map(_._1).toSeq),
+      "selected docs should over-represent the target language")
+  }
+
   test("x41 chunks cover every token; fingerprints match a driver slice") {
     val got = TextOps.chunkDocuments(spark, sf)
       .as[(Long, Long, Long, String)].collect()
