@@ -493,6 +493,49 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  // ---- weighted sampling without replacement ------------------------------
+
+  /** Sample size for the weighted draw. */
+  val WrsK = 25
+
+  /** 2^52 — the md5-prefix uniform's denominator (13 hex chars). */
+  private val Wrs52 = 4503599627370496.0
+
+  /** x49 — WEIGHTED sampling without replacement (Efraimidis &
+    * Spirakis, IPL 2006, A-Res): each doc draws priority u^(1/w) with
+    * u uniform and w its weight; the k largest priorities are a
+    * weighted sample without replacement. Here w is the x08 quality
+    * score (+1), so the draw is "sample k docs proportional to
+    * quality" — the upsampling step mixture recipes apply to
+    * high-quality sources — and u is the md5-prefix uniform (the x32
+    * idiom), making the draw deterministic and oracle-checkable.
+    *
+    * Exactness: priorities compare by ln(u)/w (monotone in u^(1/w)),
+    * ROUNDed to integer nano-units — both engines divide identical
+    * doubles, and the rounding granularity (~1e-5 relative at the
+    * smallest magnitudes) sits ten orders above double noise; ties
+    * break by doc_id.
+    *
+    * Scale shape: one narrow map (quality + md5 + ln — no shuffle,
+    * no model), then a bounded top-K (TakeOrderedAndProject): k rows
+    * cross the wire per partition. This is the whole point of A-Res —
+    * a weighted draw over 100 TB without a global sort or a
+    * cumulative-weight pass. */
+  def weightedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d)
+      .select($"doc_id",
+        (round(round(qualityCol($"text"), 4) * 10000.0, 0).cast("long")
+          + 1L).as("w"),
+        conv(substring(md5(concat(lit("wrs_"), $"text")), 1, 13), 16, 10)
+          .cast("long").as("h"))
+      .select($"doc_id", $"w",
+        round(log(($"h" + 1L) / Wrs52) / $"w" * 1e9)
+          .cast("long").as("key6"))
+      .orderBy($"key6".desc, $"doc_id")
+      .limit(WrsK)
+  }
+
   // ---- DSIR importance weighting -----------------------------------------
 
   /** Hashed-feature space size for the importance model — bounded, so
@@ -829,9 +872,31 @@ object TextOps {
     "x41_chunk_documents"  -> chunkDocuments _,
     "x46_bpe_pairs"        -> bpePairs _,
     "x48_dsir_weights"     -> dsirWeights _,
+    "x49_weighted_sample"  -> weightedSample _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // x49: the quality weight is verbatim the x08/x37 q4 fragment; the
+    // priority is ln(u)/w in integer nano-units, u = 52-bit md5 prefix.
+    "x49_weighted_sample" ->
+      s"""WITH c AS (SELECT doc_id, text,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+         |  CAST(len(regexp_extract_all(lower(text), '$stopEn')) AS BIGINT) AS n_stop,
+         |  length(text) AS n_chars FROM documents),
+         |q AS (SELECT doc_id, text,
+         |  CAST(round(ROUND((least(n_tokens, 100) / 100.0) * 0.4
+         |      + least((n_stop / n_tokens) * 5.0, 1.0) * 0.4
+         |      + (1.0 - least((n_punct / n_chars) * 10.0, 1.0)) * 0.2, 4)
+         |      * 10000.0, 0) AS BIGINT) + 1 AS w
+         |  FROM c),
+         |p AS (SELECT doc_id, w,
+         |  CAST(round(ln((('0x' || substr(md5('wrs_' || text), 1, 13))::BIGINT
+         |      + 1) / 4503599627370496.0) / w * 1000000000) AS BIGINT)
+         |    AS key6
+         |  FROM q)
+         |SELECT doc_id, w, key6 FROM p
+         |ORDER BY key6 DESC, doc_id LIMIT $WrsK""".stripMargin,
     // x48: the same hashed-unigram model rebuilt in SQL — md5 bucket,
     // fused raw/target counts, micro-nat-rounded log ratios (BIGINT
     // from there on, so the per-doc sum is order-invariant).

@@ -424,6 +424,40 @@ class TextPipelineSpec extends AnyFunSuite with SparkTestSession {
       "selected docs should over-represent the target language")
   }
 
+  test("x49 weighted sample equals a driver-side A-Res recompute") {
+    val got = TextOps.weightedSample(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.length === TextOps.WrsK)
+    // recompute every doc's priority from scratch: q4 weight via the
+    // quality frame, 52-bit md5 uniform, ln(u)/w in nano-units
+    val quality = TextOps.textQuality(spark, sf)
+      .select($"doc_id", $"quality").as[(Long, Double)].collect().toMap
+    val texts = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val prios = texts.map { case (id, t) =>
+      val w = BigDecimal(quality(id) * 10000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong + 1L
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"wrs_$t".getBytes("UTF-8")).take(7)
+        .map("%02x".format(_)).mkString.take(13)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val key6 = BigDecimal(
+        math.log((h + 1) / 4503599627370496.0) / w * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      (id, w, key6)
+    }
+    val want = prios.sortBy { case (id, _, k) => (-k, id) }
+      .take(TextOps.WrsK).toSeq
+    assert(got === want)
+    // the draw must actually be weighted: the selected docs' mean
+    // weight exceeds the corpus mean (u^(1/w) stochastically dominates
+    // for larger w)
+    val meanSel = got.map(_._2).sum.toDouble / got.size
+    val meanAll = prios.map(_._2).sum.toDouble / prios.length
+    assert(meanSel > meanAll,
+      s"weighted draw should favor heavy docs ($meanSel vs $meanAll)")
+  }
+
   test("x41 chunks cover every token; fingerprints match a driver slice") {
     val got = TextOps.chunkDocuments(spark, sf)
       .as[(Long, Long, Long, String)].collect()
