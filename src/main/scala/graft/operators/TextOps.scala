@@ -583,30 +583,52 @@ object TextOps {
     * distinct-bucket relation except the per-doc aggregate itself. A
     * deployment scoring many ingest batches against a FIXED target
     * snapshots the ratio table with the ensureLmModel pattern. */
-  def dsirWeights(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, is_t, b) — a doc frame's hashed-unigram feature
+    * occurrences, shared by model fitting, scoring, and the
+    * incremental model maintenance (DsirStream). */
+  def dsirToksOf(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
     import s.implicits._
-    val B = DsirBuckets
-    val toksb = docs(s, d)
-      .select($"doc_id", ($"lang" === DsirTargetLang).as("is_t"),
+    df.select($"doc_id", ($"lang" === DsirTargetLang).as("is_t"),
         explode(filter(split(lower($"text"), "\\s+"), t => t =!= ""))
           .as("t"))
       .select($"doc_id", $"is_t",
         (conv(substring(md5(concat(lit("dsir_"), $"t")), 1, 8), 16, 10)
-          .cast("long") % B).as("b"))
-      .localCheckpoint(false)
-    val m = toksb.groupBy($"b")
-      .agg(count(lit(1)).as("ct_r"), count_if($"is_t").as("ct_t"))
+          .cast("long") % DsirBuckets).as("b"))
+  }
+
+  /** (b, ct_r, ct_t) → the broadcast-sized log-ratio table
+    * (b, lr6): totals from the bounded bucket relation, add-one
+    * smoothing, micro-nat rounding. Shared by the one-shot query and
+    * the streamed model (whose merged count partials feed it). */
+  def dsirRatiosFromCounts(m: DataFrame): DataFrame = {
+    val s = m.sparkSession
+    import s.implicits._
+    val B = DsirBuckets
     val tot = m.agg(sum($"ct_r").as("r_tot"), sum($"ct_t").as("t_tot"))
-    val lr = m.crossJoin(broadcast(tot))
+    m.crossJoin(broadcast(tot))
       .select($"b",
         round((log(($"ct_t" + 1L) / ($"t_tot" + B)) -
                log(($"ct_r" + 1L) / ($"r_tot" + B))) * 1e6)
           .cast("long").as("lr6"))
+  }
+
+  /** Score hashed-feature occurrences against a ratio table. */
+  def dsirScore(toksb: DataFrame, lr: DataFrame): DataFrame = {
+    val s = toksb.sparkSession
+    import s.implicits._
     toksb.join(broadcast(lr), "b")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_toks"), sum($"lr6").as("score6"))
       .withColumn("selected", $"score6" > $"n_toks" * DsirFloorMicroNats)
-      .orderBy($"doc_id")
+  }
+
+  def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toksb = dsirToksOf(docs(s, d)).localCheckpoint(false)
+    val m = toksb.groupBy($"b")
+      .agg(count(lit(1)).as("ct_r"), count_if($"is_t").as("ct_t"))
+    dsirScore(toksb, dsirRatiosFromCounts(m)).orderBy($"doc_id")
   }
 
   // ---- PII redaction ------------------------------------------------------
