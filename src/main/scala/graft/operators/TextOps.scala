@@ -623,12 +623,41 @@ object TextOps {
       .withColumn("selected", $"score6" > $"n_toks" * DsirFloorMicroNats)
   }
 
+  /** The FITTED ratio table for a corpus dir, built once (the
+    * ensureLmModel discipline — content-keyed path, staged rename):
+    * `model/` holds (b, lr6), ≤ [[DsirBuckets]] rows. */
+  def ensureDsirModel(s: SparkSession, d: String,
+                      indexRoot: String = sys.props("java.io.tmpdir")): String = {
+    import s.implicits._
+    val hconf = s.sparkContext.hadoopConfiguration
+    val path = SimilarityOps.indexPath(s, d, "documents.parquet", "dsir",
+      "v1", indexRoot)
+    val destPath = new org.apache.hadoop.fs.Path(path)
+    val fs = destPath.getFileSystem(hconf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "model/_SUCCESS"))) {
+      if (fs.exists(destPath)) fs.delete(destPath, true)
+      val staging = new org.apache.hadoop.fs.Path(
+        path + s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+      dsirRatiosFromCounts(dsirToksOf(docs(s, d))
+          .groupBy($"b")
+          .agg(count(lit(1)).as("ct_r"), count_if($"is_t").as("ct_t")))
+        .write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(staging, "model").toString)
+      if (!fs.rename(staging, destPath)) fs.delete(staging, true)
+    }
+    path
+  }
+
+  /** x48 served from the MATERIALIZED ratio table: query-time corpus
+    * work is ONE tokenize+hash pass + a broadcast join — the model
+    * aggregates never re-run. Fitted on the same corpus in the same
+    * integer arithmetic, so the result is identical to the in-plan
+    * form and the DuckDB oracle validates this entry unchanged. */
   def dsirWeights(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val toksb = dsirToksOf(docs(s, d)).localCheckpoint(false)
-    val m = toksb.groupBy($"b")
-      .agg(count(lit(1)).as("ct_r"), count_if($"is_t").as("ct_t"))
-    dsirScore(toksb, dsirRatiosFromCounts(m)).orderBy($"doc_id")
+    val root = ensureDsirModel(s, d)
+    dsirScore(dsirToksOf(docs(s, d)), s.read.parquet(s"$root/model"))
+      .orderBy($"doc_id")
   }
 
   // ---- PII redaction ------------------------------------------------------

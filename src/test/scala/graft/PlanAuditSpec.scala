@@ -290,6 +290,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("countDistinct"), "vocabulary aggregate must not serve")
   }
 
+  test("x48: served from the materialized DSIR ratio table — no model aggregates in the query plan") {
+    val p = plan("x48_dsir_weights")
+    // the ratio table is a FileScan of the fitted model; the corpus
+    // appears once (the scoring pass) and the count_if model aggregate
+    // is absent from the serve plan
+    assert(p.contains("graft-dsir-index"))
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+    assert(!p.toLowerCase.contains("count_if"),
+      "model fit must not run at serve time")
+  }
+
   test("x45: the range join plans as a hash equi-join, never a nested loop") {
     // the whole point of the bucketization: a raw BETWEEN predicate
     // would plan as BroadcastNestedLoopJoin (O(probe × intervals))
