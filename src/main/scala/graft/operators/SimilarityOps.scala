@@ -676,6 +676,53 @@ object SimilarityOps {
       .orderBy($"vec_id")
   }
 
+  /** Projected dimensionality for the random projection. */
+  val RpK = 16
+
+  /** The ±1 sign matrix [k][j] — md5-derived, DATA-independent (a
+    * pure function of the coordinates, like the LSH planes), so both
+    * engines rebuild it bit-identically and shipping it is free: it
+    * is a query literal, not a broadcast of anything computed. */
+  private[graft] lazy val rpSigns: Seq[Seq[Double]] =
+    (0 until RpK).map { k =>
+      (0 until Dim).map { j =>
+        val b0 = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"rp_${j}_$k".getBytes("UTF-8"))(0)
+        if (((b0 >> 4) & 1) == 0) 1.0 else -1.0
+      }
+    }
+
+  /** x50 — sparse random projection (Johnson–Lindenstrauss; ±1 signs
+    * per Achlioptas, JCSS 2003): embed the Dim-dimensional vectors
+    * into RpK dimensions with a data-independent sign matrix —
+    * the standard cheap precursor to ANN at corpus scale (shorter
+    * vectors ⇒ cheaper distance evaluations and smaller indexes,
+    * with JL-bounded distortion). E[‖y‖²] = ‖x‖²·RpK under signs, so
+    * norms (and pairwise distances) survive in expectation — the spec
+    * pins the concentration on the fixture.
+    *
+    * Oracle-exactness: each output coordinate is a FIXED-ORDER
+    * left-to-right dot product of doubles (the q16 precedent —
+    * Spark's aggregate∘zip_with and DuckDB's list_dot_product
+    * accumulate identically), ROUNDed to 6; the sign matrix derives
+    * from md5 in both engines.
+    *
+    * Scale shape: ONE narrow map — no shuffle, no stats pass, no
+    * join; the matrix rides the plan as a literal. Output is the
+    * exploded (vec_id, k, p) relation so downstream operators (and
+    * the oracle hash) see scalar columns. */
+  def randomProjection(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = typedlit(rpSigns)
+    Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      .select($"vec_id", posexplode(transform(m, row =>
+        round(aggregate(zip_with($"e", row, (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x), 6))))
+      .select($"vec_id", $"pos".cast("long").as("k"), $"col".as("p"))
+      .orderBy($"vec_id", $"k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x06_ann_lsh"  -> annLsh _,
     "x12_ann_ivf"  -> annIvf _,
@@ -683,6 +730,7 @@ object SimilarityOps {
     "x31_ann_sq8"  -> annSq8 _,
     "x38_ann_ivfpq" -> annIvfPq _,
     "x42_dedup_semantic" -> semDedup _,
+    "x50_random_projection" -> randomProjection _,
   )
 
   /** One Lloyd iteration as DuckDB CTEs: integer-dot assignment
@@ -731,6 +779,20 @@ object SimilarityOps {
     * the same final cosine top-K. The x12 oracle unrolls the
     * KmeansIters(=2) Lloyd iterations as CTE pairs. */
   val oracleSql: Map[String, String] = Map(
+    // x50: the sign matrix rebuilt from the same md5 parity rule; each
+    // coordinate is the same fixed-order dot product, rounded to 6.
+    "x50_random_projection" ->
+      s"""SELECT vec_id, CAST(k AS BIGINT) AS k, p FROM (
+         |  SELECT vec_id,
+         |    unnest(range(0, $RpK)) AS k,
+         |    unnest(list_transform(range(0, $RpK), kk ->
+         |      round(list_dot_product(embedding::DOUBLE[],
+         |        list_transform(range(0, $Dim), j ->
+         |          CASE WHEN ('0x' || substr(md5('rp_' || j || '_' || kk),
+         |                     1, 1))::BIGINT % 2 = 0
+         |               THEN 1.0 ELSE -1.0 END)), 6))) AS p
+         |  FROM embeddings)
+         |ORDER BY vec_id, k""".stripMargin,
     "x31_ann_sq8" ->
       s"""WITH st AS (
         |  SELECT i.range AS i, min(embedding[i.range + 1]::DOUBLE) AS mn,

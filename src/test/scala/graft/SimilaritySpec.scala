@@ -159,4 +159,30 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     val recall = got.count(_ <= 5L)
     assert(recall >= 4, s"planted-neighbor recall $recall/5 too low")
   }
+
+  test("x50 random projection matches a driver recompute; JL norm concentration holds") {
+    val got = SimilarityOps.randomProjection(spark, sf)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.sortBy(_._2).map(_._3).toSeq
+      }
+    val embs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    assert(got.size === embs.length)
+    val ratios = embs.map { case (id, e) =>
+      val want = SimilarityOps.rpSigns.map { row =>
+        BigDecimal(e.zip(row).foldLeft(0.0) { case (a, (x, s)) => a + x * s })
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      assert(got(id) === want, s"projection of vec $id")
+      // E[‖y‖²] = RpK·‖x‖² under ±1 signs — per-vector concentration
+      val ny = want.map(v => v * v).sum / SimilarityOps.RpK
+      val nx = e.map(v => v * v).sum
+      ny / nx
+    }
+    ratios.foreach(r => assert(r > 0.2 && r < 5.0, s"norm ratio $r"))
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.8 && mean < 1.25, s"mean norm ratio $mean")
+  }
 }
