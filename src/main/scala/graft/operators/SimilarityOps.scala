@@ -711,14 +711,22 @@ object SimilarityOps {
     * join; the matrix rides the plan as a literal. Output is the
     * exploded (vec_id, k, p) relation so downstream operators (and
     * the oracle hash) see scalar columns. */
-  def randomProjection(s: SparkSession, d: String): DataFrame = {
+  /** Frame form: (vec_id, e: array<double>) → (vec_id, y: the RpK-dim
+    * projection) — the composable piece ANN pipelines consume. */
+  def projectFrame(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
     import s.implicits._
     val m = typedlit(rpSigns)
-    Tables.embeddings(s, d)
-      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
-      .select($"vec_id", posexplode(transform(m, row =>
-        round(aggregate(zip_with($"e", row, (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x), 6))))
+    df.select($"vec_id", transform(m, row =>
+      round(aggregate(zip_with($"e", row, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x), 6)).as("y"))
+  }
+
+  def randomProjection(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    projectFrame(Tables.embeddings(s, d)
+        .select($"vec_id", $"embedding".cast("array<double>").as("e")))
+      .select($"vec_id", posexplode($"y"))
       .select($"vec_id", $"pos".cast("long").as("k"), $"col".as("p"))
       .orderBy($"vec_id", $"k")
   }

@@ -185,4 +185,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     val mean = ratios.sum / ratios.length
     assert(mean > 0.8 && mean < 1.25, s"mean norm ratio $mean")
   }
+
+  test("x50 composes with ANN: planted near-neighbors survive the projection") {
+    // same planted corpus as the LSH recall test: true neighbors at
+    // cos ≈ 0.97 must still rank top in the 16-dim projected space —
+    // the property that makes projected-space search usable at all
+    val rng = new scala.util.Random(29)
+    val dim = SimilarityOps.Dim
+    val probe = Array.fill(dim)(rng.nextGaussian())
+    def noisy(scale: Double): Seq[Double] =
+      probe.map(x => x + rng.nextGaussian() * scale).toSeq
+    val planted = (1L to 5L).map(i => (i, noisy(0.12)))
+    val fillers = (6L to 300L).map(i =>
+      (i, Seq.fill(dim)(rng.nextGaussian())))
+    val emb = ((0L, probe.toSeq) +: (planted ++ fillers)).toDF("vec_id", "e")
+    val proj = SimilarityOps.projectFrame(emb)
+    val q = proj.filter($"vec_id" === 0).select($"y".as("qy"))
+    val top = proj.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id", CoreQueries.cosineSimHof($"y", $"qy").as("sim"))
+      .orderBy($"sim".desc, $"vec_id").limit(5)
+      .select($"vec_id").as[Long].collect()
+    val recall = top.count(_ <= 5L)
+    assert(recall >= 4, s"projected-space recall $recall/5 too low")
+  }
 }
