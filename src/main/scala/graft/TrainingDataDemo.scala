@@ -9,10 +9,10 @@ import org.apache.spark.sql.functions._
   *
   *   PII scrub audit (x28) → language/quality gates + exact dedup
   *   (x14's rules via DocCuration.curateBatch) → classifier quality
-  *   gate (x39) → near-dup cluster representatives (x02 pairs → x17
-  *   components) → benchmark decontamination (x24's leaked-prefix
-  *   eval) → deterministic content-hash split (x23) →
-  *   split-partitioned parquet shards.
+  *   gate (x39) → DSIR target-domain selection (x48) → near-dup
+  *   cluster representatives (x02 pairs → x17 components) → benchmark
+  *   decontamination (x24's leaked-prefix eval) → deterministic
+  *   content-hash split (x23) → split-partitioned parquet shards.
   *
   * {{{
   *   sbt "runMain graft.TrainingDataDemo [sfDir] [outDir]"
@@ -55,6 +55,22 @@ object TrainingDataDemo {
     val classed = gated.join(kept, "doc_id").localCheckpoint(false)
     report += ("after_classifier_gate" -> classed.count())
 
+    // 2c. target-domain selection (x48): the DSIR importance scorer
+    // ranks docs by how target-like their hashed-unigram distribution
+    // is — the "match the pretraining mix to the domain you care
+    // about" stage, run after quality so the model selects among
+    // clean docs. The demo keeps docs above the CORPUS MEAN per-token
+    // importance (a relative cut — x48's absolute floor is a
+    // per-corpus calibration; the mean adapts to any scale), with the
+    // mean riding a one-row broadcast, not a driver value.
+    val scores = operators.TextOps.dsirWeights(spark, sfDir)
+      .select($"doc_id", ($"score6" / $"n_toks").as("pt"))
+    val meanPt = scores.agg(avg($"pt").as("mpt"))
+    val targetSel = scores.crossJoin(broadcast(meanPt))
+      .filter($"pt" > $"mpt").select($"doc_id")
+    val selected = classed.join(targetSel, "doc_id").localCheckpoint(false)
+    report += ("after_dsir_selection" -> selected.count())
+
     // 3. near-dup components (MinHash LSH pairs → connected-component
     // labels): keep ONE doc per component, re-picked AMONG the gate
     // survivors (min doc_id of the surviving members). Filtering to the
@@ -63,7 +79,7 @@ object TrainingDataDemo {
     // surviving near-dups would be discarded for not being the rep of a
     // doc that was itself already gone.
     val labels = operators.DedupOps.dedupClusters(spark, sfDir)
-    val deduped = classed.join(labels, "doc_id")
+    val deduped = selected.join(labels, "doc_id")
       .groupBy($"rep").agg(min($"doc_id").as("doc_id"))
       .select($"doc_id")
     report += ("after_near_dup_clustering" -> deduped.count())

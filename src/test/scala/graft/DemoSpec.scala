@@ -34,9 +34,21 @@ class DemoSpec extends AnyFunSuite with SparkTestSession {
     // classifier score is nonnegative, per the audited query itself
     val kept = operators.TextOps.qualityClassifier(spark, sf)
       .filter($"keep").select($"doc_id")
-    val gated = graft.streaming.DocCuration.curateBatch(docs)
+    val classed = graft.streaming.DocCuration.curateBatch(docs)
       .select($"doc_id").join(kept, "doc_id")
-    assert(counts("after_classifier_gate") === gated.count())
+    assert(counts("after_classifier_gate") === classed.count())
+
+    // x48 — DSIR selection: the stage equals the classifier survivors
+    // whose per-token importance (from the audited query itself) sits
+    // above the corpus mean — the demo's relative cut, recomputed here
+    // driver-side from x48's own scores
+    val ptScores = operators.TextOps.dsirWeights(spark, sf)
+      .select($"doc_id", ($"score6" / $"n_toks").as("pt"))
+      .as[(Long, Double)].collect()
+    val meanPt = ptScores.map(_._2).sum / ptScores.length
+    val selIds = ptScores.filter(_._2 > meanPt).map(_._1).toSet
+    val gated = classed.filter($"doc_id".isInCollection(selIds))
+    assert(counts("after_dsir_selection") === gated.count())
 
     // x17 — near-dup clustering: the demo keeps exactly one survivor
     // per cluster that has at least one classifier-surviving member
