@@ -59,15 +59,25 @@ object TrainingDataDemo {
     // ranks docs by how target-like their hashed-unigram distribution
     // is — the "match the pretraining mix to the domain you care
     // about" stage, run after quality so the model selects among
-    // clean docs. The demo keeps docs above the CORPUS MEAN per-token
-    // importance (a relative cut — x48's absolute floor is a
-    // per-corpus calibration; the mean adapts to any scale), with the
-    // mean riding a one-row broadcast, not a driver value.
+    // clean docs. The demo keeps docs whose per-token importance
+    // exceeds the CORPUS mean per-token importance, Σscore6/Σtoks (a
+    // relative cut — x48's absolute floor is a per-corpus
+    // calibration; the mean adapts to any scale), with the totals
+    // riding a one-row broadcast, not a driver value. The cut is the
+    // exact integer cross-multiplication score6·Σtoks > Σscore6·toks
+    // in width-bounded decimals (operand precisions sum to ≤ 37, so
+    // the products are exact) — no floating-point mean is ever
+    // formed, keeping the stage retry-stable and order-invariant like
+    // every other count in the report.
     val scores = operators.TextOps.dsirWeights(spark, sfDir)
-      .select($"doc_id", ($"score6" / $"n_toks").as("pt"))
-    val meanPt = scores.agg(avg($"pt").as("mpt"))
-    val targetSel = scores.crossJoin(broadcast(meanPt))
-      .filter($"pt" > $"mpt").select($"doc_id")
+      .select($"doc_id", $"score6", $"n_toks")
+    val totals = scores.agg(
+      sum($"score6".cast("decimal(20,0)")).cast("decimal(25,0)").as("ts"),
+      sum($"n_toks".cast("decimal(20,0)")).cast("decimal(21,0)").as("tt"))
+    val targetSel = scores.crossJoin(broadcast(totals))
+      .filter($"score6".cast("decimal(16,0)") * $"tt" >
+        $"ts" * $"n_toks".cast("decimal(12,0)"))
+      .select($"doc_id")
     val selected = classed.join(targetSel, "doc_id").localCheckpoint(false)
     report += ("after_dsir_selection" -> selected.count())
 

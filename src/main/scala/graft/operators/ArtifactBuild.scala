@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** The ONE copy of the content-keyed staged-rename build protocol every
+  * materialized artifact (ANN/IVF/IVF-PQ/BM25 indexes, LM and DSIR
+  * models) runs:
+  *
+  *  - an artifact is COMPLETE iff its marker file (`markerRel`, the
+  *    `_SUCCESS` of the LAST-written piece) exists under `path`;
+  *  - a directory without the marker is a crashed prior build and is
+  *    cleared;
+  *  - the build writes into a process-unique staging dir, then renames
+  *    into place: concurrent JVMs each stage privately, exactly one
+  *    rename wins, and the loser discards its staging copy — no reader
+  *    can observe a half-written artifact.
+  *
+  * Kept in one place so a fix to the rename-race or crash-recovery
+  * logic cannot silently miss a builder.
+  */
+private[graft] object ArtifactBuild {
+
+  /** Ensure the artifact at `path` exists and is complete; build it
+    * via `build(stagingDir)` if not. Returns `path`. */
+  def ensure(s: SparkSession, path: String, markerRel: String)
+            (build: Path => Unit): String = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    val destPath = new Path(path)
+    val fs = destPath.getFileSystem(hconf)
+    if (!fs.exists(new Path(path, markerRel))) {
+      if (fs.exists(destPath)) fs.delete(destPath, true)
+      val staging = new Path(
+        path + s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+      build(staging)
+      if (!fs.rename(staging, destPath)) fs.delete(staging, true)
+    }
+    path
+  }
+}

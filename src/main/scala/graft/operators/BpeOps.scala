@@ -22,14 +22,22 @@ import org.apache.spark.sql.functions._
   * training. */
 object BpeOps {
 
-  /** The x46 vocabulary rule: lowercased whitespace words, ≥ 2 chars. */
-  private[graft] def vocabOf(docsFrame: DataFrame): DataFrame = {
+  /** The x46 word rule, in ONE place (x46's pair count, training's
+    * vocabulary, and segmentation all tokenize through here):
+    * (`keep`..., word) rows — lowercased whitespace words, ≥ 2 chars. */
+  private[graft] def wordRows(docsFrame: DataFrame, keep: Column*): DataFrame = {
     val s = docsFrame.sparkSession
     import s.implicits._
     docsFrame
-      .select(explode(split(lower(trim($"text")), "\\s+")).as("word"))
+      .select(keep :+ explode(split(lower(trim($"text")), "\\s+")).as("word"): _*)
       .filter(length($"word") >= 2)
-      .groupBy($"word").agg(count(lit(1)).as("freq"))
+  }
+
+  /** (word, freq) — the weighted vocabulary training iterates on. */
+  private[graft] def vocabOf(docsFrame: DataFrame): DataFrame = {
+    val s = docsFrame.sparkSession
+    import s.implicits._
+    wordRows(docsFrame).groupBy($"word").agg(count(lit(1)).as("freq"))
   }
 
   /** word → its character symbols (`col` is a column NAME). */
@@ -40,7 +48,11 @@ object BpeOps {
     * array — the classic BPE replace pass as a fold: append, or fuse
     * with the previous symbol when (prev, cur) = (a, b). After a fuse
     * the new tail a||b can itself pair with the NEXT symbol only via
-    * a later round, exactly like the reference algorithm's scan. */
+    * a later round, exactly like the reference algorithm's scan.
+    * When a round has no pair at all (training converged), the left
+    * join below leaves a/b NULL, the WHEN predicate is never true,
+    * and the fold is the identity — the vocabulary rides through
+    * unchanged instead of being annihilated by an empty join. */
   private val applyMergeExpr: String =
     """aggregate(syms, CAST(array() AS ARRAY<STRING>),
       |  (acc, x) -> CASE
@@ -48,19 +60,40 @@ object BpeOps {
       |    THEN concat(slice(acc, 1, size(acc) - 1), array(concat(a, b)))
       |    ELSE concat(acc, array(x)) END)""".stripMargin
 
+  /** The full trained tokenizer applied to one word: fold the learned
+    * merges over the word's character symbols IN PICK ORDER — each
+    * step the same greedy pass as [[applyMergeExpr]]. Training applies
+    * merge r to every vocab word before counting round r+1, so this
+    * fold reproduces the trained segmentation exactly for any word the
+    * trainer saw — and extends it consistently to words it did not
+    * (Sennrich's open-vocabulary application). Expects `ms`, an
+    * array<struct<round,a,b>> sorted by round, in scope. */
+  private val applyAllMergesExpr: String =
+    """aggregate(ms,
+      |  transform(sequence(1, length(word)), i -> substring(word, i, 1)),
+      |  (sy, m) -> aggregate(sy, CAST(array() AS ARRAY<STRING>),
+      |    (acc, x) -> CASE
+      |      WHEN size(acc) > 0 AND element_at(acc, -1) = m.a AND x = m.b
+      |      THEN concat(slice(acc, 1, size(acc) - 1), array(concat(m.a, m.b)))
+      |      ELSE concat(acc, array(x)) END))""".stripMargin
+
   /** Train `nMerges` BPE merges over a (doc_id, text) frame. Returns
     * (merges, segmented vocabulary):
     *
     *  - merges: (round, a, b, n) — the learned merge table in pick
-    *    order, the artifact a tokenizer ships;
+    *    order, the artifact a tokenizer ships. Rounds past the
+    *    corpus's last mergeable pair contribute NO row (the table
+    *    simply stops growing — converged training is not an error);
     *  - vocab:  (word, freq, syms) — every distinct word's final
     *    segmentation under those merges.
     *
     * Each round: count adjacent symbol pairs weighted by word freq
-    * (vocab-sized aggregate), pick the max (count DESC, pair ASC),
-    * broadcast the one-row pick, fuse it everywhere. The per-round
-    * checkpoint bounds lineage — rounds are sequential by nature
-    * (merge r+1 counts pairs that exist only after merge r). */
+    * (vocab-sized aggregate; fully-merged single-symbol words are
+    * filtered out — they have no pairs, and the filter is what keeps
+    * `sequence(1, size-1)` ascending), pick the max (count DESC, pair
+    * ASC), broadcast the one-row pick, fuse it everywhere. The
+    * per-round checkpoint bounds lineage — rounds are sequential by
+    * nature (merge r+1 counts pairs that exist only after merge r). */
   def bpeTrain(docsFrame: DataFrame,
                nMerges: Int): (DataFrame, DataFrame) = {
     val s = docsFrame.sparkSession
@@ -71,6 +104,7 @@ object BpeOps {
     val merges = Seq.newBuilder[DataFrame]
     for (r <- 0 until nMerges) {
       val top = vocab
+        .filter(size($"syms") >= 2)
         .select($"freq", explode(expr(
           """transform(sequence(1, size(syms) - 1),
             |  i -> struct(element_at(syms, i) AS a,
@@ -81,7 +115,9 @@ object BpeOps {
         .withColumn("round", lit(r.toLong))
         .localCheckpoint(false)
       merges += top
-      vocab = vocab.crossJoin(broadcast(top.select($"a", $"b")))
+      // left cross join, NOT crossJoin: an empty `top` (converged
+      // corpus) must leave the vocabulary intact, not annihilate it
+      vocab = vocab.join(broadcast(top.select($"a", $"b")), lit(true), "left")
         .select($"word", $"freq", expr(applyMergeExpr).as("syms"))
         .localCheckpoint(false)
     }
@@ -94,21 +130,31 @@ object BpeOps {
     (mergeTable, vocab)
   }
 
-  /** Segment a (doc_id, text) corpus with a TRAINED merge table: the
-    * corpus's distinct words join the vocab segmentation (each word
-    * segmented once, at training time), and out-of-vocabulary words
-    * fall back to character symbols — the standard open-vocabulary
-    * guarantee. Output: (doc_id, word, syms) per word occurrence. */
-  def bpeSegment(docsFrame: DataFrame, trainedVocab: DataFrame): DataFrame = {
+  /** Segment a (doc_id, text) corpus with a TRAINED tokenizer
+    * (`merges`, `trainedVocab` — bpeTrain's two outputs): the corpus's
+    * distinct words join the vocab segmentation (each word segmented
+    * once, at training time); out-of-vocabulary words get the SAME
+    * learned merges applied to their character symbols, in pick order
+    * — Sennrich's open-vocabulary application, so an unseen word
+    * segments exactly as it would have had it been in the training
+    * corpus (each distinct OOV word is segmented once, then joined —
+    * no per-occurrence re-derivation). Output: (doc_id, word, syms)
+    * per word occurrence. */
+  def bpeSegment(docsFrame: DataFrame, merges: DataFrame,
+                 trainedVocab: DataFrame): DataFrame = {
     val s = docsFrame.sparkSession
     import s.implicits._
-    val words = docsFrame
-      .select($"doc_id",
-        explode(split(lower(trim($"text")), "\\s+")).as("word"))
-      .filter(length($"word") >= 2)
-    words.join(broadcast(trainedVocab.select($"word", $"syms")),
-        Seq("word"), "left")
-      .select($"doc_id", $"word",
-        coalesce($"syms", charsCol("word")).as("syms"))
+    val words = wordRows(docsFrame, $"doc_id")
+    // the ordered merge list as a one-row broadcast (array_sort on
+    // struct<round,a,b> orders by round — the pick order)
+    val mergeList = merges
+      .agg(array_sort(collect_list(struct($"round", $"a", $"b"))).as("ms"))
+    val oovSegs = words.select($"word").distinct()
+      .join(broadcast(trainedVocab.select($"word")), Seq("word"), "left_anti")
+      .crossJoin(broadcast(mergeList))
+      .select($"word", expr(applyAllMergesExpr).as("syms"))
+    val segTable = trainedVocab.select($"word", $"syms").unionByName(oovSegs)
+    words.join(broadcast(segTable), Seq("word"))
+      .select($"doc_id", $"word", $"syms")
   }
 }

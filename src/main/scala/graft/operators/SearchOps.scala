@@ -209,17 +209,10 @@ object SearchOps {
     * subsequent query (repeated-query serving is the production mode
     * for decontamination triage / eval-slice assembly). */
   def ensureBm25Index(s: SparkSession, d: String,
-                      indexRoot: String = sys.props("java.io.tmpdir")): String = {
-    import s.implicits._
-    val hconf = s.sparkContext.hadoopConfiguration
-    val path = SimilarityOps.indexPath(
-      s, d, "documents.parquet", "bm25", "v1", indexRoot)
-    val destPath = new org.apache.hadoop.fs.Path(path)
-    val fs = destPath.getFileSystem(hconf)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "postings/_SUCCESS"))) {
-      if (fs.exists(destPath)) fs.delete(destPath, true)
-      val staging = new org.apache.hadoop.fs.Path(
-        path + s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+                      indexRoot: String = sys.props("java.io.tmpdir")): String =
+    ArtifactBuild.ensure(s, SimilarityOps.indexPath(
+        s, d, "documents.parquet", "bm25", "v1", indexRoot),
+        "postings/_SUCCESS") { staging =>
       val docs = tokenizedOf(Tables.rebalance(Tables.documents(s, d)))
         .localCheckpoint(false)
       // stats FIRST (tiny), postings LAST — postings/_SUCCESS is the
@@ -229,10 +222,7 @@ object SearchOps {
       postingsOf(docs)
         .write.mode("overwrite").partitionBy("tb")
         .parquet(new org.apache.hadoop.fs.Path(staging, "postings").toString)
-      if (!fs.rename(staging, destPath)) fs.delete(staging, true)
     }
-    path
-  }
 
   /** x33b — BM25 served from the materialized index: the query's terms
     * become bucket LITERALS (static partition pruning — only the

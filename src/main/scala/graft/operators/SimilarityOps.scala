@@ -120,26 +120,14 @@ object SimilarityOps {
   def ensureAnnIndex(s: SparkSession, d: String,
                      indexRoot: String = sys.props("java.io.tmpdir")): String = {
     import s.implicits._
-    val hconf = s.sparkContext.hadoopConfiguration
-    val path = indexPath(s, d, "embeddings.parquet", "ann", "v1", indexRoot)
-    val destPath = new org.apache.hadoop.fs.Path(path)
-    val fs = destPath.getFileSystem(hconf)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) {
-      // a dir without _SUCCESS is a crashed prior build — clear it
-      if (fs.exists(destPath)) fs.delete(destPath, true)
-      // build into a process-unique staging dir, then rename into
-      // place: concurrent JVMs each stage privately, exactly one rename
-      // wins, and the loser discards its staging copy — no reader can
-      // observe a half-written index
-      val staging = new org.apache.hadoop.fs.Path(
-        path + s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    ArtifactBuild.ensure(s,
+        indexPath(s, d, "embeddings.parquet", "ann", "v1", indexRoot),
+        "_SUCCESS") { staging =>
       Tables.embeddings(s, d)
         .select($"vec_id", $"embedding".cast("array<double>").as("e"))
         .withColumn("bucket", lshSignature(s, $"e").cast("int"))
         .write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
-      if (!fs.rename(staging, destPath)) fs.delete(staging, true)
     }
-    path
   }
 
   /** ANN top-K for one probe vector (vec_id 0), served from the
@@ -312,14 +300,9 @@ object SimilarityOps {
   def ensureIvfIndex(s: SparkSession, d: String,
                      indexRoot: String = sys.props("java.io.tmpdir")): String = {
     import s.implicits._
-    val hconf = s.sparkContext.hadoopConfiguration
-    val path = indexPath(s, d, "embeddings.parquet", "ivf", "v1", indexRoot)
-    val destPath = new org.apache.hadoop.fs.Path(path)
-    val fs = destPath.getFileSystem(hconf)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "assign/_SUCCESS"))) {
-      if (fs.exists(destPath)) fs.delete(destPath, true)
-      val staging = new org.apache.hadoop.fs.Path(
-        path + s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    ArtifactBuild.ensure(s,
+        indexPath(s, d, "embeddings.parquet", "ivf", "v1", indexRoot),
+        "assign/_SUCCESS") { staging =>
       // one corpus scan+quantize feeds all Lloyd crossings AND the
       // final assignment (the annIvfInMemory checkpoint rationale)
       val qv = Tables.embeddings(s, d)
@@ -336,9 +319,7 @@ object SimilarityOps {
         .select($"vec_id", $"cid".cast("int").as("cid"))
         .write.mode("overwrite").partitionBy("cid")
         .parquet(new org.apache.hadoop.fs.Path(staging, "assign").toString)
-      if (!fs.rename(staging, destPath)) fs.delete(staging, true)
     }
-    path
   }
 
   /** x12 — IVF ANN served from the MATERIALIZED index: centroid
@@ -453,14 +434,9 @@ object SimilarityOps {
   def ensureIvfPqIndex(s: SparkSession, d: String,
                        indexRoot: String = sys.props("java.io.tmpdir")): String = {
     import s.implicits._
-    val hconf = s.sparkContext.hadoopConfiguration
-    val path = indexPath(s, d, "embeddings.parquet", "ivfpq", "v1", indexRoot)
-    val destPath = new org.apache.hadoop.fs.Path(path)
-    val fs = destPath.getFileSystem(hconf)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "codes/_SUCCESS"))) {
-      if (fs.exists(destPath)) fs.delete(destPath, true)
-      val staging = new org.apache.hadoop.fs.Path(
-        path + s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    ArtifactBuild.ensure(s,
+        indexPath(s, d, "embeddings.parquet", "ivfpq", "v1", indexRoot),
+        "codes/_SUCCESS") { staging =>
       val ivf = ensureIvfIndex(s, d, indexRoot)
       val cents = s.read.parquet(s"$ivf/centroids")
         .select($"cid".cast("int").as("cid"), $"c")
@@ -498,9 +474,7 @@ object SimilarityOps {
               .getField("code")).as("codes"))
         .write.mode("overwrite").partitionBy("cid")
         .parquet(new org.apache.hadoop.fs.Path(staging, "codes").toString)
-      if (!fs.rename(staging, destPath)) fs.delete(staging, true)
     }
-    path
   }
 
   /** x38 — IVF-PQ ANN, served from the materialized codes: the probe

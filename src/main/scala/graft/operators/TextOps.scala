@@ -416,22 +416,15 @@ object TextOps {
   def ensureLmModel(s: SparkSession, d: String,
                     indexRoot: String = sys.props("java.io.tmpdir")): String = {
     import s.implicits._
-    val hconf = s.sparkContext.hadoopConfiguration
-    val path = SimilarityOps.indexPath(s, d, "documents.parquet", "lm",
-      "v1", indexRoot)
-    val destPath = new org.apache.hadoop.fs.Path(path)
-    val fs = destPath.getFileSystem(hconf)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "model/_SUCCESS"))) {
-      if (fs.exists(destPath)) fs.delete(destPath, true)
-      val staging = new org.apache.hadoop.fs.Path(
-        path + s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    ArtifactBuild.ensure(s,
+        SimilarityOps.indexPath(s, d, "documents.parquet", "lm", "v1",
+          indexRoot),
+        "model/_SUCCESS") { staging =>
       lmModelFromCounts(bigramsOf(s, d)
           .groupBy($"w1", $"w2").agg(count("*").as("c12")))
         .write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(staging, "model").toString)
-      if (!fs.rename(staging, destPath)) fs.delete(staging, true)
     }
-    path
   }
 
   /** x27 — LM likelihood served from the MATERIALIZED model: the
@@ -629,23 +622,16 @@ object TextOps {
   def ensureDsirModel(s: SparkSession, d: String,
                       indexRoot: String = sys.props("java.io.tmpdir")): String = {
     import s.implicits._
-    val hconf = s.sparkContext.hadoopConfiguration
-    val path = SimilarityOps.indexPath(s, d, "documents.parquet", "dsir",
-      "v1", indexRoot)
-    val destPath = new org.apache.hadoop.fs.Path(path)
-    val fs = destPath.getFileSystem(hconf)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "model/_SUCCESS"))) {
-      if (fs.exists(destPath)) fs.delete(destPath, true)
-      val staging = new org.apache.hadoop.fs.Path(
-        path + s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    ArtifactBuild.ensure(s,
+        SimilarityOps.indexPath(s, d, "documents.parquet", "dsir", "v1",
+          indexRoot),
+        "model/_SUCCESS") { staging =>
       dsirRatiosFromCounts(dsirToksOf(docs(s, d))
           .groupBy($"b")
           .agg(count(lit(1)).as("ct_r"), count_if($"is_t").as("ct_t")))
         .write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(staging, "model").toString)
-      if (!fs.rename(staging, destPath)) fs.delete(staging, true)
     }
-    path
   }
 
   /** x48 served from the MATERIALIZED ratio table: query-time corpus
@@ -892,10 +878,9 @@ object TextOps {
     * touches no corpus data whatsoever. */
   def bpePairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val vocab = docs(s, d)
-      .select(explode(split(lower(trim($"text")), "\\s+")).as("word"))
-      .filter(length($"word") >= 2)
-      .groupBy($"word").agg(count(lit(1)).as("freq"))
+    // the vocabulary rule lives in BpeOps (shared with the trainer and
+    // the segmenter — one tokenize to drift, not three)
+    val vocab = BpeOps.vocabOf(docs(s, d))
     vocab
       .select($"freq", explode(transform(
         sequence(lit(0), length($"word") - 2),

@@ -11,7 +11,11 @@ import graft.operators.{BpeOps, TextOps}
 class BpeTrainSpec extends AnyFunSuite with SparkTestSession {
   import spark.implicits._
 
-  private val NMerges = 12
+  // Past round ~13 on this fixture some word ("scan") fully collapses
+  // to a single symbol — training through 20 pins that converged words
+  // are filtered, not crashed on (sequence(1,0) is DESCENDING in
+  // Spark, so an unguarded pair-expand throws INVALID_INDEX_OF_ZERO).
+  private val NMerges = 20
 
   private def docs = Tables.documents(spark, sf)
     .select($"doc_id", $"text")
@@ -31,20 +35,27 @@ class BpeTrainSpec extends AnyFunSuite with SparkTestSession {
         syms.sliding(2).filter(_.size == 2)
           .foreach(p => counts((p(0), p(1))) += f)
       }
-      val ((a, b), c) = counts.toSeq
-        .minBy { case ((pa, pb), pc) => (-pc, pa, pb) }
-      merges += ((r.toLong, a, b, c))
-      vocab = vocab.map { case (w, (f, syms)) =>
-        val out = collection.mutable.ArrayBuffer.empty[String]
-        syms.foreach { x =>
-          if (out.nonEmpty && out.last == a && x == b)
-            out(out.length - 1) = a + b
-          else out += x
+      if (counts.nonEmpty) {
+        val ((a, b), c) = counts.toSeq
+          .minBy { case ((pa, pb), pc) => (-pc, pa, pb) }
+        merges += ((r.toLong, a, b, c))
+        vocab = vocab.map { case (w, (f, syms)) =>
+          w -> ((f, refApply(syms, a, b)))
         }
-        w -> ((f, out.toSeq))
       }
     }
     (merges.result(), vocab.map { case (w, (_, syms)) => w -> syms })
+  }
+
+  /** One greedy left-to-right merge pass. */
+  private def refApply(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = collection.mutable.ArrayBuffer.empty[String]
+    syms.foreach { x =>
+      if (out.nonEmpty && out.last == a && x == b)
+        out(out.length - 1) = a + b
+      else out += x
+    }
+    out.toSeq
   }
 
   test("distributed BPE training picks the reference merge sequence and segmentations") {
@@ -74,16 +85,52 @@ class BpeTrainSpec extends AnyFunSuite with SparkTestSession {
       gotMerges.head._4) === x46Top)
   }
 
-  test("segmentation joins the trained vocab; OOV words fall back to characters") {
-    val (_, vocabDf) = BpeOps.bpeTrain(docs, NMerges)
+  test("segmentation joins the trained vocab; OOV words get the learned merges applied") {
+    val (mergesDf, vocabDf) = BpeOps.bpeTrain(docs, NMerges)
+    val merges = mergesDf.select($"round", $"a", $"b")
+      .as[(Long, String, String)].collect().sortBy(_._1)
     val probe = Seq((1L, "spark zzyzzx")).toDF("doc_id", "text")
-    val got = BpeOps.bpeSegment(probe, vocabDf)
+    val got = BpeOps.bpeSegment(probe, mergesDf, vocabDf)
       .select($"word", $"syms").as[(String, Seq[String])].collect().toMap
     // in-vocab word gets its trained segmentation
     val trained = vocabDf.filter($"word" === "spark")
       .select($"syms").as[Seq[String]].collect()
     if (trained.nonEmpty) assert(got("spark") === trained.head)
-    // OOV word: character fallback, still lossless
-    assert(got("zzyzzx") === "zzyzzx".map(_.toString))
+    // OOV word: the trained merges applied in pick order (Sennrich's
+    // open-vocabulary application), NOT a bare character fallback —
+    // recomputed here with the reference greedy pass
+    val wantOov = merges.foldLeft("zzyzzx".map(_.toString): Seq[String]) {
+      case (syms, (_, a, b)) => refApply(syms, a, b)
+    }
+    assert(got("zzyzzx") === wantOov)
+    assert(got("zzyzzx").mkString === "zzyzzx")
+  }
+
+  test("the OOV merge fold reproduces the trained segmentation for every vocab word") {
+    // segmenting with an EMPTY vocab forces every word down the OOV
+    // path — it must agree with the trained vocab's segmentations
+    // exactly (the application fold ≡ training's per-round passes)
+    val (mergesDf, vocabDf) = BpeOps.bpeTrain(docs, NMerges)
+    val viaOov = BpeOps.bpeSegment(docs, mergesDf, vocabDf.limit(0))
+      .select($"word", $"syms").distinct()
+      .as[(String, Seq[String])].collect().toMap
+    val trained = vocabDf.select($"word", $"syms")
+      .as[(String, Seq[String])].collect().toMap
+    assert(viaOov === trained)
+  }
+
+  test("a converged corpus stops merging instead of annihilating the vocabulary") {
+    // 'ab ab': round 0 merges (a,b); every later round finds NO pair —
+    // the merge table must stop growing and the vocab must survive
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val (mergesDf, vocabDf) = BpeOps.bpeTrain(tiny, 3)
+    assert(mergesDf.count() === 1L)
+    val vocab = vocabDf.select($"word", $"syms")
+      .as[(String, Seq[String])].collect().toMap
+    assert(vocab === Map("ab" -> Seq("ab")))
+    // and segmentation through the converged tokenizer still works
+    val seg = BpeOps.bpeSegment(tiny, mergesDf, vocabDf)
+      .select($"syms").as[Seq[String]].collect()
+    assert(seg.toSeq === Seq(Seq("ab"), Seq("ab")))
   }
 }

@@ -40,13 +40,17 @@ class DemoSpec extends AnyFunSuite with SparkTestSession {
 
     // x48 — DSIR selection: the stage equals the classifier survivors
     // whose per-token importance (from the audited query itself) sits
-    // above the corpus mean — the demo's relative cut, recomputed here
-    // driver-side from x48's own scores
+    // above the corpus mean Σscore6/Σtoks — the demo's relative cut,
+    // recomputed here driver-side in exact BigInt cross-multiplication
+    // (the same integer comparison the demo evaluates in bounded
+    // decimals, so the reconciliation is bit-exact, not fp-noise-deep)
     val ptScores = operators.TextOps.dsirWeights(spark, sf)
-      .select($"doc_id", ($"score6" / $"n_toks").as("pt"))
-      .as[(Long, Double)].collect()
-    val meanPt = ptScores.map(_._2).sum / ptScores.length
-    val selIds = ptScores.filter(_._2 > meanPt).map(_._1).toSet
+      .select($"doc_id", $"score6", $"n_toks")
+      .as[(Long, Long, Long)].collect()
+    val ts = ptScores.map(r => BigInt(r._2)).sum
+    val tt = ptScores.map(r => BigInt(r._3)).sum
+    val selIds = ptScores
+      .filter(r => BigInt(r._2) * tt > ts * BigInt(r._3)).map(_._1).toSet
     val gated = classed.filter($"doc_id".isInCollection(selIds))
     assert(counts("after_dsir_selection") === gated.count())
 
