@@ -379,6 +379,87 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
+  // ---- Gopher repetition signals (intra-doc) ------------------------------
+
+  /** Gopher/MassiveText repetition thresholds (Rae et al. 2021, table
+    * A1): reject when > 20% of a doc's characters sit in its single
+    * most frequent word 2-gram, or > 15% of its tokens are covered by
+    * word 5-grams that repeat WITHIN the doc. */
+  val MaxTop2CharRatio = 0.20
+  val MaxDup5TokenRatio = 0.15
+
+  /** The gram size for the intra-doc duplicate-coverage signal. */
+  val GopherGramK = 5
+
+  /** x51 — the Gopher repetition signals x21 does not cover: per doc,
+    * (a) the fraction of characters contained in the doc's MOST
+    * FREQUENT word 2-gram (count DESC, gram ASC tie-break — boilerplate
+    * and generation loops concentrate mass in one gram), and (b) the
+    * fraction of tokens covered by word 5-grams occurring ≥ 2 times in
+    * the SAME doc — the intra-doc twin of x43's cross-doc span rule,
+    * sharing its gram fingerprinting and gaps-and-islands merge so the
+    * coverage arithmetic cannot drift. Both ratios are emitted as
+    * exact integer millionths (numerator·1e6 div denominator), so the
+    * oracle hash-matches bitwise.
+    *
+    * Scale shape: ONE corpus scan (the tokenized base is checkpointed
+    * and feeds both signals plus the final join); each signal is an
+    * explode → partial-aggregated shuffle KEYED BY (doc_id, gram) —
+    * per-doc keys, so corpus growth adds partitions, not skew. The
+    * 2-gram argmax is a per-doc window over the per-doc counts, never
+    * a global sort. */
+  def gopherRepetition(s: SparkSession, d: String): DataFrame =
+    gopherRepetitionOf(Tables.documents(s, d))
+
+  /** The x51 signals over an arbitrary (doc_id, text) frame — the
+    * frame form every curation composition (and the planted-doc spec)
+    * uses, so the corpus query cannot drift from it. */
+  def gopherRepetitionOf(docsFrame: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = docsFrame.sparkSession
+    import s.implicits._
+    val w = wordsOf(docsFrame).filter(size($"w") >= 2)
+      .select($"doc_id", $"w", size($"w").cast("long").as("n_tokens"),
+        expr("aggregate(w, 0L, (acc, x) -> acc + length(x))").as("n_chars"))
+      .localCheckpoint(false)
+    // (a) most frequent 2-gram's character mass
+    val top2 = w
+      .select($"doc_id", $"n_chars", explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> struct(element_at(w, i) AS a,
+          |              element_at(w, i + 1) AS b))""".stripMargin)).as("p"))
+      .groupBy($"doc_id", $"n_chars", $"p.a", $"p.b")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"c".desc, $"a", $"b")))
+      .filter($"rn" === 1)
+      .select($"doc_id",
+        expr("c * (length(a) + length(b)) * 1000000L div n_chars")
+          .as("top2_frac6"))
+    // (b) tokens covered by intra-doc duplicated 5-grams
+    val g5 = substringGramsOfWords(
+      w.filter(size($"w") >= GopherGramK).select($"doc_id", $"w"), GopherGramK)
+    val dupg = g5.groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
+      .filter($"c" >= 2).select($"doc_id", $"g")
+    val cov = substringSpansFromHits(
+        g5.join(dupg, Seq("doc_id", "g"))
+          .select($"doc_id", $"n_tokens", $"pos"), GopherGramK)
+      .groupBy($"doc_id")
+      .agg(sum($"e" - $"s" + 1).cast("long").as("dup5_tokens"))
+    w.select($"doc_id", $"n_tokens", $"n_chars")
+      .join(top2, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens", $"n_chars",
+        coalesce($"top2_frac6", lit(0L)).as("top2_frac6"),
+        coalesce($"dup5_tokens", lit(0L)).as("dup5_tokens"))
+      .withColumn("dup5_frac6",
+        expr("dup5_tokens * 1000000L div n_tokens"))
+      .withColumn("flagged",
+        $"top2_frac6" > (MaxTop2CharRatio * 1e6).toLong ||
+          $"dup5_frac6" > (MaxDup5TokenRatio * 1e6).toLong)
+      .orderBy($"doc_id")
+  }
+
   // ---- block-level exact substring dedup ---------------------------------
 
   /** Words per sliding window for block-level dedup. 8 words ≈ the
@@ -592,8 +673,8 @@ object DedupOps {
     * word 8-grams. Public as the per-document (corpus-independent)
     * stage of the span pipeline: the streaming index persists exactly
     * this relation per batch. */
-  def substringGramsOfWords(w: DataFrame): DataFrame = {
-    val k = SubstringGramK
+  def substringGramsOfWords(w: DataFrame,
+                            k: Int = SubstringGramK): DataFrame = {
     w.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
         posexplode(transform(sequence(lit(0), size(col("w")) - k),
           i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(k)))))))
@@ -608,9 +689,9 @@ object DedupOps {
   /** Marked positions → maximal spans (the gaps-and-islands merge) —
     * shared by the one-shot and streaming forms so the merge rule
     * cannot drift. */
-  def substringSpansFromHits(hits: DataFrame): DataFrame = {
+  def substringSpansFromHits(hits: DataFrame,
+                             k: Int = SubstringGramK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val k = SubstringGramK
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     hits
       .withColumn("brk",
@@ -684,6 +765,7 @@ object DedupOps {
     "x44_remove_dup_spans"    -> removeDupSpans _,
     "x20_contamination"       -> contamination _,
     "x21_repetition_filter"   -> repetitionFilter _,
+    "x51_gopher_repetition"   -> gopherRepetition _,
     "x24_contamination_eval"  -> contaminationEval _,
     "x26_dedup_blocks"        -> dedupBlocks _,
   )
@@ -777,6 +859,76 @@ object DedupOps {
         |  ROUND((len(w.w) - 2 - sizes.n) / (len(w.w) - 2), 4)
         |    > $MaxDupShingleRatio AS flagged
         |FROM w JOIN sizes USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // x51: the 2-gram argmax tie-breaks (count DESC, a ASC, b ASC) on
+    // both sides; the 5-gram coverage reuses the x43/x44 md5 gram
+    // fingerprint and gaps-and-islands merge with k = 5; ratios are
+    // integer millionths (· 1000000 div/-// denominator — both engines
+    // truncate for nonnegative operands), so the compare is bitwise.
+    "x51_gopher_repetition" ->
+      s"""WITH w0 AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+        |  FROM documents
+        |  WHERE len(string_split_regex(lower(text), '\\s+')) >= 2),
+        |base AS (
+        |  SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+        |      AS n_chars
+        |  FROM w0),
+        |p AS (
+        |  SELECT doc_id, n_chars,
+        |    unnest(list_transform(range(0, len(w) - 1), i -> w[i + 1])) AS a,
+        |    unnest(list_transform(range(0, len(w) - 1), i -> w[i + 2])) AS b
+        |  FROM base),
+        |pc AS (
+        |  SELECT doc_id, n_chars, a, b, CAST(count(*) AS BIGINT) AS c
+        |  FROM p GROUP BY doc_id, n_chars, a, b),
+        |t2 AS (
+        |  SELECT doc_id,
+        |    c * (length(a) + length(b)) * 1000000 // n_chars AS top2_frac6,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY c DESC, a, b) AS rn
+        |  FROM pc),
+        |g AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |    unnest(range(0, len(w) - $GopherGramK + 1)) AS pos,
+        |    unnest(list_transform(range(0, len(w) - $GopherGramK + 1),
+        |      i -> md5(array_to_string(w[i + 1 : i + $GopherGramK], ' '))))
+        |      AS g
+        |  FROM base WHERE len(w) >= $GopherGramK),
+        |dup AS (SELECT doc_id, g FROM g
+        |        GROUP BY doc_id, g HAVING count(*) >= 2),
+        |hits AS (SELECT g.doc_id, g.n_tokens, g.pos
+        |         FROM g JOIN dup USING (doc_id, g)),
+        |isl AS (
+        |  SELECT doc_id, n_tokens, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |           OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |                    + ${GopherGramK - 1}
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM hits),
+        |isl2 AS (
+        |  SELECT doc_id, n_tokens, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, n_tokens, island, min(pos) AS s,
+        |    max(pos) + ${GopherGramK - 1} AS e
+        |  FROM isl2 GROUP BY doc_id, n_tokens, island),
+        |cov AS (
+        |  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS dup5_tokens
+        |  FROM spans GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens, b.n_chars,
+        |  coalesce(t.top2_frac6, 0) AS top2_frac6,
+        |  coalesce(cov.dup5_tokens, 0) AS dup5_tokens,
+        |  coalesce(cov.dup5_tokens, 0) * 1000000 // b.n_tokens AS dup5_frac6,
+        |  (coalesce(t.top2_frac6, 0) > ${(MaxTop2CharRatio * 1e6).toLong}
+        |   OR coalesce(cov.dup5_tokens, 0) * 1000000 // b.n_tokens
+        |      > ${(MaxDup5TokenRatio * 1e6).toLong}) AS flagged
+        |FROM base b
+        |LEFT JOIN (SELECT doc_id, top2_frac6 FROM t2 WHERE rn = 1) t
+        |  USING (doc_id)
+        |LEFT JOIN cov USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "x20_contamination" ->
       s"""WITH $ShingleBaseCtes,

@@ -135,4 +135,86 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       Tables.documents(spark, sf).select($"text").distinct().count())
     assert(out.filter($"n_copies" =!= 2).count() === 0)
   }
+
+  /** Driver-side reference for the x51 signals (raw gram strings — the
+    * Spark side's md5 keys are equal up to collisions). */
+  private def refGopher(text: String)
+      : Option[(Long, Long, Long, Long, Long, Boolean)] = {
+    val w = text.toLowerCase.split("\\s+").toSeq
+    if (w.size < 2) return None
+    val nToks = w.size.toLong
+    val nChars = w.map(_.length.toLong).sum
+    val top = w.sliding(2).toSeq.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq
+      .minBy { case (g, c) => (-c, g.head, g(1)) }
+    val top2 = top._2 * (top._1.head.length + top._1(1).length) * 1000000L / nChars
+    val dup5 = if (w.size < 5) 0L else {
+      val grams = w.sliding(5).map(_.mkString(" ")).toSeq.zipWithIndex
+      val dup = grams.groupBy(_._1).filter(_._2.size >= 2).keySet
+      val pos = grams.filter(g => dup(g._1)).map(_._2).sorted
+      // gaps-and-islands with k = 5: merge marked positions into
+      // maximal covered spans, sum their token lengths
+      var total = 0L
+      var s = -1; var e = -1
+      pos.foreach { p =>
+        if (s < 0) { s = p; e = p + 4 }
+        else if (p <= e) { e = p + 4 }  // p <= prev_pos + 4 (= e) joins
+        else { total += e - s + 1; s = p; e = p + 4 }
+      }
+      if (s >= 0) total += e - s + 1
+      total
+    }
+    val dup5f = dup5 * 1000000L / nToks
+    Some((nToks, nChars, top2, dup5, dup5f,
+      top2 > 200000L || dup5f > 150000L))
+  }
+
+  test("x51 gopher repetition matches a driver-side recompute on the fixture") {
+    val got = DedupOps.gopherRepetition(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect()
+    val texts = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val want = texts.flatMap { case (id, t) =>
+      refGopher(t).map(r => id -> r)
+    }
+    assert(got.length === want.size)
+    got.foreach { case (id, n, nc, t2, d5, d5f, f) =>
+      assert((n, nc, t2, d5, d5f, f) === want(id), s"doc $id")
+    }
+    assert(got.exists(_._7), "fixture should flag some repetitive docs")
+    assert(got.exists(!_._7))
+  }
+
+  test("x51 planted repetition: loops light up both signals exactly") {
+    val planted = Seq(
+      // 4×(spam ham): top 2-gram (spam,ham) ×4 covers all 28 chars;
+      // every 5-gram position repeats → all 8 tokens covered
+      (1L, "spam ham spam ham spam ham spam ham"),
+      // all-distinct words, long enough that a count-1 top 2-gram
+      // stays under the 20% char threshold; no duplicated 5-gram
+      (2L, "alpha bravo charlie delta echo foxtrot golf hotel india " +
+        "juliet kilo lima mike november oscar papa"),
+      // repeated phrase separated by unique filler — two islands
+      (3L, "one two three four five x1 x2 x3 one two three four five y1 y2 y3")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.gopherRepetitionOf(planted)
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._4 === 1000000L, "top2 covers every char")
+    assert(got(1L)._5 === 8L, "all 8 tokens in duplicated 5-grams")
+    assert(got(1L)._7 === true)
+    assert(got(2L)._5 === 0L)
+    assert(got(2L)._7 === false)
+    // doc 3: 'one two three four five' at positions 0 and 8 → two
+    // disjoint 5-token islands (gap 8 > 4), 10 tokens covered, 16 total
+    assert(got(3L)._5 === 10L)
+    assert(got(3L)._6 === 10L * 1000000L / 16L)
+    assert(got(3L)._7 === true, "62.5% dup-5-gram coverage must flag")
+    // and every planted row agrees with the reference recompute
+    planted.as[(Long, String)].collect().foreach { case (id, t) =>
+      val r = refGopher(t).get
+      val g = got(id)
+      assert((g._2, g._3, g._4, g._5, g._6, g._7) === r, s"planted doc $id")
+    }
+  }
 }
