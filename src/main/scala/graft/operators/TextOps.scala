@@ -805,6 +805,49 @@ object TextOps {
       .smallOrdered($"source")
   }
 
+  /** x52 — TEMPERATURE-scaled source mixture, the other standard
+    * data-mixing rule (multilingual/multi-source pretraining: sample
+    * source s with p_s ∝ n_s^τ, τ < 1, so small sources are
+    * up-weighted relative to their natural share — the recipe behind
+    * public multilingual models' language balancing). τ is fixed at
+    * 1/2: sqrt is CORRECTLY ROUNDED under IEEE-754 in both engines
+    * (general pow is not), which is what lets a float temperature
+    * produce a bit-reproducible plan. Each source's weight becomes an
+    * integer micro-unit s6 = round(√tokens·10⁶); shares and
+    * allocations are integer arithmetic on s6 from there on (p6 ≤
+    * 10⁶ and s6 ≤ √(2.5·10¹³)·10⁶ ≈ 5·10¹², so every product stays
+    * under 2⁶³ at the 100 TB design point; the budget·p6 product is
+    * split around the divide, the x36 overflow discipline).
+    *
+    * Scale shape: identical to x36 — one map-combined corpus
+    * aggregate, then ≤|sources|-row arithmetic (the full-frame window
+    * is the smallOrdered trade). Output: (source, tokens, p6, rate,
+    * alloc) where alloc is the token count a budget-B sampler draws
+    * from s. */
+  def temperatureMixture(s: SparkSession, d: String): DataFrame =
+    temperatureMixtureOf(docs(s, d))
+
+  /** The same plan for an arbitrary (source, text) frame. */
+  def temperatureMixtureOf(docsFrame: DataFrame): DataFrame = {
+    import docsFrame.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tok = docsFrame
+      .select($"source", nTokensCol($"text").as("nt"))
+      .groupBy($"source").agg(sum($"nt").as("tokens"))
+    tok
+      .withColumn("s6", round(sqrt($"tokens") * 1e6, 0).cast("long"))
+      .withColumn("t6", sum($"s6").over(Window.partitionBy()))
+      .withColumn("total", sum($"tokens").over(Window.partitionBy()))
+      .withColumn("budget",
+        floor($"total" / lit(MixtureBudgetDen.toDouble)).cast("long"))
+      .withColumn("p6", expr("s6 * 1000000 div t6"))
+      .select($"source", $"tokens", $"p6",
+        round($"s6" / $"t6", 6).as("rate"),
+        expr("(budget div 1000000) * p6 + ((budget % 1000000) * p6) div 1000000")
+          .as("alloc"))
+      .smallOrdered($"source")
+  }
+
   // ---- corpus report card -----------------------------------------------
 
   /** x37 — the per-source "dataset card" in ONE narrow pass: document
@@ -903,6 +946,7 @@ object TextOps {
     "x28_pii_redaction"    -> piiRedaction _,
     "x32_group_sample"     -> groupSample _,
     "x36_mixture_plan"     -> mixturePlan _,
+    "x52_temperature_mixture" -> temperatureMixture _,
     "x37_corpus_report"    -> corpusReport _,
     "x39_quality_classifier" -> qualityClassifier _,
     "x41_chunk_documents"  -> chunkDocuments _,
@@ -1026,6 +1070,32 @@ object TextOps {
          |       ELSE (tokens // 1000000) * r6i
          |            + ((tokens % 1000000) * r6i) // 1000000 END AS alloc
          |FROM j ORDER BY source""".stripMargin,
+    // x52: sqrt is IEEE-correctly-rounded in both engines and the
+    // only float step; everything after s6 = round(sqrt·1e6) is
+    // integer (// ≡ div for nonnegative operands). rate's 6-decimal
+    // round of a bigint/bigint double division is the established
+    // x36 convention.
+    "x52_temperature_mixture" ->
+      s"""WITH tok AS (
+         |  SELECT source,
+         |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         |      AS tokens
+         |  FROM documents GROUP BY source),
+         |b AS (
+         |  SELECT source, tokens,
+         |    CAST(round(sqrt(tokens) * 1000000, 0) AS BIGINT) AS s6,
+         |    CAST(sum(CAST(round(sqrt(tokens) * 1000000, 0) AS BIGINT))
+         |      OVER () AS BIGINT) AS t6,
+         |    CAST(sum(tokens) OVER () AS BIGINT) AS total
+         |  FROM tok),
+         |c AS (SELECT *,
+         |    CAST(floor(total / $MixtureBudgetDen) AS BIGINT) AS budget,
+         |    s6 * 1000000 // t6 AS p6 FROM b)
+         |SELECT source, tokens, p6,
+         |  round(s6 / t6, 6) AS rate,
+         |  (budget // 1000000) * p6 + ((budget % 1000000) * p6) // 1000000
+         |    AS alloc
+         |FROM c ORDER BY source""".stripMargin,
     // x41: same chunk-count formula and window slices; DuckDB list
     // slicing is 1-based inclusive, hence [start+1 : start+size].
     "x41_chunk_documents" ->

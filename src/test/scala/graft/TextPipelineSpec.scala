@@ -519,4 +519,34 @@ class TextPipelineSpec extends AnyFunSuite with SparkTestSession {
     val got = TextOps.bpePairs(spark, sf).as[(String, Long)].collect().toSeq
     assert(got === expected)
   }
+
+  test("x52 temperature mixture equals a driver recompute and up-weights small sources") {
+    val toks = Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2.trim.split("\\s+").length.toLong).sum).toMap
+    val s6 = toks.view.mapValues(n => math.round(math.sqrt(n.toDouble) * 1e6)).toMap
+    val t6 = s6.values.sum
+    val total = toks.values.sum
+    val budget = total / TextOps.MixtureBudgetDen
+    val want = toks.keys.toSeq.sorted.map { src =>
+      val p6 = s6(src) * 1000000L / t6
+      (src, toks(src), p6,
+        BigDecimal(s6(src).toDouble / t6)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        (budget / 1000000L) * p6 + ((budget % 1000000L) * p6) / 1000000L)
+    }
+    val got = TextOps.temperatureMixture(spark, sf)
+      .as[(String, Long, Long, Double, Long)].collect().toSeq
+    assert(got === want)
+    // τ = 1/2 up-weights small sources: sampled share / natural share
+    // must strictly DECREASE as source size increases
+    val bySize = got.sortBy(_._2)
+    val boost = bySize.map(r => r._3.toDouble * total / (1e6 * r._2))
+    assert(boost.zip(boost.tail).forall { case (a, b) => a > b },
+      s"boost should decrease with size: $boost")
+    assert(got.map(_._5).sum <= budget,
+      "allocations never exceed the budget")
+    assert(got.map(_._3).sum <= 1000000L, "shares are a sub-probability")
+  }
 }
