@@ -95,10 +95,18 @@ object BpeOps {
     * per-round checkpoint bounds lineage — rounds are sequential by
     * nature (merge r+1 counts pairs that exist only after merge r). */
   def bpeTrain(docsFrame: DataFrame,
-               nMerges: Int): (DataFrame, DataFrame) = {
-    val s = docsFrame.sparkSession
+               nMerges: Int): (DataFrame, DataFrame) =
+    bpeTrainFromVocab(vocabOf(docsFrame), nMerges)
+
+  /** Train from an ALREADY-AGGREGATED (word, freq) vocabulary — the
+    * entry the incrementally-maintained streaming vocab serves
+    * (training's one corpus-sized stage is exactly this aggregate, so
+    * a maintained vocab makes tokenizer retraining corpus-scan-free). */
+  def bpeTrainFromVocab(vocabFrame: DataFrame,
+                        nMerges: Int): (DataFrame, DataFrame) = {
+    val s = vocabFrame.sparkSession
     import s.implicits._
-    var vocab = vocabOf(docsFrame)
+    var vocab = vocabFrame
       .select($"word", $"freq", charsCol("word").as("syms"))
       .localCheckpoint(false)
     val merges = Seq.newBuilder[DataFrame]
