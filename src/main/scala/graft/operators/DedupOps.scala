@@ -422,7 +422,12 @@ object DedupOps {
       .select($"doc_id", $"w", size($"w").cast("long").as("n_tokens"),
         expr("aggregate(w, 0L, (acc, x) -> acc + length(x))").as("n_chars"))
       .localCheckpoint(false)
-    // (a) most frequent 2-gram's character mass
+    // (a) most frequent 2-gram's character mass. The argmax is a
+    // SECOND aggregate — min(struct(-c, a, b, covered)) — not a
+    // window: both aggregates partial-combine map-side, and the
+    // (count DESC, gram ASC) pick order rides the struct's
+    // lexicographic compare ((-c, a, b) is unique per gram, so the
+    // trailing covered field never influences the pick).
     val top2 = w
       .select($"doc_id", $"n_chars", explode(expr(
         """transform(sequence(1, size(w) - 1),
@@ -430,19 +435,20 @@ object DedupOps {
           |              element_at(w, i + 1) AS b))""".stripMargin)).as("p"))
       .groupBy($"doc_id", $"n_chars", $"p.a", $"p.b")
       .agg(count(lit(1)).as("c"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"doc_id").orderBy($"c".desc, $"a", $"b")))
-      .filter($"rn" === 1)
+      .groupBy($"doc_id", $"n_chars")
+      .agg(min(struct((-$"c").as("nc"), $"a", $"b",
+        ($"c" * (length($"a") + length($"b"))).as("covered"))).as("t"))
       .select($"doc_id",
-        expr("c * (length(a) + length(b)) * 1000000L div n_chars")
-          .as("top2_frac6"))
-    // (b) tokens covered by intra-doc duplicated 5-grams
+        expr("t.covered * 1000000L div n_chars").as("top2_frac6"))
+    // (b) tokens covered by intra-doc duplicated 5-grams: the ≥2 mark
+    // is a count over the SAME (doc_id, gram) key the aggregate would
+    // use, as a window — one exchange, no join-back
     val g5 = substringGramsOfWords(
       w.filter(size($"w") >= GopherGramK).select($"doc_id", $"w"), GopherGramK)
-    val dupg = g5.groupBy($"doc_id", $"g").agg(count(lit(1)).as("c"))
-      .filter($"c" >= 2).select($"doc_id", $"g")
     val cov = substringSpansFromHits(
-        g5.join(dupg, Seq("doc_id", "g"))
+        g5.withColumn("c",
+            count(lit(1)).over(Window.partitionBy($"doc_id", $"g")))
+          .filter($"c" >= 2)
           .select($"doc_id", $"n_tokens", $"pos"), GopherGramK)
       .groupBy($"doc_id")
       .agg(sum($"e" - $"s" + 1).cast("long").as("dup5_tokens"))
