@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   *
   *   PII scrub audit (x28) → language/quality gates + exact dedup
   *   (x14's rules via DocCuration.curateBatch) → classifier quality
-  *   gate (x39) → DSIR target-domain selection (x48) → near-dup
+  *   gate (x39) → Gopher repetition gate (x51) → DSIR target-domain
+  *   selection (x48) → near-dup
   *   cluster representatives (x02 pairs → x17 components) → benchmark
   *   decontamination (x24's leaked-prefix eval) → deterministic
   *   content-hash split (x23) → split-partitioned parquet shards.
@@ -55,6 +56,15 @@ object TrainingDataDemo {
     val classed = gated.join(kept, "doc_id").localCheckpoint(false)
     report += ("after_classifier_gate" -> classed.count())
 
+    // 2b2. repetition gate (x51): drop docs whose repetition signals
+    // trip the Gopher thresholds (top-2-gram char mass or intra-doc
+    // duplicated-5-gram coverage) — generation loops and boilerplate
+    // that survive the heuristic and classifier gates
+    val unrepetitive = operators.DedupOps.gopherRepetition(spark, sfDir)
+      .filter(!$"flagged").select($"doc_id")
+    val unrep = classed.join(unrepetitive, "doc_id").localCheckpoint(false)
+    report += ("after_repetition_gate" -> unrep.count())
+
     // 2c. target-domain selection (x48): the DSIR importance scorer
     // ranks docs by how target-like their hashed-unigram distribution
     // is — the "match the pretraining mix to the domain you care
@@ -78,7 +88,7 @@ object TrainingDataDemo {
       .filter($"score6".cast("decimal(16,0)") * $"tt" >
         $"ts" * $"n_toks".cast("decimal(12,0)"))
       .select($"doc_id")
-    val selected = classed.join(targetSel, "doc_id").localCheckpoint(false)
+    val selected = unrep.join(targetSel, "doc_id").localCheckpoint(false)
     report += ("after_dsir_selection" -> selected.count())
 
     // 3. near-dup components (MinHash LSH pairs → connected-component

@@ -38,6 +38,15 @@ class DemoSpec extends AnyFunSuite with SparkTestSession {
       .select($"doc_id").join(kept, "doc_id")
     assert(counts("after_classifier_gate") === classed.count())
 
+    // x51 — repetition gate: the stage equals the classifier survivors
+    // the audited repetition query itself leaves unflagged
+    val unflagged = operators.DedupOps.gopherRepetition(spark, sf)
+      .filter(!$"flagged").select($"doc_id")
+    val unrep = classed.join(unflagged, "doc_id")
+    assert(counts("after_repetition_gate") === unrep.count())
+    assert(unrep.count() < classed.count(),
+      "the repetition gate should drop some fixture docs")
+
     // x48 — DSIR selection: the stage equals the classifier survivors
     // whose per-token importance (from the audited query itself) sits
     // above the corpus mean Σscore6/Σtoks — the demo's relative cut,
@@ -51,7 +60,7 @@ class DemoSpec extends AnyFunSuite with SparkTestSession {
     val tt = ptScores.map(r => BigInt(r._3)).sum
     val selIds = ptScores
       .filter(r => BigInt(r._2) * tt > ts * BigInt(r._3)).map(_._1).toSet
-    val gated = classed.filter($"doc_id".isInCollection(selIds))
+    val gated = unrep.filter($"doc_id".isInCollection(selIds))
     assert(counts("after_dsir_selection") === gated.count())
 
     // x17 — near-dup clustering: the demo keeps exactly one survivor
