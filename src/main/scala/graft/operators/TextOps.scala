@@ -848,6 +848,78 @@ object TextOps {
       .smallOrdered($"source")
   }
 
+  /** Writer fan-out for x53 (a cluster deploy sizes this to
+    * O(corpus / shard-size), well above the core count — shards are
+    * the parallelism unit). */
+  val NumShards = 8
+
+  /** x53 — deterministic TRAINING-ORDER assignment: the "global
+    * shuffle" a training-data writer needs, WITHOUT a global sort.
+    * Each doc gets a content-keyed shard (seeded md5 bucket) and a
+    * position within its shard (ordered by an independent seeded md5,
+    * doc_id tie-break for identical texts) — reading shards
+    * round-robin replays one fixed, reproducible permutation of the
+    * corpus, and re-running the query on the same corpus yields the
+    * same order on any cluster (the retry-stable property every
+    * operator here keeps).
+    *
+    * Scale shape: NO global ordering structure is ever built — the
+    * row_number window partitions BY SHARD, so the sort is per-shard
+    * and shards scale out with the corpus (the writer then lands
+    * `partitionBy(shard)` + sortWithinPartitions(pos), which is
+    * exactly this plan's shape). */
+  def trainingOrder(s: SparkSession, d: String): DataFrame =
+    trainingOrderOf(docs(s, d))
+
+  /** The same assignment for an arbitrary (doc_id, text) frame. */
+  def trainingOrderOf(docsFrame: DataFrame): DataFrame = {
+    import docsFrame.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    docsFrame.select($"doc_id",
+        (conv(substring(md5(concat(lit("shard_"), $"text")), 1, 8), 16, 10)
+          .cast("long") % NumShards).cast("int").as("shard"),
+        md5(concat(lit("ord_"), $"text")).as("ok"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"shard").orderBy($"ok", $"doc_id")).cast("long"))
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy($"shard", $"pos")
+  }
+
+  /** x54 — CCNet-style PERPLEXITY BUCKETS (Wenzek et al. 2020): rank
+    * every doc by its per-bigram LM likelihood (x27's integer score,
+    * served from the materialized model) and cut the corpus into
+    * head / middle / tail thirds — the shards CCNet publishes and the
+    * "train on head, downsample tail" recipe consumes. The cut
+    * thresholds are the smallest per-token scores whose ascending
+    * cumulative doc count passes n/3 and 2n/3 — all BIGINT, so the
+    * bucketing is bit-reproducible (no float quantile estimator).
+    *
+    * Scale shape: the corpus-sized work is x27's one bigram pass; the
+    * threshold solve runs on the DISTINCT per-token-score relation
+    * (micro-nat integers concentrate into a bounded domain — the
+    * ordered cumulative window is the smallOrdered trade, like x36's
+    * cap solve), and the thresholds ride a one-row broadcast back
+    * onto the doc-level scores. */
+  def perplexityBuckets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val root = ensureLmModel(s, d)
+    val ppt = lmScore(docs(s, d), s.read.parquet(s"$root/model"))
+      .select($"doc_id", expr("sum_scaled_p div n_bigrams").as("ppt"))
+      .localCheckpoint(false)
+    val cum = ppt.groupBy($"ppt".as("p")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(Window.orderBy($"p")))
+    val th = cum.crossJoin(broadcast(ppt.agg(count(lit(1)).as("n"))))
+      .agg(min(when($"cum" > expr("n div 3"), $"p")).as("t1"),
+        min(when($"cum" > expr("(2 * n) div 3"), $"p")).as("t2"))
+    ppt.crossJoin(broadcast(th))
+      .select($"doc_id", $"ppt",
+        when($"ppt" > $"t2", "head")
+          .when($"ppt" > $"t1", "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy($"doc_id")
+  }
+
   // ---- corpus report card -----------------------------------------------
 
   /** x37 — the per-source "dataset card" in ONE narrow pass: document
@@ -947,6 +1019,8 @@ object TextOps {
     "x32_group_sample"     -> groupSample _,
     "x36_mixture_plan"     -> mixturePlan _,
     "x52_temperature_mixture" -> temperatureMixture _,
+    "x53_training_order"   -> trainingOrder _,
+    "x54_perplexity_buckets" -> perplexityBuckets _,
     "x37_corpus_report"    -> corpusReport _,
     "x39_quality_classifier" -> qualityClassifier _,
     "x41_chunk_documents"  -> chunkDocuments _,
@@ -954,6 +1028,27 @@ object TextOps {
     "x48_dsir_weights"     -> dsirWeights _,
     "x49_weighted_sample"  -> weightedSample _,
   )
+
+  /** Shared x27/x54 oracle CTE chain — tokenized docs, bigram explode,
+    * the integer-exact smoothed score per bigram occurrence (the
+    * anti-drift convention: one definition, two consumers). */
+  private def LmScoreCtes: String =
+    s"""w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+      |           FROM documents
+      |           WHERE len(string_split_regex(lower(text), '\\s+')) >= 2),
+      |bg AS (SELECT doc_id,
+      |         unnest(list_transform(range(1, len(w)),
+      |           i -> array_to_string(w[i:i+1], ' '))) AS bg
+      |       FROM w),
+      |v AS (SELECT count(DISTINCT word) AS v
+      |      FROM (SELECT unnest(w) AS word FROM w)),
+      |c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+      |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+      |       FROM bg GROUP BY 1),
+      |sc AS (SELECT d.doc_id,
+      |         ((c12.c12 + 1) * $LmProbScale) // (c1.c1 + v.v) AS sp
+      |       FROM bg d JOIN c12 USING (bg)
+      |       JOIN c1 ON split_part(d.bg, ' ', 1) = c1.w1 CROSS JOIN v)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // x49: the quality weight is verbatim the x08/x37 q4 fragment; the
@@ -1245,26 +1340,46 @@ object TextOps {
         |SELECT source, split, CAST(count(*) AS BIGINT) AS n
         |FROM m GROUP BY source, split ORDER BY source, split""".stripMargin,
     "x27_lm_likelihood" ->
-      s"""WITH w AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
-        |           FROM documents
-        |           WHERE len(string_split_regex(lower(text), '\\s+')) >= 2),
-        |bg AS (SELECT doc_id,
-        |         unnest(list_transform(range(1, len(w)),
-        |           i -> array_to_string(w[i:i+1], ' '))) AS bg
-        |       FROM w),
-        |v AS (SELECT count(DISTINCT word) AS v
-        |      FROM (SELECT unnest(w) AS word FROM w)),
-        |c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
-        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
-        |       FROM bg GROUP BY 1),
-        |sc AS (SELECT d.doc_id,
-        |         ((c12.c12 + 1) * $LmProbScale) // (c1.c1 + v.v) AS sp
-        |       FROM bg d JOIN c12 USING (bg)
-        |       JOIN c1 ON split_part(d.bg, ' ', 1) = c1.w1 CROSS JOIN v)
+      s"""WITH $LmScoreCtes
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  CAST(sum(sp) AS BIGINT) AS sum_scaled_p,
         |  sum(sp) < count(*) * $LmFloorScaled AS flagged
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x54: ppt and both thresholds are BIGINT (// of positives ≡ div);
+    // the head/middle cut thresholds are the smallest ppt whose
+    // ascending cumulative doc count passes n/3 and 2n/3.
+    "x54_perplexity_buckets" ->
+      s"""WITH $LmScoreCtes,
+        |ds AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb,
+        |         CAST(sum(sp) AS BIGINT) AS ssp
+        |       FROM sc GROUP BY 1),
+        |ppt AS (SELECT doc_id, ssp // nb AS ppt FROM ds),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ppt),
+        |dist AS (SELECT ppt AS p, CAST(count(*) AS BIGINT) AS c
+        |         FROM ppt GROUP BY 1),
+        |cum AS (SELECT p, sum(c) OVER (ORDER BY p) AS cum FROM dist),
+        |t AS (SELECT
+        |    min(CASE WHEN cum > n.n // 3 THEN p END) AS t1,
+        |    min(CASE WHEN cum > (2 * n.n) // 3 THEN p END) AS t2
+        |  FROM cum CROSS JOIN n)
+        |SELECT doc_id, ppt,
+        |  CASE WHEN ppt > t2 THEN 'head'
+        |       WHEN ppt > t1 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM ppt CROSS JOIN t ORDER BY doc_id""".stripMargin,
+    // x53: shard and order keys are seeded md5 hashes of the content
+    // (hex strings compare identically in both engines); equal texts
+    // fall back to doc_id, so the order is total and deterministic.
+    "x53_training_order" ->
+      s"""SELECT doc_id,
+        |  CAST(('0x' || substr(md5('shard_' || text), 1, 8))::BIGINT
+        |    % $NumShards AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY ('0x' || substr(md5('shard_' || text), 1, 8))::BIGINT
+        |      % $NumShards
+        |    ORDER BY md5('ord_' || text), doc_id) AS BIGINT) AS pos
+        |FROM documents
+        |ORDER BY shard, pos""".stripMargin,
     "x28_pii_redaction" ->
       s"""WITH a AS (SELECT doc_id,
          |  text || ' contact user' || CAST(doc_id AS VARCHAR)

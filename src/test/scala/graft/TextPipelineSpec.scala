@@ -549,4 +549,57 @@ class TextPipelineSpec extends AnyFunSuite with SparkTestSession {
       "allocations never exceed the budget")
     assert(got.map(_._3).sum <= 1000000L, "shares are a sub-probability")
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("x53 training order equals a driver recompute; positions are contiguous per shard") {
+    val texts = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val want = texts
+      .map { case (id, t) =>
+        val shard = (BigInt(md5hex("shard_" + t).take(8), 16) % TextOps.NumShards).toInt
+        (id, shard, md5hex("ord_" + t))
+      }
+      .groupBy(_._2).toSeq.flatMap { case (shard, rows) =>
+        rows.sortBy(r => (r._3, r._1)).zipWithIndex
+          .map { case ((id, _, _), i) => (id, shard, i + 1L) }
+      }.sortBy(r => (r._2, r._3))
+    val got = TextOps.trainingOrder(spark, sf)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got === want)
+    // every shard's positions are 1..count (a valid permutation), and
+    // the fixture actually spreads docs across shards
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted === (1L to rows.length).toSeq,
+        s"shard $shard positions")
+    }
+    assert(got.map(_._2).distinct.size > 1, "docs should spread over shards")
+  }
+
+  test("x54 perplexity buckets equal a driver recompute; thirds are deterministic") {
+    val scored = TextOps.lmLikelihood(spark, sf)
+      .select($"doc_id", $"n_bigrams", $"sum_scaled_p")
+      .as[(Long, Long, Long)].collect()
+    val ppt = scored.map { case (id, nb, ssp) => (id, ssp / nb) }
+    val n = ppt.length.toLong
+    val sortedP = ppt.map(_._2).sorted
+    def thresh(k: Long): Long = {
+      // smallest p whose ascending cumulative count exceeds k
+      var cum = 0L
+      sortedP.find { _ => { cum += 1; cum > k } }.get
+    }
+    val t1 = thresh(n / 3)
+    val t2 = thresh(2 * n / 3)
+    val want = ppt.map { case (id, p) =>
+      (id, p, if (p > t2) "head" else if (p > t1) "middle" else "tail")
+    }.sortBy(_._1).toSeq
+    val got = TextOps.perplexityBuckets(spark, sf)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got === want)
+    val sizes = got.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(sizes.keySet === Set("head", "middle", "tail"),
+      "all three buckets should be populated")
+  }
 }
