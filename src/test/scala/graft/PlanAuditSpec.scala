@@ -301,6 +301,39 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       "model fit must not run at serve time")
   }
 
+  test("x52: one corpus aggregate; the plan solve never re-scans or sorts globally") {
+    val p = plan("x52_temperature_mixture")
+    // the corpus appears exactly once (the per-source token aggregate);
+    // everything after runs on the ≤|sources|-row frame
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x53: the permutation sorts per shard — no join, one corpus scan") {
+    val p = plan("x53_training_order")
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+    // the window partitions by shard (hash exchange), and the only
+    // range partitioning is the final presentation sort
+    assert(p.contains("hashpartitioning(shard"))
+    assert("rangepartitioning".r.findAllIn(p).size <= 1)
+    assert(!p.contains("Join"), "a permutation needs no join")
+  }
+
+  test("x54: thresholds broadcast back onto the checkpointed scores") {
+    // the scoring pass (model FileScan + bigram join) sits behind the
+    // ppt localCheckpoint and is invisible here — x27's pin covers
+    // that serve shape. Visible contract: the cut solve joins the
+    // doc-level scores only via one-row broadcasts (cross joins of a
+    // 1-row frame plan as BNLJ), never a shuffled join, and never
+    // re-scans the corpus.
+    val p = plan("x54_perplexity_buckets")
+    assert(!p.contains("documents.parquet"), "scores come from the checkpoint")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2)
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("countDistinct"), "vocabulary aggregate must not serve")
+  }
+
   test("x45: the range join plans as a hash equi-join, never a nested loop") {
     // the whole point of the bucketization: a raw BETWEEN predicate
     // would plan as BroadcastNestedLoopJoin (O(probe × intervals))
