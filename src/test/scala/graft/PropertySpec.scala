@@ -198,4 +198,23 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     assert(got.nonEmpty && got.map(_._1).distinct.size > 2,
       "plants should produce spans across several docs")
   }
+
+  test("x51/x52/x53 are partitioning-invariant (retry-stable) on the fixture") {
+    // the same frame re-partitioned arbitrarily must produce the SAME
+    // rows — the no-float-accumulation discipline made observable: a
+    // shuffle-order change (retry, AQE re-plan, cluster resize) cannot
+    // move a doc across a gate or a shard
+    import graft.operators.{DedupOps, TextOps}
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"text")
+    val scrambled = docs.repartition(7, $"text").sortWithinPartitions($"text")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    assert(rows(DedupOps.gopherRepetitionOf(docs)) ===
+      rows(DedupOps.gopherRepetitionOf(scrambled)))
+    assert(rows(TextOps.temperatureMixtureOf(docs)) ===
+      rows(TextOps.temperatureMixtureOf(scrambled)))
+    assert(rows(TextOps.trainingOrderOf(docs)) ===
+      rows(TextOps.trainingOrderOf(scrambled)))
+  }
 }
