@@ -169,6 +169,48 @@ object SketchOps {
           .as("n_false_pos"))
   }
 
+  /** x25b — the PRODUCTION Bloom-membership twin: Spark's native
+    * `bloom_filter_agg` builds the filter as ONE single-pass aggregate
+    * (no per-hash explode, no distinct shuffle of positions — the
+    * engine-optimized form of x25's relational filter), the one-row
+    * binary rides a broadcast, and `might_contain` probes it in place.
+    * Filter BITS are engine-specific (xxhash64-positioned), so this
+    * entry is rows-only registered (the x13b convention) — x25's
+    * exact relation is the validated twin, and SketchSpec pins the
+    * structural guarantees here: ZERO false negatives and a false-
+    * positive count bounded at the same geometry. At 100 TB this is
+    * the membership shape that matters: probing a corpus against a
+    * reference set costs one broadcast byte-array instead of a join
+    * against the reference. */
+  def bloomFilterNative(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExpressions.register(s)
+    val ev = Tables.events(s, d)
+    ev.filter($"event_type" === "purchase" && $"user_id".isNotNull)
+      .select($"user_id").distinct()
+      .createOrReplaceTempView("graft_x25b_members")
+    ev.filter($"user_id".isNotNull).select($"user_id").distinct()
+      .createOrReplaceTempView("graft_x25b_users")
+    // might_contain's analysis rule requires the filter binary as a
+    // CONSTANT or SCALAR SUBQUERY (the shape Spark's own runtime
+    // row-level filtering injects) — so the build rides a scalar
+    // subquery, executed once and broadcast into the probe expression
+    s.sql(
+      s"""WITH probed AS (
+         |  SELECT u.user_id,
+         |    ${graft.plans.GraftExpressions.BloomProbeFn}(
+         |      (SELECT ${graft.plans.GraftExpressions.BloomAggFn}(
+         |         xxhash64(user_id), 1024L, ${BloomBits}L)
+         |       FROM graft_x25b_members),
+         |      xxhash64(u.user_id)) AS hit,
+         |    u.user_id IN (SELECT user_id FROM graft_x25b_members) AS m
+         |  FROM graft_x25b_users u)
+         |SELECT count(1) AS n_users, count_if(m) AS n_members,
+         |  count_if(hit) AS n_bloom_hits,
+         |  count_if(m AND NOT hit) AS n_false_neg
+         |FROM probed""".stripMargin)
+  }
+
   // ---- count-min sketch: heavy hitters ------------------------------------
 
   /** Sketch geometry. Width 512 at fixture cardinality (~1k distinct
@@ -425,6 +467,7 @@ object SketchOps {
     "x13_approx_distinct"  -> approxDistinct _,
     "x13b_approx_distinct_sketch" -> approxDistinctSketch _,
     "x25_bloom_filter"     -> bloomFilter _,
+    "x25b_bloom_filter_native" -> bloomFilterNative _,
     "x29_heavy_hitters"    -> heavyHitters _,
     "x34_corpus_overlap"   -> corpusOverlap _,
     "x34b_corpus_overlap_sketch" -> corpusOverlapSketch _,

@@ -34,6 +34,8 @@ object GraftExpressions {
   val BigramHashesFn = "graft_bigram_hashes"
   val ShingleHashesFn = "graft_shingle_hashes"
   val ZOrderFn = "graft_zorder"
+  val BloomAggFn = "graft_bloom_agg"
+  val BloomProbeFn = "graft_bloom_might_contain"
 
   /** Shared guard for the two set-count builders: the set argument must
     * be a constant string (it compiles into the expression). */
@@ -110,6 +112,20 @@ object GraftExpressions {
   private[plans] val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     (CosineFn, "cosine similarity of two double arrays (fused codegen loop)",
       es => { arity(CosineFn, es, 2); CosineSimilarity(es(0), es(1)) }),
+    // Spark ships BloomFilterAggregate/BloomFilterMightContain for its
+    // own runtime row-level filtering but does NOT register them as SQL
+    // functions — these two builders expose the engine-native sketch
+    // (single-pass TypedImperativeAggregate build, broadcastable binary,
+    // null-safe probe) through the same registry as the graft
+    // expressions. Args: (xxhash64 value, est items, num bits).
+    (BloomAggFn,
+      "engine-native Bloom filter over xxhash64 values (one-pass aggregate)",
+      es => { arity(BloomAggFn, es, 3)
+        aggregate.BloomFilterAggregate(es(0), es(1), es(2), 0, 0)
+          .toAggregateExpression() }),
+    (BloomProbeFn, "probe an engine-native Bloom filter binary",
+      es => { arity(BloomProbeFn, es, 2)
+        BloomFilterMightContain(es(0), es(1)) }),
     (MinHashFn, "128-permutation minhash signature of a long-hash array",
       es => { arity(MinHashFn, es, 1); MinHashSignature(es.head) }),
     (SimHashFn, "64-bit simhash of a token-hash array",

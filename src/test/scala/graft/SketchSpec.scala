@@ -134,4 +134,21 @@ class SketchSpec extends AnyFunSuite with SparkTestSession {
       .collect().head
     assert(r === again)
   }
+
+  test("x25b native bloom: zero false negatives, bounded FPs, agrees with the exact twin") {
+    val r = graft.operators.SketchOps.bloomFilterNative(spark, sf)
+      .collect().head
+    val (nUsers, nMembers, nHits, nFn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nFn === 0L, "a Bloom filter can never have a false negative")
+    assert(nHits >= nMembers)
+    // 4096 bits for ≲1k keys: the FP rate stays far under 10% of the
+    // non-member population
+    assert(nHits - nMembers <= (nUsers - nMembers) / 10,
+      s"FP count ${nHits - nMembers} of ${nUsers - nMembers} non-members")
+    // the exact fields agree with the relational twin (x25)
+    val exact = graft.operators.SketchOps.bloomFilter(spark, sf)
+      .collect().head
+    assert((nUsers, nMembers) === ((exact.getLong(0), exact.getLong(1))))
+  }
 }
