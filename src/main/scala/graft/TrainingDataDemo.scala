@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   *   selection (x48) → near-dup
   *   cluster representatives (x02 pairs → x17 components) → benchmark
   *   decontamination (x24's leaked-prefix eval) → deterministic
-  *   content-hash split (x23) → split-partitioned parquet shards.
+  *   content-hash split (x23) → split-partitioned parquet shards →
+  *   token-budget mixture (x36) → training-order sharding (x53).
   *
   * {{{
   *   sbt "runMain graft.TrainingDataDemo [sfDir] [outDir]"
@@ -147,6 +148,16 @@ object TrainingDataDemo {
       .filter(conv(substring(md5($"text"), 1, 8), 16, 10).cast("long")
         % 1000000L < $"rate_ppm")
     report += ("train_after_mixture_budget" -> mixed.count())
+
+    // 7. training order (x53): the corpus that survived everything
+    // gets its reproducible permutation — content-keyed shard +
+    // per-shard position, the exact `partitionBy(shard)` +
+    // `sortWithinPartitions(pos)` shape the shard writer lands. No
+    // global sort exists anywhere in the pipeline.
+    val ordered = operators.TextOps.trainingOrderOf(
+      mixed.select($"doc_id", $"text"))
+    report += ("train_order_shards" ->
+      ordered.select($"shard").distinct().count())
     (corpus, report.result())
   }
 

@@ -121,5 +121,12 @@ class DemoSpec extends AnyFunSuite with SparkTestSession {
     assert(counts("mixture_budget_tokens") >= budget - k)
     assert(counts("train_after_mixture_budget") <= train.count())
     assert(counts("train_after_mixture_budget") > 0L)
+
+    // x53 — training order: the shard count is what the audited
+    // permutation assigns over any corpus of that size (≤ NumShards,
+    // > 1 whenever more than a handful of docs survive)
+    assert(counts("train_order_shards") <= operators.TextOps.NumShards)
+    assert(counts("train_order_shards") > 1L,
+      "the surviving train corpus should spread across shards")
   }
 }
