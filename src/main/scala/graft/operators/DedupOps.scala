@@ -199,6 +199,44 @@ object DedupOps {
       .orderBy(col("da"), col("db"))
   }
 
+  // ---- incremental snapshot dedup ---------------------------------------
+
+  /** x56 — INCREMENTAL dedup of a new batch against an existing corpus
+    * snapshot: which newly-ingested docs are near-duplicates of docs
+    * already held? The fixture split is arrival-keyed (even doc_ids =
+    * existing corpus, odd = new batch — a snapshot boundary IS an
+    * arrival boundary). Candidates come from joining the BATCH's band
+    * keys against the CORPUS's band-key relation — the same relation
+    * the streaming dedup index persists (see bandKeys), so in
+    * production the corpus side is a pre-built index and the
+    * incremental cost is O(batch), never O(corpus): the corpus is not
+    * re-paired against itself (x02 on the union would redo all
+    * corpus×corpus work every ingest). Exact-Jaccard verification then
+    * runs only on the cross-set candidates. Output: (new_id, dup_of,
+    * jaccard ≥ 0.8) — the rows an ingest gate would drop. */
+  def snapshotDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    snapshotDedupOf(docs.filter($"doc_id" % 2 === 0),
+                    docs.filter($"doc_id" % 2 === 1))
+  }
+
+  /** The same plan for arbitrary corpus/batch (doc_id, text) frames
+    * (the streaming ingest gate's equivalence witness). */
+  def snapshotDedupOf(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val cSets = shingleSetsOf(corpus).localCheckpoint(false)
+    val bSets = shingleSetsOf(batch).localCheckpoint(false)
+    val cand = bandKeys(minhashSignatures(bSets))
+      .join(bandKeys(minhashSignatures(cSets))
+        .withColumnRenamed("doc_id", "cdoc"), Seq("band", "key"))
+      .select(col("doc_id").as("da"), col("cdoc").as("db"))
+      .distinct()
+    verifyJaccard(cand, cSets.unionAll(bSets), JaccardThreshold)
+      .select(col("da").as("new_id"), col("db").as("dup_of"),
+        col("jaccard"))
+      .orderBy(col("new_id"), col("dup_of"))
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   val SimhashMaxHamming = 3
@@ -763,6 +801,7 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact"         -> dedupExact _,
     "x02_dedup_minhash_lsh"   -> dedupMinhashLsh _,
+    "x56_snapshot_dedup"      -> snapshotDedup _,
     "x03_dedup_simhash"       -> dedupSimhash _,
     "x04_dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "x05_dedup_embedding"     -> dedupEmbedding _,
@@ -814,6 +853,22 @@ object DedupOps {
         |FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
         |WHERE ROUND(i / (sa.n + sb.n - i), 4) >= $JaccardThreshold
         |ORDER BY da, db""".stripMargin,
+    // x56: the oracle is the exact cross-set Jaccard — every (odd id,
+    // even id) pair at or over threshold; the LSH banding on the Spark
+    // side is expected to reach full recall at 32×4 bands (same
+    // contract as x02).
+    "x56_snapshot_dedup" ->
+      s"""WITH $ShingleBaseCtes,
+        |inter AS (SELECT a.doc_id AS new_id, b.doc_id AS dup_of,
+        |                 count(*) AS i
+        |          FROM sh a JOIN sh b USING (sh)
+        |          WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |          GROUP BY 1, 2)
+        |SELECT new_id, dup_of, ROUND(i / (sa.n + sb.n - i), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = new_id
+        |           JOIN sizes sb ON sb.doc_id = dup_of
+        |WHERE ROUND(i / (sa.n + sb.n - i), 4) >= $JaccardThreshold
+        |ORDER BY new_id, dup_of""".stripMargin,
     "x17_dedup_clusters" ->
       s"""WITH RECURSIVE
         |$ShingleBaseCtes,

@@ -848,6 +848,90 @@ object TextOps {
       .smallOrdered($"source")
   }
 
+  /** UniMax epoch cap in micro-epochs: no source may be repeated past
+    * 1.5 epochs of its own data. */
+  val UniMaxEpochCap6 = 1500000L
+
+  /** UniMax token budget = 7/5 (1.4×) of the corpus — the realistic
+    * LLM regime where the training budget EXCEEDS the corpus, which is
+    * exactly when the epoch cap binds. */
+  val UniMaxBudgetNum = 7L
+  val UniMaxBudgetDen = 5L
+
+  /** x55 — UNIMAX source mixture (Chung et al. 2023): distribute the
+    * token budget as UNIFORMLY as possible across sources, subject to
+    * a per-source repetition cap of `UniMaxEpochCap6` epochs — the
+    * fairness-first alternative to proportional (x36) and temperature
+    * (x52) mixing. The paper's iterative algorithm (give every
+    * surviving source an equal share; sources whose cap is below the
+    * share take their cap and leave the pool; repeat) is computed here
+    * in its closed waterfilling form: sort sources by cap ascending —
+    * source i is capped iff cap_j·(n−j+1) + Σ_{l<j} cap_l ≤ budget for
+    * EVERY j ≤ i (the prefix-min condition), and the uncapped
+    * remainder splits the leftover budget evenly, with the integer
+    * remainder going one token each to the first `budget mod m`
+    * uncapped sources in the same total order (deterministic integer
+    * arithmetic end to end — no float water level). A property test
+    * checks the closed form against a driver-side run of the paper's
+    * loop.
+    *
+    * Overflow discipline (the x36 rule): cap = 1.5·tokens is computed
+    * as a split product, and cap·(n−i+1) stays under 2⁶³ for any
+    * realistic source count (≲10⁵ sources at the 100 TB point).
+    *
+    * Scale shape: identical to x36/x52 — one map-combined corpus
+    * aggregate, then ≤|sources|-row window arithmetic (the full-frame
+    * window is the smallOrdered trade). Output: (source, tokens, cap,
+    * alloc, epochs) where epochs = alloc/tokens is the repetition rate
+    * a budget-B sampler applies to s. */
+  def unimaxMixture(s: SparkSession, d: String): DataFrame =
+    unimaxMixtureOf(docs(s, d))
+
+  /** The same plan for an arbitrary (source, text) frame. */
+  def unimaxMixtureOf(docsFrame: DataFrame): DataFrame = {
+    import docsFrame.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tok = docsFrame
+      .select($"source", nTokensCol($"text").as("nt"))
+      .groupBy($"source").agg(sum($"nt").as("tokens"))
+    val byCap = Window.orderBy($"cap", $"source")
+    val pre = byCap.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy()
+    tok
+      .withColumn("cap", expr(
+        s"(tokens div 1000000) * $UniMaxEpochCap6" +
+          s" + ((tokens % 1000000) * $UniMaxEpochCap6) div 1000000"))
+      .withColumn("i", row_number().over(byCap).cast("long"))
+      .withColumn("pbefore", coalesce(
+        sum($"cap").over(byCap.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("total", sum($"tokens").over(whole))
+      .withColumn("budget", expr(
+        s"(total * $UniMaxBudgetNum) div $UniMaxBudgetDen"))
+      .withColumn("okc",
+        when($"cap" * ($"n" - $"i" + 1L) + $"pbefore" <= $"budget", 1L)
+          .otherwise(0L))
+      .withColumn("capped", min($"okc").over(pre) === 1L)
+      .withColumn("csum",
+        coalesce(sum(when($"capped", $"cap")).over(whole), lit(0L)))
+      .withColumn("m",
+        $"n" - sum(when($"capped", 1L).otherwise(0L)).over(whole))
+      .withColumn("level",
+        when($"m" > 0L, expr("(budget - csum) div m")).otherwise(lit(0L)))
+      .withColumn("extra",
+        when($"m" > 0L, expr("(budget - csum) % m")).otherwise(lit(0L)))
+      .withColumn("urank",
+        sum(when($"capped", 0L).otherwise(1L)).over(pre))
+      .withColumn("alloc",
+        when($"capped", $"cap")
+          .otherwise($"level" +
+            when($"urank" <= $"extra", 1L).otherwise(0L)))
+      .select($"source", $"tokens", $"cap", $"alloc",
+        round($"alloc" / $"tokens", 6).as("epochs"))
+      .smallOrdered($"source")
+  }
+
   /** Writer fan-out for x53 (a cluster deploy sizes this to
     * O(corpus / shard-size), well above the core count — shards are
     * the parallelism unit). */
@@ -1019,6 +1103,7 @@ object TextOps {
     "x32_group_sample"     -> groupSample _,
     "x36_mixture_plan"     -> mixturePlan _,
     "x52_temperature_mixture" -> temperatureMixture _,
+    "x55_unimax_mixture"   -> unimaxMixture _,
     "x53_training_order"   -> trainingOrder _,
     "x54_perplexity_buckets" -> perplexityBuckets _,
     "x37_corpus_report"    -> corpusReport _,
@@ -1191,6 +1276,55 @@ object TextOps {
          |  (budget // 1000000) * p6 + ((budget % 1000000) * p6) // 1000000
          |    AS alloc
          |FROM c ORDER BY source""".stripMargin,
+    // x55: pure BIGINT waterfilling — the only float step is the final
+    // 6-decimal round of a bigint/bigint double division (the x36
+    // convention). `//` ≡ div for the nonnegative operands here.
+    "x55_unimax_mixture" ->
+      s"""WITH tok AS (
+         |  SELECT source,
+         |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         |      AS tokens
+         |  FROM documents GROUP BY source),
+         |b AS (
+         |  SELECT source, tokens,
+         |    (tokens // 1000000) * $UniMaxEpochCap6
+         |      + ((tokens % 1000000) * $UniMaxEpochCap6) // 1000000 AS cap
+         |  FROM tok),
+         |w AS (
+         |  SELECT *, CAST(row_number() OVER o AS BIGINT) AS i,
+         |    CAST(coalesce(sum(cap) OVER (o ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pbefore,
+         |    CAST(count(*) OVER () AS BIGINT) AS n,
+         |    (CAST(sum(tokens) OVER () AS BIGINT) * $UniMaxBudgetNum)
+         |      // $UniMaxBudgetDen AS budget
+         |  FROM b WINDOW o AS (ORDER BY cap, source)),
+         |c AS (
+         |  SELECT *,
+         |    min(CASE WHEN cap * (n - i + 1) + pbefore <= budget
+         |             THEN 1 ELSE 0 END)
+         |      OVER (ORDER BY cap, source ROWS BETWEEN UNBOUNDED
+         |            PRECEDING AND CURRENT ROW) = 1 AS capped
+         |  FROM w),
+         |g AS (
+         |  SELECT *,
+         |    CAST(coalesce(sum(CASE WHEN capped THEN cap END) OVER (), 0)
+         |      AS BIGINT) AS csum,
+         |    n - CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()
+         |      AS BIGINT) AS m,
+         |    CAST(sum(CASE WHEN capped THEN 0 ELSE 1 END)
+         |      OVER (ORDER BY cap, source ROWS BETWEEN UNBOUNDED
+         |            PRECEDING AND CURRENT ROW) AS BIGINT) AS urank
+         |  FROM c)
+         |SELECT source, tokens, cap,
+         |  CASE WHEN capped THEN cap
+         |       ELSE (budget - csum) // m
+         |            + (CASE WHEN urank <= (budget - csum) % m
+         |               THEN 1 ELSE 0 END) END AS alloc,
+         |  round((CASE WHEN capped THEN cap
+         |         ELSE (budget - csum) // m
+         |              + (CASE WHEN urank <= (budget - csum) % m
+         |                 THEN 1 ELSE 0 END) END) / tokens, 6) AS epochs
+         |FROM g ORDER BY source""".stripMargin,
     // x41: same chunk-count formula and window slices; DuckDB list
     // slicing is 1-based inclusive, hence [start+1 : start+size].
     "x41_chunk_documents" ->

@@ -34,6 +34,27 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(exact.nonEmpty, "fixture should contain planted near-dups")
   }
 
+  test("x56 snapshot dedup equals x02 restricted to the snapshot boundary") {
+    // the incremental batch-vs-corpus result must be EXACTLY the x02
+    // all-pairs result filtered to pairs that straddle the arrival
+    // boundary (odd doc_id = new batch, even = existing corpus),
+    // reoriented as (new_id, dup_of)
+    val all = DedupOps.dedupMinhashLsh(spark, sf)
+      .select($"da", $"db", $"jaccard").as[(Long, Long, Double)]
+      .collect().toSeq
+    val want = all.collect {
+      case (a, b, j) if a % 2 != b % 2 =>
+        if (a % 2 == 1) (a, b, j) else (b, a, j)
+    }.sortBy(r => (r._1, r._2))
+    val got = DedupOps.snapshotDedup(spark, sf)
+      .select($"new_id", $"dup_of", $"jaccard").as[(Long, Long, Double)]
+      .collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "fixture should have pairs straddling the boundary")
+    assert(got.forall { case (n, c, _) => n % 2 == 1 && c % 2 == 0 },
+      "never pairs corpus with corpus or batch with batch")
+  }
+
   test("SimHash banded pairs equal brute-force hamming scan") {
     val banded = DedupOps.dedupSimhash(spark, sf)
       .select($"da", $"db", $"hamming").as[(Long, Long, Long)]

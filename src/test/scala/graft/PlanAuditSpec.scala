@@ -310,6 +310,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("x55: one corpus aggregate; the waterfill solve never re-scans") {
+    val p = plan("x55_unimax_mixture")
+    // the corpus appears exactly once (the per-source token aggregate);
+    // the prefix-min windows all run on the ≤|sources|-row frame
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("x56: the candidate join keys on (band, key); verify broadcasts") {
+    // the shingle sets sit behind lazy localCheckpoints (x02's shape,
+    // pinned there); the visible contract is the incremental topology:
+    // batch bands meet corpus bands as an equi-join ON the 8-byte
+    // (band, key) pair — AQE broadcasts the index side at this SF,
+    // a shuffle keys the same columns at scale — the exact-verify
+    // side joins via broadcast, and nothing degenerates to a
+    // cartesian pairing
+    val p = plan("x56_snapshot_dedup")
+    assert(p.contains("hashpartitioning(band") ||
+      "BroadcastHashJoin \\[band".r.findFirstIn(p).isDefined)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("x53: the permutation sorts per shard — no join, one corpus scan") {
     val p = plan("x53_training_order")
     assert("documents\\.parquet".r.findAllIn(p).size === 1)

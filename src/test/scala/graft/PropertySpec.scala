@@ -216,5 +216,13 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
       rows(TextOps.temperatureMixtureOf(scrambled)))
     assert(rows(TextOps.trainingOrderOf(docs)) ===
       rows(TextOps.trainingOrderOf(scrambled)))
+    assert(rows(TextOps.unimaxMixtureOf(docs)) ===
+      rows(TextOps.unimaxMixtureOf(scrambled)))
+    def halves(f: org.apache.spark.sql.DataFrame) =
+      (f.filter($"doc_id" % 2 === 0), f.filter($"doc_id" % 2 === 1))
+    val (c1, b1) = halves(docs)
+    val (c2, b2) = halves(scrambled)
+    assert(rows(DedupOps.snapshotDedupOf(c1, b1)) ===
+      rows(DedupOps.snapshotDedupOf(c2, b2)))
   }
 }

@@ -550,6 +550,59 @@ class TextPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(got.map(_._3).sum <= 1000000L, "shares are a sub-probability")
   }
 
+  test("x55 unimax mixture equals the paper's iterative loop; both regimes bind") {
+    val toks = Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2.trim.split("\\s+").length.toLong).sum).toMap
+    val caps = toks.view.mapValues(n =>
+      (n / 1000000L) * TextOps.UniMaxEpochCap6 +
+        ((n % 1000000L) * TextOps.UniMaxEpochCap6) / 1000000L).toMap
+    val budget =
+      toks.values.sum * TextOps.UniMaxBudgetNum / TextOps.UniMaxBudgetDen
+    // the paper's algorithm, literally: uniform share over the pool;
+    // any source whose cap is at or below its share takes the cap and
+    // leaves; repeat until no source binds
+    var pool = toks.keys.toSeq
+    var rem = budget
+    val alloc = scala.collection.mutable.Map[String, Long]()
+    var progressed = true
+    while (progressed && pool.nonEmpty) {
+      val share = rem / pool.size
+      val bound = pool.filter(s => caps(s) <= share)
+      progressed = bound.nonEmpty
+      bound.foreach { s => alloc(s) = caps(s); rem -= caps(s) }
+      pool = pool.filterNot(bound.contains)
+    }
+    if (pool.nonEmpty) {
+      val level = rem / pool.size
+      val extra = rem % pool.size
+      pool.sortBy(s => (caps(s), s)).zipWithIndex.foreach { case (s, i) =>
+        alloc(s) = level + (if (i < extra) 1L else 0L)
+      }
+    }
+    val want = toks.keys.toSeq.sorted.map { src =>
+      (src, toks(src), caps(src), alloc(src),
+        BigDecimal(alloc(src).toDouble / toks(src))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = TextOps.unimaxMixture(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got === want)
+    // the fixture must exercise BOTH regimes, and a bound budget is
+    // exhausted exactly when someone is uncapped
+    val nCapped = got.count(r => r._4 == r._3)
+    assert(nCapped > 0 && nCapped < got.size,
+      s"expected a mixed capped/uncapped outcome, got $nCapped of ${got.size}")
+    assert(got.map(_._4).sum === budget,
+      "with an uncapped pool the budget is spent exactly")
+    // fairness: every uncapped source receives within one token of the
+    // same allocation, and no source exceeds its cap
+    val uncapped = got.filter(r => r._4 != r._3).map(_._4)
+    assert(uncapped.max - uncapped.min <= 1L)
+    assert(got.forall(r => r._4 <= r._3))
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
