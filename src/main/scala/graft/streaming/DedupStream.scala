@@ -87,6 +87,33 @@ object DedupStream {
       .orderBy(col("da"), col("db"))
   }
 
+  /** The INGEST GATE (x56 served from the index): which docs of a
+    * candidate batch near-duplicate something already held? The
+    * batch's shingle/signature work runs fresh (it has to — the docs
+    * are new), but the corpus side is the persisted band-key index:
+    * probe cost is O(batch), the corpus is never re-paired against
+    * itself, and the result equals `DedupOps.snapshotDedupOf` over
+    * (retained corpus, batch) exactly — the gate an ingest pipeline
+    * runs BEFORE admitting the batch (contrast servedDupPairs, which
+    * pairs within the already-retained window). */
+  def servedIncomingDups(spark: SparkSession, stateDir: String,
+                         batch: DataFrame): DataFrame = {
+    val cSets = StateMaintenance.readOr(spark, s"$stateDir/sets", setsSchema)
+      .select(col("doc_id"), col("s"))
+    val cBands = StateMaintenance.readOr(spark, s"$stateDir/bands", bandsSchema)
+      .select(col("doc_id").as("cdoc"), col("band"), col("key"))
+    val bSets = DedupOps.shingleSetsOf(batch).localCheckpoint(false)
+    val cand = DedupOps.bandKeys(DedupOps.minhashSignatures(bSets))
+      .join(cBands, Seq("band", "key"))
+      .select(col("doc_id").as("da"), col("cdoc").as("db"))
+      .distinct()
+    DedupOps.verifyJaccard(cand, cSets.unionAll(bSets),
+        DedupOps.JaccardThreshold)
+      .select(col("da").as("new_id"), col("db").as("dup_of"),
+        col("jaccard"))
+      .orderBy(col("new_id"), col("dup_of"))
+  }
+
   /** Fold a committed prefix of batches into one partition per
     * artifact (docs are disjoint across batches — identity merge;
     * bands keep their band partitioning). */

@@ -59,6 +59,29 @@ class DedupRetentionSpec extends AnyFunSuite with SparkTestSession {
       .as[(Long, Long, Double)].collect().toSeq === oneShot(b1, b2))
   }
 
+  test("streaming dedup: the ingest gate equals x56 over (index, batch)") {
+    // state holds the even-id corpus (landed over two batches); the
+    // odd-id docs arrive as a candidate batch — the gate probed
+    // against the persisted index must equal the one-shot x56 plan
+    // on the same (corpus, batch) frames, which the x56 oracle and
+    // DedupSpec tie back to exact cross-set Jaccard
+    val root = java.nio.file.Files.createTempDirectory("graft-dedup-gate")
+    val state = s"$root/state"
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    DedupStream.processDocBatch(corpus.filter($"doc_id" % 4 === 0), state, 0L)
+    DedupStream.processDocBatch(corpus.filter($"doc_id" % 4 === 2), state, 1L)
+    val gated = DedupStream.servedIncomingDups(spark, state, batch)
+      .as[(Long, Long, Double)].collect().toSeq
+    val oneShot = DedupOps.snapshotDedupOf(corpus, batch)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(gated === oneShot)
+    assert(gated.nonEmpty, "fixture should flag incoming near-dups")
+    // the gate never reports batch-internal pairs: admitting the batch
+    // and re-probing it against the grown index is the NEXT batch's job
+    assert(gated.forall { case (n, c, _) => n % 2 == 1 && c % 2 == 0 })
+  }
+
   test("streaming dedup: the file-drop stream lands every batch partition") {
     val root = java.nio.file.Files.createTempDirectory("graft-dedup-drop")
     val in = s"$root/in"
