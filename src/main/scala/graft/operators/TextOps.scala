@@ -761,11 +761,19 @@ object TextOps {
     * the raw table. */
   def mixturePlanOf(docsFrame: DataFrame): DataFrame = {
     import docsFrame.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
     // corpus-sized stage: per-source token totals (x09's identity)
-    val tok = docsFrame
+    mixtureFromCounts(docsFrame
       .select($"source", nTokensCol($"text").as("nt"))
-      .groupBy($"source").agg(sum($"nt").as("tokens"))
+      .groupBy($"source").agg(sum($"nt").as("tokens")))
+  }
+
+  /** The water-filling solve alone, over a pre-aggregated (source,
+    * tokens) frame — the streaming report card maintains exactly this
+    * relation incrementally (ReportStream), so a deployment re-plans
+    * its mixture after every ingest batch WITHOUT a corpus scan. */
+  def mixtureFromCounts(tok: DataFrame): DataFrame = {
+    import tok.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
     // ≤|sources| rows from here on: single-partition windows are the
     // smallOrdered trade — k stays bounded at any corpus size.
     val ord = Window.orderBy($"tokens", $"source")
@@ -830,10 +838,16 @@ object TextOps {
   /** The same plan for an arbitrary (source, text) frame. */
   def temperatureMixtureOf(docsFrame: DataFrame): DataFrame = {
     import docsFrame.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val tok = docsFrame
+    temperatureFromCounts(docsFrame
       .select($"source", nTokensCol($"text").as("nt"))
-      .groupBy($"source").agg(sum($"nt").as("tokens"))
+      .groupBy($"source").agg(sum($"nt").as("tokens")))
+  }
+
+  /** The temperature solve over a pre-aggregated (source, tokens)
+    * frame (servable from the streaming card — see mixtureFromCounts). */
+  def temperatureFromCounts(tok: DataFrame): DataFrame = {
+    import tok.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
     tok
       .withColumn("s6", round(sqrt($"tokens") * 1e6, 0).cast("long"))
       .withColumn("t6", sum($"s6").over(Window.partitionBy()))
@@ -890,10 +904,16 @@ object TextOps {
   /** The same plan for an arbitrary (source, text) frame. */
   def unimaxMixtureOf(docsFrame: DataFrame): DataFrame = {
     import docsFrame.sparkSession.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val tok = docsFrame
+    unimaxFromCounts(docsFrame
       .select($"source", nTokensCol($"text").as("nt"))
-      .groupBy($"source").agg(sum($"nt").as("tokens"))
+      .groupBy($"source").agg(sum($"nt").as("tokens")))
+  }
+
+  /** The waterfill solve over a pre-aggregated (source, tokens) frame
+    * (servable from the streaming card — see mixtureFromCounts). */
+  def unimaxFromCounts(tok: DataFrame): DataFrame = {
+    import tok.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
     val byCap = Window.orderBy($"cap", $"source")
     val pre = byCap.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy()

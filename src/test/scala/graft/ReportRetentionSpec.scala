@@ -66,4 +66,29 @@ class ReportRetentionSpec extends AnyFunSuite with SparkTestSession {
     assert(card(ReportStream.mergedReport(spark, state))
       === exactCardOf(b1.union(b2)))
   }
+
+  test("mixture planners served from the card equal the batch x36/x52/x55") {
+    // the three mixture solves need only (source, tokens) — exactly a
+    // projection of the incrementally-maintained card, so a deployment
+    // re-plans its mixture after every ingest batch with NO corpus
+    // scan; the card's token identity is x09's, the same one the batch
+    // planners aggregate
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-card-mix")
+    val state = s"$root/state"
+    val docs = Tables.documents(spark, sf)
+    (0 to 2).foreach(i =>
+      ReportStream.processReportBatch(
+        docs.filter($"doc_id" % 3 === i), state, i.toLong))
+    val counts = ReportStream.mergedReport(spark, state)
+      .select($"source", $"tokens")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    assert(rows(TextOps.mixtureFromCounts(counts))
+      === rows(TextOps.mixturePlan(spark, sf)))
+    assert(rows(TextOps.temperatureFromCounts(counts))
+      === rows(TextOps.temperatureMixture(spark, sf)))
+    assert(rows(TextOps.unimaxFromCounts(counts))
+      === rows(TextOps.unimaxMixture(spark, sf)))
+  }
 }
