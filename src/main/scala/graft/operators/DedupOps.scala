@@ -339,9 +339,15 @@ object DedupOps {
     * never enter the iteration; they join their identity label back in
     * one final broadcast left-join. Round 1 iterated every document
     * every round, which made the corpus scan the per-round cost. */
-  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    dedupClustersOf(
+      Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** The same labeling for an arbitrary (doc_id, text) frame. */
+  def dedupClustersOf(docsFrame: DataFrame): DataFrame = {
+    val s = docsFrame.sparkSession
     import s.implicits._
-    val pairs = dedupMinhashLsh(s, d).select($"da", $"db")
+    val pairs = dedupMinhashLshOf(docsFrame).select($"da", $"db")
       .localCheckpoint(true)
     val edges = pairs.select($"da".as("a"), $"db".as("b"))
       .unionAll(pairs.select($"db".as("a"), $"da".as("b")))
@@ -384,10 +390,52 @@ object DedupOps {
     // otherwise return silently-wrong labels; fail loudly instead.
     require(converged,
       s"label propagation did not converge within $rounds rounds")
-    Tables.documents(s, d).select($"doc_id")
+    docsFrame.select($"doc_id")
       .join(broadcast(labels.select($"doc_id", $"rep".as("erep"))),
         Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"erep", $"doc_id").as("rep"))
+      .orderBy($"doc_id")
+  }
+
+  /** Takedown-list membership for x57 — stands in for the external
+    * opt-out / copyright-removal feed (every 43rd doc id — chosen so the list intersects real near-dup clusters and the sweep path is exercised, not vacuous). The oracle
+    * SQL mirrors the same predicate. */
+  val RemovalIdStride = 43
+
+  /** x57 — REMOVAL PROPAGATION (opt-out compliance): given a takedown
+    * list, excise the listed docs AND every near-duplicate in their
+    * x17 cluster closure. Deleting only the listed copy while its
+    * near-dups stay in the corpus does not honor the removal — the
+    * model still trains on the content — so the unit of deletion is
+    * the whole near-dup cluster. Emits each removed doc with its
+    * cluster rep and whether it was on the list (`listed`) or swept in
+    * as a near-dup (`neardup`); the production pass anti-joins this
+    * frame against the corpus (and feeds the same ids to the band /
+    * ANN index maintenance).
+    *
+    * Scale shape: the closure rides the already-converged x17 labels —
+    * NO new propagation rounds. The listed docs collapse to a tiny
+    * distinct rep set that broadcasts back onto the label frame, so
+    * the only corpus-sized work beyond x17's own is one broadcast-hash
+    * probe. */
+  def removalPropagation(s: SparkSession, d: String): DataFrame =
+    removalPropagationOf(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      _ % RemovalIdStride === 0)
+
+  /** The same closure for an arbitrary (doc_id, text) frame and an
+    * arbitrary takedown-list membership predicate over doc_id. */
+  def removalPropagationOf(docsFrame: DataFrame,
+      isListed: Column => Column): DataFrame = {
+    val s = docsFrame.sparkSession
+    import s.implicits._
+    val labels = dedupClustersOf(docsFrame) // (doc_id, rep) for EVERY doc
+    val listedReps = labels.filter(isListed($"doc_id"))
+      .select($"rep").distinct()
+    labels.join(broadcast(listedReps), Seq("rep"))
+      .select($"doc_id", $"rep",
+        when(isListed($"doc_id"), lit("listed"))
+          .otherwise(lit("neardup")).as("reason"))
       .orderBy($"doc_id")
   }
 
@@ -806,6 +854,7 @@ object DedupOps {
     "x04_dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "x05_dedup_embedding"     -> dedupEmbedding _,
     "x17_dedup_clusters"      -> dedupClusters _,
+    "x57_removal_propagation" -> removalPropagation _,
     "x43_dedup_substrings"    -> dedupSubstrings _,
     "x44_remove_dup_spans"    -> removeDupSpans _,
     "x20_contamination"       -> contamination _,
@@ -838,6 +887,25 @@ object DedupOps {
     """inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
       |          FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
       |          GROUP BY 1, 2)""".stripMargin
+
+  /** Transitive-closure cluster labels (recursive CTE) — shared by the
+    * x17 and x57 oracles so the two can never disagree on what a
+    * cluster is. Requires ShingleBaseCtes + AllPairsCte upstream;
+    * yields `lab(doc_id, rep)` covering every document. */
+  private def ClusterCtes: String =
+    s"""pairs AS (SELECT da, db
+      |          FROM inter JOIN sizes sa ON sa.doc_id = da
+      |                     JOIN sizes sb ON sb.doc_id = db
+      |          WHERE ROUND(i / (sa.n + sb.n - i), 4) >= $JaccardThreshold),
+      |edges AS (SELECT da AS a, db AS b FROM pairs
+      |          UNION SELECT db, da FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+      |reps AS (SELECT src AS doc_id, min(dst) AS rep FROM reach GROUP BY src),
+      |lab AS (SELECT d.doc_id, CAST(COALESCE(r.rep, d.doc_id) AS BIGINT) AS rep
+      |        FROM documents d LEFT JOIN reps r USING (doc_id))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "x01_dedup_exact" ->
@@ -873,20 +941,21 @@ object DedupOps {
       s"""WITH RECURSIVE
         |$ShingleBaseCtes,
         |$AllPairsCte,
-        |pairs AS (SELECT da, db
-        |          FROM inter JOIN sizes sa ON sa.doc_id = da
-        |                     JOIN sizes sb ON sb.doc_id = db
-        |          WHERE ROUND(i / (sa.n + sb.n - i), 4) >= $JaccardThreshold),
-        |edges AS (SELECT da AS a, db AS b FROM pairs
-        |          UNION SELECT db, da FROM pairs),
-        |reach(src, dst) AS (
-        |  SELECT a, a FROM edges
-        |  UNION
-        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-        |reps AS (SELECT src AS doc_id, min(dst) AS rep FROM reach GROUP BY src)
-        |SELECT d.doc_id, CAST(COALESCE(r.rep, d.doc_id) AS BIGINT) AS rep
-        |FROM documents d LEFT JOIN reps r USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+        |$ClusterCtes
+        |SELECT doc_id, rep FROM lab ORDER BY doc_id""".stripMargin,
+    // x57: the closure is x17's lab relation; a doc is removed iff its
+    // rep appears among the listed docs' reps.
+    "x57_removal_propagation" ->
+      s"""WITH RECURSIVE
+        |$ShingleBaseCtes,
+        |$AllPairsCte,
+        |$ClusterCtes,
+        |bad AS (SELECT DISTINCT rep FROM lab
+        |        WHERE doc_id % $RemovalIdStride = 0)
+        |SELECT lab.doc_id, lab.rep,
+        |  CASE WHEN lab.doc_id % $RemovalIdStride = 0
+        |       THEN 'listed' ELSE 'neardup' END AS reason
+        |FROM lab JOIN bad USING (rep) ORDER BY doc_id""".stripMargin,
     "x03_dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
         |          FROM documents),

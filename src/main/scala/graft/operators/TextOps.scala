@@ -975,18 +975,96 @@ object TextOps {
   def trainingOrder(s: SparkSession, d: String): DataFrame =
     trainingOrderOf(docs(s, d))
 
+  /** Content-keyed shard id — ONE definition shared by the
+    * training-order writer (x53) and the shard manifest (x58), so the
+    * manifest always describes the placement the writer lands. */
+  def shardCol(text: Column): Column =
+    (conv(substring(md5(concat(lit("shard_"), text)), 1, 8), 16, 10)
+      .cast("long") % NumShards).cast("int")
+
   /** The same assignment for an arbitrary (doc_id, text) frame. */
   def trainingOrderOf(docsFrame: DataFrame): DataFrame = {
     import docsFrame.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     docsFrame.select($"doc_id",
-        (conv(substring(md5(concat(lit("shard_"), $"text")), 1, 8), 16, 10)
-          .cast("long") % NumShards).cast("int").as("shard"),
+        shardCol($"text").as("shard"),
         md5(concat(lit("ord_"), $"text")).as("ok"))
       .withColumn("pos", row_number().over(
         Window.partitionBy($"shard").orderBy($"ok", $"doc_id")).cast("long"))
       .select($"doc_id", $"shard", $"pos")
       .orderBy($"shard", $"pos")
+  }
+
+  /** x58 — SHARD MANIFEST: the reproducibility record a training-data
+    * release ships next to its shards (the audit half of a data card):
+    * per shard, the doc count, the token total (x09's whitespace
+    * identity), the doc-id range, and an ORDER-INVARIANT content
+    * digest — XOR of each doc's 60-bit md5 prefix. XOR is commutative
+    * and associative, so the digest combines map-side, is independent
+    * of scan order and partitioning, and lets a consumer re-derive the
+    * manifest over a shipped shard to prove content equality without
+    * moving the data.
+    *
+    * Scale shape: one narrow scan + one hash aggregate on the same
+    * placement key the x53 writer uses ([[shardCol]] — shared, so the
+    * manifest can never drift from the writer). At 100 TB the manifest
+    * is computable per-file and merged: counts/sums/XORs are all
+    * associative partials. */
+  def shardManifest(s: SparkSession, d: String): DataFrame =
+    shardManifestOf(docs(s, d))
+
+  /** The same manifest for an arbitrary (doc_id, text) frame. */
+  def shardManifestOf(docsFrame: DataFrame): DataFrame = {
+    import docsFrame.sparkSession.implicits._
+    docsFrame
+      .select(shardCol($"text").as("shard"), $"doc_id",
+        nTokensCol($"text").as("nt"),
+        conv(substring(md5($"text"), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"),
+        expr("bit_xor(h)").as("content_digest"),
+        min($"doc_id").as("min_doc_id"), max($"doc_id").as("max_doc_id"))
+      .orderBy($"shard")
+  }
+
+  /** Blocklist for x59 — stands in for the external bad-words /
+    * banned-phrases feed (C4 ships a multi-thousand-phrase list; the
+    * fixture corpus draws from a 31-word vocabulary, so the stand-in
+    * phrases are drawn from it). The oracle SQL interpolates THIS
+    * constant — one definition, no drift. */
+  val Blocklist: Seq[String] = Seq("dup", "slow join", "big sort", "fast scan")
+
+  /** x59 — C4-style BLOCKLIST PHRASE FILTER (Raffel et al. 2020 §2.2,
+    * the "bad words" gate; the reference's own bot-pattern battery,
+    * `update-contributor-scores.js:45-66`, is the same shape over
+    * actor names): flag every
+    * doc containing any blocklist phrase as a whole-word match, with
+    * the matched phrases. Phrase presence is a padded substring probe
+    * (`' '+lower(text)+' '` contains `' '+phrase+' '`) — no regex
+    * engine, no tokenization — and the whole battery runs as ONE
+    * higher-order `filter` over the literal phrase array inside
+    * whole-stage codegen.
+    *
+    * Scale shape: a narrow map over the scan (the production form
+    * filters on `n_bad = 0` BEFORE any shuffle-bearing stage — the
+    * cheapest gate runs first); a real blocklist broadcasts instead of
+    * inlining, same plan. */
+  def blocklistFilter(s: SparkSession, d: String): DataFrame =
+    blocklistFilterOf(docs(s, d))
+
+  /** The same gate for an arbitrary (doc_id, text) frame. */
+  def blocklistFilterOf(docsFrame: DataFrame): DataFrame = {
+    import docsFrame.sparkSession.implicits._
+    val padded = concat(lit(" "), lower($"text"), lit(" "))
+    val hits = filter(
+      array(Blocklist.map(lit): _*),
+      p => instr(padded, concat(lit(" "), p, lit(" "))) > 0)
+    docsFrame
+      .select($"doc_id", hits.as("hits"))
+      .select($"doc_id", size($"hits").cast("long").as("n_bad"),
+        array_join(sort_array($"hits"), ",").as("bad_phrases"))
+      .filter($"n_bad" > 0)
+      .orderBy($"doc_id")
   }
 
   /** x54 — CCNet-style PERPLEXITY BUCKETS (Wenzek et al. 2020): rank
@@ -1126,6 +1204,8 @@ object TextOps {
     "x55_unimax_mixture"   -> unimaxMixture _,
     "x53_training_order"   -> trainingOrder _,
     "x54_perplexity_buckets" -> perplexityBuckets _,
+    "x58_shard_manifest"   -> shardManifest _,
+    "x59_blocklist_filter" -> blocklistFilter _,
     "x37_corpus_report"    -> corpusReport _,
     "x39_quality_classifier" -> qualityClassifier _,
     "x41_chunk_documents"  -> chunkDocuments _,
@@ -1534,6 +1614,33 @@ object TextOps {
         |    ORDER BY md5('ord_' || text), doc_id) AS BIGINT) AS pos
         |FROM documents
         |ORDER BY shard, pos""".stripMargin,
+    // x58: the shard key is x53's expression verbatim; the digest is
+    // bit_xor over 60-bit md5 prefixes — both engines' bit_xor is the
+    // plain word-wise XOR aggregate, order-invariant by algebra.
+    "x58_shard_manifest" ->
+      s"""SELECT CAST(('0x' || substr(md5('shard_' || text), 1, 8))::BIGINT
+        |    % $NumShards AS INTEGER) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+        |    AS n_tokens,
+        |  bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT)
+        |    AS content_digest,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+        |  CAST(max(doc_id) AS BIGINT) AS max_doc_id
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+    // x59: the phrase list is interpolated from the Blocklist constant;
+    // list_filter preserves the literal order, so sorting the hits
+    // makes the csv deterministic in both engines (plain ASCII).
+    "x59_blocklist_filter" ->
+      s"""WITH h AS (SELECT doc_id,
+        |  list_sort(list_filter(
+        |    [${Blocklist.map(p => s"'$p'").mkString(", ")}],
+        |    p -> strpos(' ' || lower(text) || ' ', ' ' || p || ' ') > 0))
+        |    AS hits
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_bad,
+        |       array_to_string(hits, ',') AS bad_phrases
+        |FROM h WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin,
     "x28_pii_redaction" ->
       s"""WITH a AS (SELECT doc_id,
          |  text || ' contact user' || CAST(doc_id AS VARCHAR)

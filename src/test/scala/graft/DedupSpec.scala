@@ -110,6 +110,43 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       "fixture should contain a component larger than one pair")
   }
 
+  test("x57 removal closure equals the takedown list's full clusters") {
+    val labels = DedupOps.dedupClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val listed = labels.keySet.filter(_ % DedupOps.RemovalIdStride == 0)
+    val badReps = listed.map(labels)
+    val want = labels.filter { case (_, rep) => badReps(rep) }
+      .keys.toSeq.sorted
+      .map(d => (d, labels(d),
+        if (d % DedupOps.RemovalIdStride == 0) "listed" else "neardup"))
+    val got = DedupOps.removalPropagation(spark, sf)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got === want)
+    // every listed doc is removed; no survivor shares a cluster with a
+    // removed doc (the compliance property)
+    val removed = got.map(_._1).toSet
+    assert(listed.subsetOf(removed))
+    val survivorReps = (labels.keySet -- removed).map(labels)
+    assert(survivorReps.intersect(got.map(_._2).toSet).isEmpty)
+  }
+
+  test("x57 sweeps near-dups of a listed doc on a planted corpus") {
+    // 1 ≈ 2 near-dups; 3 and 4 unrelated. Takedown list = {2, 4}:
+    // doc 1 must be swept in as a near-dup, doc 3 must survive.
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val planted = Seq(
+      (1L, base),
+      (2L, base + " tail"),
+      (3L, (1 to 60).map(i => s"y$i").mkString(" ")),
+      (4L, (1 to 60).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = DedupOps.removalPropagationOf(planted,
+        id => id.isin(2L, 4L))
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got === Seq((1L, 1L, "neardup"), (2L, 1L, "listed"),
+      (4L, 4L, "listed")))
+  }
+
   test("contaminationFrames on distinct frames finds planted leaks only") {
     val w = (1 to 60).map(i => s"w$i")
     val train = Seq(

@@ -234,6 +234,38 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert("documents\\.parquet".r.findAllIn(p).size === 1)
   }
 
+  test("x57: the removal closure broadcasts the listed reps — no extra shuffle") {
+    // beyond x17's own propagation, the closure must cost ONE
+    // broadcast-hash probe: the listed-rep set is tiny by construction
+    // (a takedown list), so a SortMergeJoin or cartesian against the
+    // label frame would be a 100 TB regression
+    val p = plan("x57_removal_propagation")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("x58: the manifest is one scan, one aggregate, no joins") {
+    // counts/sums/XORs are algebraic partials — the whole manifest must
+    // plan as a single hash aggregate over a single corpus scan (the
+    // per-file-then-merge shape a 100 TB release audit runs)
+    val p = plan("x58_shard_manifest")
+    assert(!p.contains("Join"))
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+    assert("HashAggregate".r.findAllIn(p).nonEmpty)
+  }
+
+  test("x59: the blocklist gate is a narrow map — no exchange but the sort") {
+    // the phrase battery must fold into the scan's projection (no
+    // shuffle, no join): the gate runs BEFORE the shuffle-bearing
+    // stages of a pipeline, so any exchange here taxes every downstream
+    // consumer
+    val p = plan("x59_blocklist_filter")
+    assert(!p.contains("hashpartitioning"))
+    assert(!p.contains("Join"))
+    assert("documents\\.parquet".r.findAllIn(p).size === 1)
+  }
+
   test("x39/x41: narrow per-row queries — no hash exchange, no join") {
     // classifier scoring and chunking are pure per-row maps: the only
     // exchange either plan may carry is the presentation range sort

@@ -655,4 +655,53 @@ class TextPipelineSpec extends AnyFunSuite with SparkTestSession {
     assert(sizes.keySet === Set("head", "middle", "tail"),
       "all three buckets should be populated")
   }
+
+  test("x58 shard manifest: totals reconcile, digests merge, " +
+      "partitioning-invariant") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val got = TextOps.shardManifestOf(docs)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    // totals reconcile against the corpus
+    assert(got.map(_._2).sum === docs.count())
+    assert(got.map(_._1) === got.map(_._1).sorted, "ordered by shard")
+    // digest per shard equals a driver-side XOR over that shard's docs,
+    // and the manifest shard equals the x53 writer's placement
+    val placed = TextOps.trainingOrderOf(docs)
+      .select($"doc_id", $"shard").as[(Long, Int)].collect().toMap
+    val perDoc = docs.select($"doc_id",
+        conv(substring(md5($"text"), 1, 15), 16, 10).cast("long"),
+        size(split(trim($"text"), "\\s+")).cast("long"))
+      .as[(Long, Long, Long)].collect()
+    val wantDigest = perDoc.groupBy(r => placed(r._1))
+      .view.mapValues(_.map(_._2).reduce(_ ^ _)).toMap
+    val wantTokens = perDoc.groupBy(r => placed(r._1))
+      .view.mapValues(_.map(_._3).sum).toMap
+    got.foreach { case (shard, _, nTokens, digest, minId, maxId) =>
+      assert(digest === wantDigest(shard))
+      assert(nTokens === wantTokens(shard))
+      assert(minId <= maxId)
+    }
+    // the digest is an algebraic partial: input partitioning can't move it
+    val re = TextOps.shardManifestOf(docs.repartition(13, $"doc_id"))
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(re === got)
+  }
+
+  test("x59 blocklist gate: planted truth table") {
+    val planted = Seq(
+      (1L, "a dup row"),                    // single word hit
+      (2L, "the SLOW JOIN path"),           // case-folded phrase hit
+      (3L, "slow joins here"),              // no whole-word phrase match
+      (4L, "big sort and a dup and a fast scan"), // three hits, one each
+      (5L, "clean text entirely"),          // no hit
+      (6L, "dup dup dup"))                  // repeated word counts once
+      .toDF("doc_id", "text")
+    val got = TextOps.blocklistFilterOf(planted)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, "dup"),
+      (2L, 1L, "slow join"),
+      (4L, 3L, "big sort,dup,fast scan"),
+      (6L, 1L, "dup")))
+  }
 }
