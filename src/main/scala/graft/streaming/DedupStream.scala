@@ -114,6 +114,22 @@ object DedupStream {
       .orderBy(col("new_id"), col("dup_of"))
   }
 
+  /** The serving-path half of x57's removal propagation: excise a
+    * takedown closure (the listed docs PLUS their near-dup cluster —
+    * `DedupOps.removalPropagationOf` computes it) from BOTH persisted
+    * artifacts, so the index stops describing content the corpus no
+    * longer holds: served pairs equal the one-shot x02 over the
+    * surviving docs, and the ingest gate no longer flags a batch as
+    * duplicating removed content (spec-pinned both ways). Cost is
+    * bounded by the partitions the removed docs live in, not the
+    * corpus. */
+  def applyRemovals(spark: SparkSession, stateDir: String,
+                    removedIds: Seq[Long]): Unit = {
+    StateMaintenance.removeDocs(spark, s"$stateDir/sets", removedIds)
+    StateMaintenance.removeDocs(spark, s"$stateDir/bands", removedIds,
+      extraPartitions = Seq("band"))
+  }
+
   /** Fold a committed prefix of batches into one partition per
     * artifact (docs are disjoint across batches — identity merge;
     * bands keep their band partitioning). */

@@ -141,6 +141,82 @@ object StateMaintenance {
     }
   }
 
+  private def removalMarker(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_graft_removing")
+
+  /** Excise a set of doc_ids from a batch_id-partitioned state
+    * artifact — the serving-path half of x57's removal propagation
+    * (right-to-be-forgotten must reach the index, or the ingest gate
+    * keeps matching content the corpus no longer holds). Only the
+    * partitions that actually contain a removed doc are rewritten
+    * (metadata-scale driver listing, same class as compaction's);
+    * partitions left with zero survivors are deleted outright, since a
+    * dynamic overwrite that writes no rows for a partition leaves its
+    * old files in place.
+    *
+    * Takedown lists are driver-small by nature (ids arrive as a list,
+    * not a relation), which also makes the operation RECOVERABLE the
+    * simple way: the ids are persisted into a `_graft_removing` marker
+    * BEFORE any mutation, and removal is idempotent (anti-join of an
+    * already-clean partition rewrites it unchanged), so a crashed
+    * removal is re-applied from the marker on the next call. Same
+    * single-owner contract as compaction.
+    *
+    * `extraPartitions` keeps further partition columns (e.g. the band
+    * index's `band`). Empty-partition cleanup is at batch granularity:
+    * correct for artifacts where every doc fans out to every extra
+    * partition (the band index — 32 keys per doc) or that have no
+    * extra partitions (identity sets). */
+  def removeDocs(spark: SparkSession, stateDir: String,
+                 removedIds: Seq[Long],
+                 extraPartitions: Seq[String] = Seq.empty): Unit = {
+    val f = fs(spark, stateDir)
+    if (!f.exists(new org.apache.hadoop.fs.Path(stateDir))) return
+    // finish a crashed removal first (ids from its marker)
+    if (f.exists(removalMarker(stateDir))) {
+      val in = f.open(removalMarker(stateDir))
+      val prior = try new String(in.readAllBytes(), "UTF-8").trim
+        finally in.close()
+      if (prior.nonEmpty)
+        applyRemoval(spark, stateDir, prior.split("\n").map(_.toLong).toSeq,
+          extraPartitions)
+      f.delete(removalMarker(stateDir), true)
+    }
+    if (removedIds.isEmpty) return
+    val out = f.create(removalMarker(stateDir), true)
+    try out.write(removedIds.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    applyRemoval(spark, stateDir, removedIds, extraPartitions)
+    f.delete(removalMarker(stateDir), true)
+  }
+
+  private def applyRemoval(spark: SparkSession, stateDir: String,
+                           removedIds: Seq[Long],
+                           extraPartitions: Seq[String]): Unit = {
+    val f = fs(spark, stateDir)
+    val state = spark.read.parquet(stateDir)
+    // the partition column comes back as INT when directory names fit:
+    // cast before collecting (the write below re-derives partitioning
+    // from the frame, so keeping the original column type there is fine)
+    val affected = state.filter(col("doc_id").isin(removedIds: _*))
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    if (affected.isEmpty) return
+    // materialize survivors BEFORE mutating (Spark refuses to overwrite
+    // a path it is reading; a crash before any mutation changes nothing)
+    val survivors = state.filter(col("batch_id").isin(affected: _*))
+      .filter(!col("doc_id").isin(removedIds: _*))
+      .localCheckpoint(true)
+    survivors.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id" +: extraPartitions: _*)
+      .parquet(stateDir)
+    val still = survivors.select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    affected.filterNot(still).foreach(b =>
+      f.delete(new org.apache.hadoop.fs.Path(stateDir, s"batch_id=$b"), true))
+  }
+
   /** CMS counter state: partials re-ADD (SketchStream.mergedCounters'
     * algebra). */
   def compactCounters(spark: SparkSession, stateDir: String,

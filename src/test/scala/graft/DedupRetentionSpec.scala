@@ -82,6 +82,36 @@ class DedupRetentionSpec extends AnyFunSuite with SparkTestSession {
     assert(gated.forall { case (n, c, _) => n % 2 == 1 && c % 2 == 0 })
   }
 
+  test("streaming dedup: a takedown closure reaches the serving path") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dedup-forget")
+    val state = s"$root/state"
+    DedupStream.processDocBatch(docs.filter($"doc_id" % 2 === 0), state, 0L)
+    DedupStream.processDocBatch(docs.filter($"doc_id" % 2 === 1), state, 1L)
+    // the takedown closure over the retained corpus: a listed doc from
+    // a known near-dup pair, expanded x57-style to its whole cluster
+    val pair = DedupStream.servedDupPairs(spark, state)
+      .as[(Long, Long, Double)].collect().head
+    val removed = DedupOps.removalPropagationOf(docs, _ === pair._1)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(removed.length >= 2, "closure should sweep the partner in")
+    // BEFORE: a batch replaying a removed doc's text is flagged
+    val replay = docs.filter($"doc_id".isin(removed: _*))
+      .select(($"doc_id" + 100000L).as("doc_id"), $"text")
+    assert(DedupStream.servedIncomingDups(spark, state, replay).count() > 0)
+    DedupStream.applyRemovals(spark, state, removed)
+    // AFTER: served pairs equal one-shot x02 over the survivors, and
+    // the gate no longer knows the removed content (the forget property)
+    val survivors = docs.filter(!$"doc_id".isin(removed: _*))
+    assert(DedupStream.servedDupPairs(spark, state)
+      .as[(Long, Long, Double)].collect().toSeq === oneShot(survivors))
+    assert(DedupStream.servedIncomingDups(spark, state, replay)
+      .count() === 0)
+    // idempotent: re-applying the same removal changes nothing
+    DedupStream.applyRemovals(spark, state, removed)
+    assert(DedupStream.servedDupPairs(spark, state)
+      .as[(Long, Long, Double)].collect().toSeq === oneShot(survivors))
+  }
+
   test("streaming dedup: the file-drop stream lands every batch partition") {
     val root = java.nio.file.Files.createTempDirectory("graft-dedup-drop")
     val in = s"$root/in"
