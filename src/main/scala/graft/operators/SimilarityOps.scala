@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -705,6 +705,145 @@ object SimilarityOps {
       .orderBy($"vec_id", $"k")
   }
 
+  /** MMR rerank-window and selection sizes. M bounds the pool the
+    * diversifier sees (the serve-then-rerank split every production
+    * retrieval stack uses); K is the emitted slate. Both constants, so
+    * the rerank is O(M² + KM) regardless of corpus size. */
+  val MmrPoolM = 50
+  val MmrK = 10
+
+  /** x60 — MMR (maximal-marginal-relevance) diverse top-K (Carbonell &
+    * Goldberg, SIGIR 1998): greedily pick argmax of
+    * λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s) with λ = ½ — the ½ is a
+    * positive scalar on both terms, so the argmax sequence is identical
+    * to maximizing rel − maxsim and the arithmetic stays the plain
+    * difference of two ROUND(·,4) cosines. The slate answers the
+    * curation question plain top-K cannot: "the K most relevant
+    * NON-REDUNDANT examples" (diverse few-shot pools, eval-set
+    * sampling, near-dup-aware retrieval).
+    *
+    * Scale shape: the corpus-scale work is ONE narrow relevance scan
+    * (broadcast query row, fused codegen cosine) ending in a
+    * TakeOrdered(M) — no shuffle of vectors, no corpus pairwise. Only
+    * the M-row pool is ever paired (M² = 2500 sims, broadcast
+    * self-join), and the inherently-sequential greedy runs driver-side
+    * over that CONSTANT-size matrix — the selection is K dependent
+    * argmaxes, not a distributable relation. At 100 TB the pool would
+    * come from the x06/x12 index instead of the exact scan; the rerank
+    * is unchanged.
+    *
+    * Oracle-exactness: rel and sim are the q16 fixed-order cosines
+    * ROUNDed to 4 — bitwise identical in both engines — and the greedy
+    * only subtracts and compares those doubles (IEEE-identical), with
+    * (score DESC, vec_id ASC) tie-break; DuckDB replays the selection
+    * as a recursive CTE. Rank 1's score is its relevance (S = ∅, the
+    * maxsim term vanishes). */
+  def mmrDiversity(s: SparkSession, d: String): DataFrame =
+    mmrDiversityFrame(s, Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+
+  /** Frame form over (vec_id, e: array<double>) — composable with the
+    * ANN serving paths (feed any candidate frame as the pool source). */
+  def mmrDiversityFrame(s: SparkSession, emb: DataFrame,
+                        probeId: Long = 0L): DataFrame = {
+    import s.implicits._
+    val q = emb.filter($"vec_id" === probeId).select($"e".as("qe"))
+    val pool = emb.filter($"vec_id" =!= probeId)
+      .crossJoin(broadcast(q))
+      .select($"vec_id", $"e",
+        round(CoreQueries.cosine(s, $"e", $"qe"), 4).as("rel"))
+      .orderBy($"rel".desc, $"vec_id")
+      .limit(MmrPoolM)
+      .localCheckpoint(false)   // feeds the self-join AND both collects
+    val a = pool.select($"vec_id".as("va"), $"e".as("ea"))
+    val b = pool.select($"vec_id".as("vb"), $"e".as("eb"))
+    val sims = a.join(broadcast(b), $"va" =!= $"vb")
+      .select($"va", $"vb", round(CoreQueries.cosine(s, $"ea", $"eb"), 4).as("sim"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (x, y, v) => (x, y) -> v }.toMap
+    val rels = pool.select($"vec_id", $"rel").as[(Long, Double)].collect()
+      .sortBy { case (id, r) => (-r, id) }
+    // the greedy: maxsim per candidate grows monotonically as the
+    // slate grows, so one incremental max per pick suffices
+    val maxsim = scala.collection.mutable.Map.empty[Long, Double]
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+    var remaining = rels.toBuffer
+    for (rank <- 1 to math.min(MmrK, rels.length)) {
+      val (id, rel, score) =
+        if (rank == 1) { val (i, r) = remaining.head; (i, r, r) }
+        else remaining.map { case (i, r) => (i, r, r - maxsim(i)) }
+          .minBy { case (i, _, sc) => (-sc, i) } match { case t => t }
+      picked += ((rank.toLong, id, rel, score))
+      remaining = remaining.filterNot(_._1 == id)
+      remaining.foreach { case (c, _) =>
+        val sv = sims((c, id))
+        maxsim(c) = maxsim.get(c).fold(sv)(math.max(_, sv))
+      }
+    }
+    picked.toSeq.toDF("rank", "vec_id", "rel", "score")
+  }
+
+  /** Centers selected by the k-center greedy (seed included). */
+  val KCenterK = 8
+
+  /** x61 — greedy k-center (farthest-first traversal; Gonzalez, TCS
+    * 1985 — the 2-approximation every coreset pipeline uses, e.g.
+    * Sener & Savarese's core-set active learning, ICLR 2018): from the
+    * deterministic seed (vec 0), repeatedly pick the vector FARTHEST
+    * from the current centers (max over candidates of min cosine
+    * distance to the slate; min-dist ≡ 1 − max-sim, so the state is
+    * one running max-sim per vector). The emitted `dist` is the pick's
+    * distance at selection time — the classic non-increasing coverage-
+    * radius certificate (after k picks, every vector lies within
+    * dist_k of a center). This is the selection rule for "K examples
+    * that SPAN the corpus" — pruning/diversity sampling — where MMR
+    * (x60) answers relevance-to-a-query.
+    *
+    * Scale shape: K − 1 passes, each ONE narrow map (fused cosine
+    * against the single newly-picked center, broadcast 1-row) updating
+    * the running max-sim, then a partial-combined argmin
+    * (min(struct(ms, vec_id))) — no pairwise corpus join, no shuffle
+    * of vectors; state lineage is truncated per step (the x12 Lloyd
+    * pattern). Driver holds only the K picked scalars.
+    *
+    * Oracle-exactness: sims are the q16 fixed-order ROUND(·,4)
+    * cosines; dist = 1 − maxsim is one IEEE subtraction; the argmin
+    * tie-breaks (ms, vec_id) lexicographically in both engines. The
+    * seed row's dist is NULL (no prior centers). */
+  def kcenterCoreset(s: SparkSession, d: String): DataFrame =
+    kcenterFrame(s, Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+
+  /** Frame form over (vec_id, e: array<double>). */
+  def kcenterFrame(s: SparkSession, emb: DataFrame,
+                   seedId: Long = 0L): DataFrame = {
+    import s.implicits._
+    val picked = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Double])](
+      (1L, seedId, None))
+    def centerRow(id: Long) =
+      emb.filter($"vec_id" === id).select($"e".as("ce"))
+    // running max-sim of every candidate to the slate; one narrow
+    // update per pick, lineage truncated so step k's plan stays O(1)
+    var st = emb.filter($"vec_id" =!= seedId)
+      .crossJoin(broadcast(centerRow(seedId)))
+      .select($"vec_id", $"e",
+        round(CoreQueries.cosine(s, $"e", $"ce"), 4).as("ms"))
+      .localCheckpoint(false)
+    for (rank <- 2 to KCenterK) {
+      val Row(ms: Double, id: Long) = st
+        .agg(min(struct($"ms", $"vec_id")).as("t"))
+        .select($"t.ms", $"t.vec_id").head()
+      picked += ((rank.toLong, id, Some(1.0 - ms)))
+      if (rank < KCenterK)
+        st = st.filter($"vec_id" =!= id)
+          .crossJoin(broadcast(centerRow(id)))
+          .select($"vec_id", $"e",
+            greatest($"ms", round(CoreQueries.cosine(s, $"e", $"ce"), 4)).as("ms"))
+          .localCheckpoint(false)
+    }
+    picked.toSeq.toDF("rank", "vec_id", "dist")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x06_ann_lsh"  -> annLsh _,
     "x12_ann_ivf"  -> annIvf _,
@@ -713,6 +852,8 @@ object SimilarityOps {
     "x38_ann_ivfpq" -> annIvfPq _,
     "x42_dedup_semantic" -> semDedup _,
     "x50_random_projection" -> randomProjection _,
+    "x60_mmr_diversity" -> mmrDiversity _,
+    "x61_kcenter_coreset" -> kcenterCoreset _,
   )
 
   /** One Lloyd iteration as DuckDB CTEs: integer-dot assignment
@@ -761,6 +902,68 @@ object SimilarityOps {
     * the same final cosine top-K. The x12 oracle unrolls the
     * KmeansIters(=2) Lloyd iterations as CTE pairs. */
   val oracleSql: Map[String, String] = Map(
+    // x60: the greedy replayed as a single-row-state recursive CTE —
+    // each iteration LATERALs the argmax (score DESC, vec_id ASC) over
+    // the not-yet-picked pool, score = rel − max(sim to slate); rel and
+    // sim are the q16 fixed-order cosines ROUNDed to 4, so the doubles
+    // (and hence every comparison) are bitwise identical to Spark's.
+    "x60_mmr_diversity" ->
+      s"""WITH RECURSIVE
+        |qv AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+        |pool AS (
+        |  SELECT e.vec_id, e.embedding::DOUBLE[] AS e,
+        |    ROUND(list_dot_product(e.embedding::DOUBLE[], q.qe) /
+        |      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(q.qe, q.qe))), 4) AS rel
+        |  FROM embeddings e, qv q
+        |  WHERE e.vec_id <> 0
+        |  ORDER BY rel DESC, e.vec_id LIMIT $MmrPoolM),
+        |sims AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |    ROUND(list_dot_product(a.e, b.e) /
+        |      (sqrt(list_dot_product(a.e, a.e)) *
+        |       sqrt(list_dot_product(b.e, b.e))), 4) AS sim
+        |  FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+        |state AS (
+        |  (SELECT 1 AS step, vec_id, rel, rel AS score, [vec_id] AS sel
+        |   FROM pool ORDER BY rel DESC, vec_id LIMIT 1)
+        |  UNION ALL
+        |  SELECT s.step + 1, c.vec_id, c.rel, c.score,
+        |    list_append(s.sel, c.vec_id)
+        |  FROM state s, LATERAL (
+        |    SELECT p.vec_id, p.rel,
+        |      p.rel - (SELECT max(sim) FROM sims
+        |               WHERE a = p.vec_id AND list_contains(s.sel, b)) AS score
+        |    FROM pool p WHERE NOT list_contains(s.sel, p.vec_id)
+        |    ORDER BY score DESC, p.vec_id LIMIT 1) c
+        |  WHERE s.step < $MmrK)
+        |SELECT CAST(step AS BIGINT) AS rank, vec_id, rel, score
+        |FROM state ORDER BY rank""".stripMargin,
+    // x61: farthest-first replayed as the same single-row-state
+    // recursive CTE shape as x60 — each iteration LATERALs the argmin
+    // of running max-sim (ms ASC, vec_id ASC) over the unpicked
+    // corpus; dist = 1 − ms is one IEEE subtraction on the identical
+    // ROUND(·,4) doubles. Seed row (vec 0) carries NULL dist.
+    "x61_kcenter_coreset" ->
+      s"""WITH RECURSIVE
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |state AS (
+        |  SELECT 1 AS step, CAST(0 AS BIGINT) AS vec_id,
+        |         CAST(NULL AS DOUBLE) AS dist, [CAST(0 AS BIGINT)] AS sel
+        |  UNION ALL
+        |  SELECT s.step + 1, c.vec_id, 1.0 - c.ms,
+        |    list_append(s.sel, c.vec_id)
+        |  FROM state s, LATERAL (
+        |    SELECT p.vec_id,
+        |      (SELECT max(ROUND(list_dot_product(p.e, c0.e) /
+        |        (sqrt(list_dot_product(p.e, p.e)) *
+        |         sqrt(list_dot_product(c0.e, c0.e))), 4))
+        |       FROM v c0 WHERE list_contains(s.sel, c0.vec_id)) AS ms
+        |    FROM v p WHERE NOT list_contains(s.sel, p.vec_id)
+        |    ORDER BY ms, p.vec_id LIMIT 1) c
+        |  WHERE s.step < $KCenterK)
+        |SELECT CAST(step AS BIGINT) AS rank, vec_id, dist
+        |FROM state ORDER BY rank""".stripMargin,
     // x50: the sign matrix rebuilt from the same md5 parity rule; each
     // coordinate is the same fixed-order dot product, rounded to 6.
     "x50_random_projection" ->

@@ -208,4 +208,88 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     val recall = top.count(_ <= 5L)
     assert(recall >= 4, s"projected-space recall $recall/5 too low")
   }
+
+  test("x60 mmr slate replays the greedy from the HOF reference cosine") {
+    // independent replay: fresh-max formulation (recompute max-sim to
+    // the whole slate each step) from cosineSimHof — cross-validates
+    // both the production CosineFn and the incremental-max shortcut
+    val got = SimilarityOps.mmrDiversity(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val q = emb.filter($"vec_id" === 0).select($"e".as("qe"))
+    val pool = emb.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id", $"e",
+        round(CoreQueries.cosineSimHof($"e", $"qe"), 4).as("rel"))
+      .as[(Long, Seq[Double], Double)].collect()
+      .sortBy { case (id, _, r) => (-r, id) }.take(SimilarityOps.MmrPoolM)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      val na = a.foldLeft(0.0)((acc, x) => acc + x * x)
+      val nb = b.foldLeft(0.0)((acc, x) => acc + x * x)
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    var sel = Vector.empty[(Long, Seq[Double], Double, Double)]
+    var rem = pool.toVector
+    for (_ <- 1 to SimilarityOps.MmrK) {
+      val pick =
+        if (sel.isEmpty) { val (i, e, r) = rem.head; (i, e, r, r) }
+        else rem.map { case (i, e, r) =>
+          (i, e, r, r - sel.map(s => cos(e, s._2)).max)
+        }.minBy { case (i, _, _, sc) => (-sc, i) }
+      sel :+= pick
+      rem = rem.filterNot(_._1 == pick._1)
+    }
+    val want = sel.zipWithIndex.map { case ((i, _, r, sc), k) =>
+      (k + 1L, i, r, sc)
+    }
+    assert(got === want)
+    // structure: rank 1 is the plain-relevance argmax; later scores
+    // can only shrink (each candidate's max-sim grows with the slate)
+    assert(got.head._2 === pool.head._1)
+    got.drop(1).sliding(2).foreach { case Seq(a, b) =>
+      assert(b._4 <= a._4, s"score rose from $a to $b")
+    }
+  }
+
+  test("x61 k-center slate replays farthest-first from the HOF cosine") {
+    val got = SimilarityOps.kcenterCoreset(spark, sf)
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    val all = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      BigDecimal(dot / (math.sqrt(a.map(x => x * x).sum) *
+          math.sqrt(b.map(x => x * x).sum)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // fresh-max replay (recompute every candidate's max-sim to the
+    // whole slate each step) — cross-validates the incremental state
+    val byId = all.toMap
+    var sel = Vector(0L)
+    var want = Vector[(Long, Long, Option[Double])]((1L, 0L, None))
+    for (rank <- 2 to SimilarityOps.KCenterK) {
+      val (id, ms) = all.filterNot { case (i, _) => sel.contains(i) }
+        .map { case (i, e) => (i, sel.map(c => cos(e, byId(c))).max) }
+        .minBy { case (i, m) => (m, i) }
+      want :+= ((rank.toLong, id, Some(1.0 - ms)))
+      sel :+= id
+    }
+    assert(got === want)
+    // coverage-radius certificate: the pick distances never increase
+    got.drop(1).map(_._3.get).sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"radius rose $a -> $b")
+    }
+    // after all picks, every vector sits within the final radius of a
+    // center (the 2-approx guarantee's witness on this fixture)
+    val radius = got.last._3.get
+    val centers = got.map(_._2).toSet
+    all.filterNot { case (i, _) => centers.contains(i) }.foreach {
+      case (i, e) =>
+        val d = 1.0 - centers.map(c => cos(e, byId(c))).max
+        assert(d <= radius + 1e-12, s"vec $i at $d outside radius $radius")
+    }
+  }
 }
