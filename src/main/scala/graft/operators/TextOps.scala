@@ -911,7 +911,9 @@ object TextOps {
 
   /** The waterfill solve over a pre-aggregated (source, tokens) frame
     * (servable from the streaming card — see mixtureFromCounts). */
-  def unimaxFromCounts(tok: DataFrame): DataFrame = {
+  def unimaxFromCounts(tok: DataFrame,
+                       budgetNum: Long = UniMaxBudgetNum,
+                       budgetDen: Long = UniMaxBudgetDen): DataFrame = {
     import tok.sparkSession.implicits._
     import org.apache.spark.sql.expressions.Window
     val byCap = Window.orderBy($"cap", $"source")
@@ -928,7 +930,7 @@ object TextOps {
       .withColumn("n", count(lit(1)).over(whole))
       .withColumn("total", sum($"tokens").over(whole))
       .withColumn("budget", expr(
-        s"(total * $UniMaxBudgetNum) div $UniMaxBudgetDen"))
+        s"(total * $budgetNum) div $budgetDen"))
       .withColumn("okc",
         when($"cap" * ($"n" - $"i" + 1L) + $"pbefore" <= $"budget", 1L)
           .otherwise(0L))
@@ -950,6 +952,64 @@ object TextOps {
       .select($"source", $"tokens", $"cap", $"alloc",
         round($"alloc" / $"tokens", 6).as("epochs"))
       .smallOrdered($"source")
+  }
+
+  /** x62's realization budget: 2/5 of the corpus tokens. A fill is a
+    * DOWNSAMPLING selection — x55's own 1.4× training budget exceeds
+    * every source's physical tokens (repetition territory), which
+    * would take every doc; the fill question is which docs survive
+    * when the target is SMALLER than the corpus. */
+  val FillBudgetNum = 2L
+  val FillBudgetDen = 5L
+
+  /** x62 — MIXTURE FILL: materialize a mixture PLAN into a concrete
+    * document selection. The planners (x36/x52/x55) end at per-source
+    * token ALLOCATIONS; a writer needs the actual doc list. The x55
+    * waterfill solves the per-source allocation for a 0.4× corpus
+    * budget (fair-uniform across sources, small sources capped); per
+    * source, docs are ranked by a seeded content hash (doc_id
+    * tie-break — the x53 ordering idiom, so the pick is a property of
+    * the corpus, not of scan order) and taken while the tokens BEFORE
+    * the doc are under the allocation — the boundary doc that crosses
+    * it is included, so the budget is met. Every doc is emitted with
+    * its rank, running prefix-sum, and the `taken` verdict — the
+    * relation a shard writer (x53) consumes directly.
+    *
+    * Scale shape: ONE documents scan (the narrow base projection is
+    * checkpointed); the per-source totals the waterfill needs derive
+    * from that base (map-combined agg over ≤|sources| keys), and the
+    * solved allocation (≤|sources| rows) broadcasts back. The only
+    * corpus-scale exchange is the per-source window — partition BY
+    * source, the same unit the writer lands, never a global sort.
+    *
+    * Oracle-exactness: all-BIGINT (token counts, prefix sums, the x55
+    * waterfill); the order key is a seeded md5 hex string comparing
+    * identically in both engines. */
+  def mixtureFill(s: SparkSession, d: String): DataFrame =
+    mixtureFillOf(docs(s, d))
+
+  /** The same fill for an arbitrary (doc_id, source, text) frame. */
+  def mixtureFillOf(docsFrame: DataFrame): DataFrame = {
+    import docsFrame.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val base = docsFrame
+      .select($"doc_id", $"source", nTokensCol($"text").as("n_tokens"),
+        md5(concat(lit("fill_"), $"text")).as("fk"))
+      .localCheckpoint(false)   // one scan: feeds the totals AND the fill
+    val alloc = unimaxFromCounts(
+        base.groupBy($"source").agg(sum($"n_tokens").as("tokens")),
+        FillBudgetNum, FillBudgetDen)
+      .select($"source", $"alloc")
+    val bySrc = Window.partitionBy($"source").orderBy($"fk", $"doc_id")
+    base
+      .withColumn("pos", row_number().over(bySrc).cast("long"))
+      .withColumn("cum_before", coalesce(
+        sum($"n_tokens").over(
+          bySrc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(alloc), "source")
+      .select($"doc_id", $"source", $"n_tokens", $"pos", $"cum_before",
+        ($"cum_before" < $"alloc").as("taken"))
+      .orderBy($"doc_id")
   }
 
   /** Writer fan-out for x53 (a cluster deploy sizes this to
@@ -1202,6 +1262,7 @@ object TextOps {
     "x36_mixture_plan"     -> mixturePlan _,
     "x52_temperature_mixture" -> temperatureMixture _,
     "x55_unimax_mixture"   -> unimaxMixture _,
+    "x62_mixture_fill"     -> mixtureFill _,
     "x53_training_order"   -> trainingOrder _,
     "x54_perplexity_buckets" -> perplexityBuckets _,
     "x58_shard_manifest"   -> shardManifest _,
@@ -1234,6 +1295,55 @@ object TextOps {
       |         ((c12.c12 + 1) * $LmProbScale) // (c1.c1 + v.v) AS sp
       |       FROM bg d JOIN c12 USING (bg)
       |       JOIN c1 ON split_part(d.bg, ' ', 1) = c1.w1 CROSS JOIN v)""".stripMargin
+
+  /** The x55 UniMax waterfill as a shared oracle CTE chain ending in
+    * `ua(source, tokens, cap, alloc, …)` — ONE definition feeding the
+    * x55 and x62 oracles (the sigCtes/ivfServeCtes anti-drift
+    * convention). */
+  private def unimaxCtes(budgetNum: Long = UniMaxBudgetNum,
+                         budgetDen: Long = UniMaxBudgetDen): String =
+    s"""tok AS (
+       |  SELECT source,
+       |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+       |      AS tokens
+       |  FROM documents GROUP BY source),
+       |b AS (
+       |  SELECT source, tokens,
+       |    (tokens // 1000000) * $UniMaxEpochCap6
+       |      + ((tokens % 1000000) * $UniMaxEpochCap6) // 1000000 AS cap
+       |  FROM tok),
+       |w AS (
+       |  SELECT *, CAST(row_number() OVER o AS BIGINT) AS i,
+       |    CAST(coalesce(sum(cap) OVER (o ROWS BETWEEN UNBOUNDED
+       |      PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pbefore,
+       |    CAST(count(*) OVER () AS BIGINT) AS n,
+       |    (CAST(sum(tokens) OVER () AS BIGINT) * $budgetNum)
+       |      // $budgetDen AS budget
+       |  FROM b WINDOW o AS (ORDER BY cap, source)),
+       |c AS (
+       |  SELECT *,
+       |    min(CASE WHEN cap * (n - i + 1) + pbefore <= budget
+       |             THEN 1 ELSE 0 END)
+       |      OVER (ORDER BY cap, source ROWS BETWEEN UNBOUNDED
+       |            PRECEDING AND CURRENT ROW) = 1 AS capped
+       |  FROM w),
+       |g AS (
+       |  SELECT *,
+       |    CAST(coalesce(sum(CASE WHEN capped THEN cap END) OVER (), 0)
+       |      AS BIGINT) AS csum,
+       |    n - CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()
+       |      AS BIGINT) AS m,
+       |    CAST(sum(CASE WHEN capped THEN 0 ELSE 1 END)
+       |      OVER (ORDER BY cap, source ROWS BETWEEN UNBOUNDED
+       |            PRECEDING AND CURRENT ROW) AS BIGINT) AS urank
+       |  FROM c),
+       |ua AS (
+       |  SELECT source, tokens, cap,
+       |    CASE WHEN capped THEN cap
+       |         ELSE (budget - csum) // m
+       |              + (CASE WHEN urank <= (budget - csum) % m
+       |                 THEN 1 ELSE 0 END) END AS alloc
+       |  FROM g)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // x49: the quality weight is verbatim the x08/x37 q4 fragment; the
@@ -1380,51 +1490,32 @@ object TextOps {
     // 6-decimal round of a bigint/bigint double division (the x36
     // convention). `//` ≡ div for the nonnegative operands here.
     "x55_unimax_mixture" ->
-      s"""WITH tok AS (
-         |  SELECT source,
-         |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
-         |      AS tokens
-         |  FROM documents GROUP BY source),
-         |b AS (
-         |  SELECT source, tokens,
-         |    (tokens // 1000000) * $UniMaxEpochCap6
-         |      + ((tokens % 1000000) * $UniMaxEpochCap6) // 1000000 AS cap
-         |  FROM tok),
-         |w AS (
-         |  SELECT *, CAST(row_number() OVER o AS BIGINT) AS i,
-         |    CAST(coalesce(sum(cap) OVER (o ROWS BETWEEN UNBOUNDED
-         |      PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pbefore,
-         |    CAST(count(*) OVER () AS BIGINT) AS n,
-         |    (CAST(sum(tokens) OVER () AS BIGINT) * $UniMaxBudgetNum)
-         |      // $UniMaxBudgetDen AS budget
-         |  FROM b WINDOW o AS (ORDER BY cap, source)),
-         |c AS (
-         |  SELECT *,
-         |    min(CASE WHEN cap * (n - i + 1) + pbefore <= budget
-         |             THEN 1 ELSE 0 END)
-         |      OVER (ORDER BY cap, source ROWS BETWEEN UNBOUNDED
-         |            PRECEDING AND CURRENT ROW) = 1 AS capped
-         |  FROM w),
-         |g AS (
-         |  SELECT *,
-         |    CAST(coalesce(sum(CASE WHEN capped THEN cap END) OVER (), 0)
-         |      AS BIGINT) AS csum,
-         |    n - CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()
-         |      AS BIGINT) AS m,
-         |    CAST(sum(CASE WHEN capped THEN 0 ELSE 1 END)
-         |      OVER (ORDER BY cap, source ROWS BETWEEN UNBOUNDED
-         |            PRECEDING AND CURRENT ROW) AS BIGINT) AS urank
-         |  FROM c)
-         |SELECT source, tokens, cap,
-         |  CASE WHEN capped THEN cap
-         |       ELSE (budget - csum) // m
-         |            + (CASE WHEN urank <= (budget - csum) % m
-         |               THEN 1 ELSE 0 END) END AS alloc,
-         |  round((CASE WHEN capped THEN cap
-         |         ELSE (budget - csum) // m
-         |              + (CASE WHEN urank <= (budget - csum) % m
-         |                 THEN 1 ELSE 0 END) END) / tokens, 6) AS epochs
-         |FROM g ORDER BY source""".stripMargin,
+      s"""WITH ${unimaxCtes()}
+         |SELECT source, tokens, cap, alloc,
+         |  round(alloc / tokens, 6) AS epochs
+         |FROM ua ORDER BY source""".stripMargin,
+    // x62: the shared x55 waterfill chain solves alloc; the fill is a
+    // per-source prefix-sum window in seeded-md5 order (hex strings
+    // compare identically in both engines; doc_id tie-break) — all
+    // BIGINT, so `taken` is an integer compare.
+    "x62_mixture_fill" ->
+      s"""WITH ${unimaxCtes(FillBudgetNum, FillBudgetDen)},
+         |d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    md5('fill_' || text) AS fk
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(row_number() OVER ps AS BIGINT) AS pos,
+         |    CAST(coalesce(sum(n_tokens) OVER (ps ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM d WINDOW ps AS (PARTITION BY source ORDER BY fk, doc_id))
+         |SELECT f.doc_id, f.source, f.n_tokens, f.pos, f.cum_before,
+         |  f.cum_before < ua.alloc AS taken
+         |FROM f JOIN ua USING (source)
+         |ORDER BY f.doc_id""".stripMargin,
     // x41: same chunk-count formula and window slices; DuckDB list
     // slicing is 1-based inclusive, hence [start+1 : start+size].
     "x41_chunk_documents" ->

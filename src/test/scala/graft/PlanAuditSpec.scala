@@ -366,6 +366,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("x62: the fill windows per source; the solved allocation broadcasts back") {
+    // the narrow base projection is lazily checkpointed (ONE corpus
+    // scan feeding both the totals aggregate and the fill — the scan
+    // itself is hidden from this view, the x54 shape): the visible
+    // contract is the fill topology — a per-source window exchange,
+    // the ≤|sources|-row allocation returning as a broadcast, and no
+    // degenerate join
+    val p = plan("x62_mixture_fill")
+    assert(p.contains("hashpartitioning(source"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("documents.parquet"),
+      "the corpus hides behind the shared checkpointed base")
+  }
+
   test("x53: the permutation sorts per shard — no join, one corpus scan") {
     val p = plan("x53_training_order")
     assert("documents\\.parquet".r.findAllIn(p).size === 1)

@@ -218,6 +218,8 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
       rows(TextOps.trainingOrderOf(scrambled)))
     assert(rows(TextOps.unimaxMixtureOf(docs)) ===
       rows(TextOps.unimaxMixtureOf(scrambled)))
+    assert(rows(TextOps.mixtureFillOf(docs)) ===
+      rows(TextOps.mixtureFillOf(scrambled)))
     def halves(f: org.apache.spark.sql.DataFrame) =
       (f.filter($"doc_id" % 2 === 0), f.filter($"doc_id" % 2 === 1))
     val (c1, b1) = halves(docs)

@@ -607,6 +607,61 @@ class TextPipelineSpec extends AnyFunSuite with SparkTestSession {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("x62 mixture fill takes per-source hash-order prefixes that meet the allocation") {
+    val got = TextOps.mixtureFill(spark, sf)
+      .as[(Long, String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.map(_._1) === got.map(_._1).sorted, "doc_id-ordered output")
+    // the solved allocation, via the same parameterized waterfill the
+    // operator uses (its own equivalence to the paper's loop is the
+    // x55 test above)
+    val alloc = TextOps.unimaxFromCounts(
+        Tables.documents(spark, sf).select($"source",
+            TextOps.nTokensCol($"text").as("nt"))
+          .groupBy($"source").agg(sum($"nt").as("tokens")),
+        TextOps.FillBudgetNum, TextOps.FillBudgetDen)
+      .select($"source", $"alloc").as[(String, Long)].collect().toMap
+    // driver recompute of the fill rule from raw text
+    val raw = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"text").as[(Long, String, String)]
+      .collect()
+    val want = raw.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      var cum = 0L
+      ds.map { case (id, _, t) =>
+          (id, t.trim.split("\\s+").length.toLong, md5hex("fill_" + t))
+        }
+        .sortBy { case (id, _, fk) => (fk, id) }.zipWithIndex
+        .map { case ((id, nt, _), i) =>
+          val before = cum; cum += nt
+          (id, src, nt, i + 1L, before, before < alloc(src))
+        }
+    }.sortBy(_._1)
+    assert(got === want)
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      val inOrder = rows.sortBy(_._4)
+      // taken docs form a pos-prefix
+      val taken = inOrder.takeWhile(_._6)
+      assert(inOrder.drop(taken.length).forall(!_._6), s"$src prefix")
+      val total = inOrder.map(_._3).sum
+      val a = alloc(src)
+      if (a >= total) assert(taken.length === inOrder.length,
+        s"$src: alloc covers the source, everything taken")
+      else {
+        // budget met, and minimally so: dropping the boundary doc
+        // would leave the allocation unmet
+        val sum = taken.map(_._3).sum
+        assert(sum >= a, s"$src fill $sum under alloc $a")
+        assert(sum - taken.last._3 < a, s"$src overfilled")
+      }
+    }
+    // the 0.4× budget actually bites on the fixture: both verdicts
+    // occur, and roughly the budgeted token fraction survives
+    val takenTok = got.filter(_._6).map(_._3).sum.toDouble
+    val allTok = got.map(_._3).sum.toDouble
+    assert(got.exists(_._6) && got.exists(!_._6))
+    assert(takenTok / allTok > 0.35 && takenTok / allTok < 0.5,
+      s"taken fraction ${takenTok / allTok}")
+  }
+
   test("x53 training order equals a driver recompute; positions are contiguous per shard") {
     val texts = Tables.documents(spark, sf)
       .select($"doc_id", $"text").as[(Long, String)].collect()
