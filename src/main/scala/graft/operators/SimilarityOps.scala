@@ -650,6 +650,50 @@ object SimilarityOps {
       .orderBy($"vec_id")
   }
 
+  /** Per-cluster quota for x63 (a deploy sizes this to the corpus
+    * reduction it wants: kept fraction ≈ Q · k / n). */
+  val ClusterCapQ = 8
+
+  /** x63 — CLUSTER-CAP sampling: cap every semantic cluster at Q
+    * PROTOTYPES — the members most similar to their centroid (cdot
+    * DESC, vec_id tie-break). The quota complements x42: SemDeDup
+    * removes redundant near-twins inside a cluster, the cap bounds the
+    * cluster's total contribution no matter how internally diverse it
+    * is — the "semantic diversification" step of cluster-based data
+    * pruning (the D4 recipe pairs exactly these two; prototype
+    * selection per bucket is the SSL-prototypes rule of Sorscher et
+    * al. 2022). Emits the full per-vector verdict (cluster, centroid
+    * dot, rank, kept) like x42, so a pipeline applies it as a
+    * semi-join.
+    *
+    * Scale shape: the SAME materialized x12 index provides clusters
+    * (trained once, shared with serving/x42); the corpus-scale work is
+    * one broadcast join against the centroid table plus ONE exchange
+    * on cid for the per-cluster rank window — cluster sizes are
+    * bounded by the k ∝ n seeding, so no partition outgrows its
+    * executor at any corpus size.
+    *
+    * Oracle-exactness: cdot is the exact BIGINT quantized dot (x42's
+    * measure), the rank an integer window in both engines. */
+  def clusterCap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val root = ensureIvfIndex(s, d)
+    val cents = s.read.parquet(s"$root/centroids")
+    val assigned = s.read.parquet(s"$root/assign")
+      .select($"vec_id", $"cid".cast("long").as("cid"))
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    assigned
+      .join(emb, "vec_id")
+      .join(broadcast(cents), "cid")
+      .select($"vec_id", $"cid", longDot(s, quantize($"e"), $"c").as("cdot"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"cid").orderBy($"cdot".desc, $"vec_id")).cast("long"))
+      .withColumn("kept", $"rk" <= ClusterCapQ)
+      .orderBy($"vec_id")
+  }
+
   /** Projected dimensionality for the random projection. */
   val RpK = 16
 
@@ -854,6 +898,7 @@ object SimilarityOps {
     "x50_random_projection" -> randomProjection _,
     "x60_mmr_diversity" -> mmrDiversity _,
     "x61_kcenter_coreset" -> kcenterCoreset _,
+    "x63_cluster_cap" -> clusterCap _,
   )
 
   /** One Lloyd iteration as DuckDB CTEs: integer-dot assignment
@@ -1105,6 +1150,20 @@ object SimilarityOps {
         |    4) AS sim
         |FROM cadc c JOIN qv v USING (vec_id), pq
         |ORDER BY sim DESC, v.vec_id LIMIT $TopK""".stripMargin,
+    // x63: same shared training/assignment CTEs as x42; the quota is
+    // an integer rank window over the exact BIGINT cdot.
+    "x63_cluster_cap" ->
+      s"""WITH $ivfServeCtes,
+        |mem AS (
+        |  SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+        |    CAST(list_dot_product(v.q, c.c) AS BIGINT) AS cdot
+        |  FROM af a JOIN qv v USING (vec_id) JOIN c2 c ON c.cid = a.cid)
+        |SELECT vec_id, cid, cdot,
+        |  CAST(row_number() OVER (PARTITION BY cid
+        |    ORDER BY cdot DESC, vec_id) AS BIGINT) AS rk,
+        |  row_number() OVER (PARTITION BY cid
+        |    ORDER BY cdot DESC, vec_id) <= $ClusterCapQ AS kept
+        |FROM mem ORDER BY vec_id""".stripMargin,
     // x42: same shared training/assignment CTEs; the pair rule and the
     // keep-the-outlier CASE mirror semDedup's exact BIGINT cdot
     // arithmetic, so verdicts match bit-for-bit.

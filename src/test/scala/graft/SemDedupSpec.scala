@@ -45,4 +45,30 @@ class SemDedupSpec extends AnyFunSuite with SparkTestSession {
       }
     }
   }
+
+  test("x63: per-cluster quota ranks by the same centroid dot x42 measures") {
+    val got = SimilarityOps.clusterCap(spark, sf)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    // independent rank replay from x42's verdict table — same
+    // (vec_id, cid, cdot) relation, materialized by a different plan
+    val mem = SimilarityOps.semDedup(spark, sf)
+      .select($"vec_id", $"cid", $"cdot")
+      .as[(Long, Long, Long)].collect().toSeq
+    val want = mem.groupBy(_._2).toSeq.flatMap { case (_, ms) =>
+      ms.sortBy { case (id, _, d) => (-d, id) }.zipWithIndex.map {
+        case ((id, cid, d), i) =>
+          (id, cid, d, i + 1L, i + 1L <= SimilarityOps.ClusterCapQ)
+      }
+    }.sortBy(_._1)
+    assert(got === want)
+    // the quota binds on the fixture and never over-keeps a cluster
+    assert(got.exists(!_._5), "cap should bite")
+    got.groupBy(_._2).foreach { case (cid, ms) =>
+      assert(ms.count(_._5) ===
+        math.min(SimilarityOps.ClusterCapQ, ms.size), s"cluster $cid")
+      val keptMin = ms.filter(_._5).map(_._3).min
+      val dropMax = ms.filterNot(_._5).map(_._3).maxOption.getOrElse(Long.MinValue)
+      assert(keptMin >= dropMax, s"cluster $cid kept a less-central member")
+    }
+  }
 }
