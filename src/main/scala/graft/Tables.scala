@@ -37,11 +37,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) in the file, which Spark's parquet
-    * reader rejects outright. Read it as raw nanos (legacy conf) and
-    * integer-divide down to microseconds — exactly what DuckDB does on
-    * read (its parquet ns → TIMESTAMP[µs]), so both engines see
-    * identical truncated values for ordering and bucketing.
+  /** `events.ts` normalization — the fixture has shipped two physical
+    * layouts across driver generations, both normalized here to a
+    * session-zone TIMESTAMP (all mains pin UTC) so every consumer sees
+    * one type:
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it outright — read as
+    *    raw nanos (legacy conf) and integer-divide to microseconds,
+    *    exactly DuckDB's own ns → TIMESTAMP[µs] truncation.
+    *  - TIMESTAMP[µs] (current fixtures): read natively (arrives as
+    *    NTZ), cast to TIMESTAMP — an identity on the wall-clock value
+    *    under the pinned UTC session zone, and the same instants DuckDB
+    *    reads from the file.
     *
     * The nanosAsLong conf should be set at session-build time (the
     * Bench/Verify mains and the test harness do); the guarded set here
@@ -51,9 +57,15 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     val k = "spark.sql.legacy.parquet.nanosAsLong"
     if (s.conf.getOption(k).forall(_ != "true")) s.conf.set(k, "true")
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
