@@ -248,21 +248,77 @@ object SearchOps {
     scoreFromHits(hits, stats0)
   }
 
+  // ---- hybrid retrieval: BM25 ⊕ dense ANN via RRF -----------------------
+
+  /** RRF smoothing constant — k=60, the value recommended in the
+    * original reciprocal-rank-fusion paper (Cormack, Clarke &
+    * Büttcher, SIGIR 2009). */
+  val RrfK = 60
+
+  /** x64 — hybrid retrieval: the lexical top-$TopK (BM25 served from
+    * the materialized inverted index — the x33b probe) fused with the
+    * dense top-${SimilarityOps.TopK} (cosine ANN served from the
+    * materialized LSH index — the x06 probe) by reciprocal rank
+    * fusion: score(d) = Σ_legs 1/(k + rank_leg(d)). This is the
+    * production shape of "semantic + keyword" retrieval every RAG /
+    * eval-slice-assembly stack runs, and it composes the two serving
+    * indexes this library already maintains — per-query work is two
+    * pruned index probes, never a corpus scan.
+    *
+    * Scale shape: each leg ends in a bounded top-K
+    * (TakeOrderedAndProject), the ranks come from single-partition
+    * windows over ≤K rows, and the fusion is a union + hash aggregate
+    * of ≤K+K rows — every corpus-sized structure stays behind the
+    * index probes. A full-outer join formulation would force a
+    * SortMergeJoin (broadcast cannot serve full-outer); the
+    * union-then-pivot keeps the suite's zero-SMJ invariant.
+    *
+    * Oracle-exactness: ranks are integers with deterministic
+    * (score DESC, id) tiebreaks; each leg's contribution rounds to 6
+    * decimals; the per-doc sum has ≤2 addends and IEEE addition is
+    * commutative, so group order cannot perturb the double. */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.Tables.SmallResult
+    val lex = bm25SearchIndexed(s, d)
+      .select($"doc_id",
+        row_number().over(Window.orderBy($"score".desc, $"doc_id"))
+          .cast("long").as("r"),
+        lit("lex").as("leg"))
+    val vec = SimilarityOps.annLsh(s, d)
+      .select($"vec_id".as("doc_id"),
+        row_number().over(Window.orderBy($"sim".desc, $"vec_id"))
+          .cast("long").as("r"),
+        lit("vec").as("leg"))
+    lex.unionByName(vec)
+      .groupBy($"doc_id")
+      .agg(
+        sum(round(lit(1.0) / (lit(RrfK) + $"r"), 6)).as("rrf"),
+        max(when($"leg" === "lex", $"r")).as("r_lex"),
+        max(when($"leg" === "vec", $"r")).as("r_vec"))
+      .smallOrdered($"rrf".desc, $"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x33_bm25_search" -> bm25Search _,
     "x33b_bm25_search_indexed" -> bm25SearchIndexed _,
+    "x64_hybrid_rrf" -> hybridRrf _,
   )
 
   /** ONE oracle definition for both the scan form and the index-served
     * form — they are the same query (shared scoring arithmetic; the
     * index changes only what gets read), so they must hash-match the
     * same SQL. */
-  private lazy val bm25OracleSql: String = {
+  /** The BM25 pipeline as a reusable CTE chain ending in `agg`
+    * (doc_id, w0..wN pivot columns, n_terms) — shared verbatim between
+    * the x33/x33b oracle and the lexical leg of the x64 hybrid oracle,
+    * the same anti-drift convention as SimilarityOps.sigCtes. */
+  private def bm25Ctes: String = {
       val terms = QueryTerms.map(t => s"'$t'").mkString(", ")
       val cases = QueryTerms.zipWithIndex.map { case (t, i) =>
         s"max(CASE WHEN term = '$t' THEN w END) AS w$i" }.mkString(",\n        |       ")
-      val sum = QueryTerms.indices.map(i => s"coalesce(w$i, 0)").mkString(" + ")
-      s"""WITH d AS (
+      s"""d AS (
         |  SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\\s+'),
         |                x -> x <> '') AS toks
@@ -282,13 +338,62 @@ object SearchOps {
         |agg AS (SELECT doc_id,
         |       $cases,
         |       CAST(count(*) AS BIGINT) AS n_terms
-        |      FROM w GROUP BY doc_id)
-        |SELECT doc_id, round($sum, 4) AS score, n_terms
-        |FROM agg ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
+        |      FROM w GROUP BY doc_id)""".stripMargin
   }
+
+  /** The fixed-order score sum over agg's pivot columns. */
+  private def bm25SumExpr: String =
+    QueryTerms.indices.map(i => s"coalesce(w$i, 0)").mkString(" + ")
+
+  private lazy val bm25OracleSql: String =
+    s"""WITH $bm25Ctes
+      |SELECT doc_id, round($bm25SumExpr, 4) AS score, n_terms
+      |FROM agg ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
+
+  /** x64's oracle: the x33 lexical top-$TopK and the x06 dense
+    * top-${SimilarityOps.TopK} (both CTE chains reused verbatim from
+    * their own green oracles) ranked, unioned, and RRF-summed — every
+    * rank is an integer, each leg contribution rounds to 6 decimals
+    * before a two-value commutative sum, so the fused doubles are
+    * bitwise identical cross-engine. */
+  private lazy val hybridOracleSql: String =
+    s"""WITH $bm25Ctes,
+      |lex AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r
+      |  FROM (SELECT doc_id, round($bm25SumExpr, 4) AS score
+      |        FROM agg ORDER BY score DESC, doc_id LIMIT $TopK)),
+      |${SimilarityOps.sigCtes},
+      |probe AS (
+      |  SELECT e.embedding::DOUBLE[] AS qe, s.bucket AS qb
+      |  FROM embeddings e JOIN sig s USING (vec_id) WHERE e.vec_id = 0),
+      |vectop AS (
+      |  SELECT e.vec_id,
+      |    ROUND(list_dot_product(e.embedding::DOUBLE[], probe.qe) /
+      |      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+      |       sqrt(list_dot_product(probe.qe, probe.qe))), 4) AS sim
+      |  FROM embeddings e JOIN sig s ON s.vec_id = e.vec_id, probe
+      |  WHERE e.vec_id <> 0
+      |    AND bit_count(xor(s.bucket, probe.qb)) <= ${SimilarityOps.ProbeRadius}
+      |  ORDER BY sim DESC, e.vec_id LIMIT ${SimilarityOps.TopK}),
+      |vec AS (
+      |  SELECT vec_id AS doc_id,
+      |    CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS r
+      |  FROM vectop),
+      |fused AS (
+      |  SELECT doc_id, r, 'lex' AS leg FROM lex
+      |  UNION ALL
+      |  SELECT doc_id, r, 'vec' AS leg FROM vec)
+      |SELECT doc_id,
+      |       sum(round(1.0 / ($RrfK + r), 6)) AS rrf,
+      |       max(CASE WHEN leg = 'lex' THEN r END) AS r_lex,
+      |       max(CASE WHEN leg = 'vec' THEN r END) AS r_vec
+      |FROM fused GROUP BY doc_id
+      |ORDER BY rrf DESC, doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "x33_bm25_search" -> bm25OracleSql,
     "x33b_bm25_search_indexed" -> bm25OracleSql,
+    "x64_hybrid_rrf" -> hybridOracleSql,
   )
 }

@@ -185,6 +185,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       "term membership must push down to the postings scan")
   }
 
+  test("x64: hybrid fusion is two index probes, no corpus scan, no SMJ") {
+    // both legs must serve from their materialized indexes (the x33b
+    // postings probe + the x06 LSH-bucket probe); the fusion itself is
+    // a union + hash aggregate of ≤K+K rows — a full-outer join here
+    // would force a SortMergeJoin (broadcast cannot serve full-outer)
+    val p = plan("x64_hybrid_rrf")
+    assert(p.contains("graft-bm25-index"), "lexical leg must probe the postings index")
+    assert(p.contains("graft-ann-index"), "dense leg must probe the LSH index")
+    assert(!p.contains("documents.parquet"),
+      "the corpus must not be rescanned at query time")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("x34b: the production overlap plan is one scan, no Expand, no join") {
     // three conditional HLL++ buffers in ONE aggregation: a
     // distinct-rewrite Expand or a join-back means the set-algebra

@@ -65,6 +65,35 @@ class SearchSpec extends AnyFunSuite with SparkTestSession {
     assert(served === scan)
   }
 
+  test("x64: RRF fusion equals a driver recompute from its two legs") {
+    // independently rank each leg's own output, fuse with the RRF
+    // formula in plain Scala, and demand the operator's exact rows —
+    // scores, both rank columns (nulls where a doc is in one leg
+    // only), and the (rrf DESC, doc_id) presentation order
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lex = SearchOps.bm25SearchIndexed(spark, sf)
+      .as[(Long, Double, Long)].collect()
+      .sortBy { case (id, s, _) => (-s, id) }
+      .zipWithIndex.map { case ((id, _, _), i) => id -> (i + 1L) }.toMap
+    val vec = operators.SimilarityOps.annLsh(spark, sf)
+      .as[(Long, Double)].collect()
+      .sortBy { case (id, s) => (-s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val expected = (lex.keySet ++ vec.keySet).toSeq.map { id =>
+      val c = lex.get(id).map(r => r6(1.0 / (SearchOps.RrfK + r))).getOrElse(0.0) +
+        vec.get(id).map(r => r6(1.0 / (SearchOps.RrfK + r))).getOrElse(0.0)
+      (id, c, lex.get(id), vec.get(id))
+    }.sortBy { case (id, c, _, _) => (-c, id) }
+    val got = SearchOps.hybridRrf(spark, sf)
+      .as[(Long, Double, Option[Long], Option[Long])].collect().toSeq
+    assert(got === expected)
+    // both legs genuinely contribute — the fixture must exercise the
+    // union of the two candidate sets, not one leg subsuming the other
+    assert(expected.exists { case (id, _, l, v) => l.isDefined && v.isEmpty })
+    assert(expected.exists { case (id, _, l, v) => l.isEmpty && v.isDefined })
+  }
+
   test("term-bucket function agrees between the JVM and Spark forms") {
     // the probe prunes partitions with DRIVER-computed bucket literals
     // against SPARK-computed partition values — any disagreement
