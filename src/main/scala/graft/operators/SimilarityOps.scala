@@ -888,6 +888,83 @@ object SimilarityOps {
     picked.toSeq.toDF("rank", "vec_id", "dist")
   }
 
+  // ---- bitext mining: margin-scored cross-lingual pair extraction -------
+
+  /** Neighborhood size for the margin normalizer and the pair cut. */
+  val BitextK = 3
+  val BitextTopM = 20
+
+  /** x65 — margin-based bitext mining (Artetxe & Schwenk, ACL 2019 —
+    * the "ratio" margin that built CCMatrix/WikiMatrix): from two
+    * sides of a corpus (label parity stands in for the two languages),
+    * extract the top candidate translation pairs scored by
+    *   margin(x,y) = cos(x,y) / (mean_k cos(x, NN_B(x))/2 +
+    *                             mean_k cos(y, NN_A(y))/2)
+    * — raw cosine over-selects hub vectors; dividing by the two
+    * neighborhoods' average similarity cancels hubness, which is why
+    * every large-scale parallel-corpus pipeline scores pairs this way.
+    *
+    * Scale shape: candidates come from ONE LSH-bucket equi-join (the
+    * x22 multiprobe mask explode — never A×B), checkpointed once and
+    * feeding BOTH directions' k-NN windows (the candidate relation is
+    * symmetric because bucket hamming distance is). The margin
+    * normalizers are integer sums over ≤k rows per vector; the joins
+    * back to pairs are id-equi-joins over |A|·k bounded frames; the
+    * final cut is a bounded top-M (TakeOrderedAndProject).
+    *
+    * Oracle-exactness: cosines round to 4; the neighborhood sums ride
+    * 1e4-scaled BIGINTs (order-free); each denominator half is one
+    * double division of exact integers, their sum is one IEEE add in
+    * written order, and the final margin rounds to 6 — DuckDB
+    * reproduces every double bitwise. */
+  def bitextMining(s: SparkSession, d: String): DataFrame =
+    bitextFrame(s, Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("e")))
+
+  /** Frame form over (vec_id, label, e: array<double>). */
+  def bitextFrame(s: SparkSession, emb0: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = emb0.withColumn("bucket", lshSignature(s, $"e"))
+    val a = emb.filter($"label" % 2 === 0)
+    val b = emb.filter($"label" % 2 === 1)
+    // multiprobe: A explodes to its hamming-≤r bucket masks, B joins
+    // on the bucket key — each (a,b) pair matches at most one mask
+    val probes = a.select($"vec_id".as("aid"), $"e".as("ae"),
+      explode(array(ProbeMasks.map(m =>
+        $"bucket".bitwiseXOR(lit(m))): _*)).as("pb"))
+    val cands = probes
+      .join(b.select($"vec_id".as("bid"), $"e".as("be"),
+        $"bucket".as("pb")), "pb")
+      .select($"aid", $"bid",
+        round(CoreQueries.cosine(s, $"ae", $"be"), 4).as("sim"))
+      // one bucket join feeds both direction's windows — materialize
+      // the candidate pairs instead of re-running the join per branch
+      .localCheckpoint(false)
+    val s4 = (round($"sim" * 1e4, 0)).cast("long")
+    val fk = cands.withColumn("rn", row_number().over(
+        Window.partitionBy($"aid").orderBy($"sim".desc, $"bid")))
+      .filter($"rn" <= BitextK)
+    val bk = cands.withColumn("rn", row_number().over(
+        Window.partitionBy($"bid").orderBy($"sim".desc, $"aid")))
+      .filter($"rn" <= BitextK)
+    val avgA = fk.groupBy($"aid")
+      .agg(sum(s4).as("sa"), count(lit(1)).as("na"))
+    val avgB = bk.groupBy($"bid")
+      .agg(sum(s4).as("sb"), count(lit(1)).as("nb"))
+    // every bid in a forward pair has a backward neighborhood (the
+    // candidate relation is symmetric: x probes y ⟺ y probes x), so
+    // the inner joins lose no pairs
+    fk.join(avgA, "aid").join(avgB, "bid")
+      .select($"aid".as("src_id"), $"bid".as("tgt_id"), $"sim",
+        round($"sim" /
+          ($"sa" / (lit(2.0) * $"na" * lit(1e4)) +
+           $"sb" / (lit(2.0) * $"nb" * lit(1e4))), 6).as("margin"))
+      .orderBy($"margin".desc, $"src_id", $"tgt_id")
+      .limit(BitextTopM)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x06_ann_lsh"  -> annLsh _,
     "x12_ann_ivf"  -> annIvf _,
@@ -899,6 +976,7 @@ object SimilarityOps {
     "x60_mmr_diversity" -> mmrDiversity _,
     "x61_kcenter_coreset" -> kcenterCoreset _,
     "x63_cluster_cap" -> clusterCap _,
+    "x65_bitext_margin" -> bitextMining _,
   )
 
   /** One Lloyd iteration as DuckDB CTEs: integer-dot assignment
@@ -921,7 +999,7 @@ object SimilarityOps {
     * planes, quantized coords, integer dots, signature. ONE definition
     * feeding both the x06 and x22 oracles (same anti-drift convention
     * as DedupOps.ShingleBaseCtes and ivfIterCtes below). */
-  private def sigCtes: String =
+  private[operators] def sigCtes: String =
     s"""planes AS (
        |  SELECT p.range AS p, i.range AS i,
        |    ('0x' || substr(md5('p_' || p.range || '_' || i.range), 1, 8))::BIGINT
@@ -1185,6 +1263,43 @@ object SimilarityOps {
         |  d.vec_id IS NULL AS kept
         |FROM mem m LEFT JOIN drops d USING (vec_id)
         |ORDER BY m.vec_id""".stripMargin,
+    // x65: the bucket-candidate rule is x06/x22's bit_count form (a
+    // cross-side pair survives iff signatures are within ProbeRadius,
+    // exactly the mask-explode equi-join's match set); neighborhood
+    // sums ride 1e4-scaled BIGINTs so the margin denominators are
+    // divisions of exact integers on both engines.
+    "x65_bitext_margin" ->
+      s"""WITH $sigCtes,
+        |sides AS (
+        |  SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS v, s.bucket
+        |  FROM embeddings e JOIN sig s USING (vec_id)),
+        |cands AS (
+        |  SELECT a.vec_id AS aid, b.vec_id AS bid,
+        |    ROUND(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) *
+        |       sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+        |  FROM sides a JOIN sides b
+        |    ON bit_count(xor(a.bucket, b.bucket)) <= $ProbeRadius
+        |  WHERE a.label % 2 = 0 AND b.label % 2 = 1),
+        |fk AS (SELECT * FROM (
+        |  SELECT aid, bid, sim, row_number() OVER (PARTITION BY aid
+        |    ORDER BY sim DESC, bid) AS rn FROM cands) WHERE rn <= $BitextK),
+        |bk AS (SELECT * FROM (
+        |  SELECT aid, bid, sim, row_number() OVER (PARTITION BY bid
+        |    ORDER BY sim DESC, aid) AS rn FROM cands) WHERE rn <= $BitextK),
+        |avga AS (SELECT aid,
+        |    sum(CAST(round(sim * 10000.0, 0) AS BIGINT)) AS sa,
+        |    CAST(count(*) AS BIGINT) AS na
+        |  FROM fk GROUP BY aid),
+        |avgb AS (SELECT bid,
+        |    sum(CAST(round(sim * 10000.0, 0) AS BIGINT)) AS sb,
+        |    CAST(count(*) AS BIGINT) AS nb
+        |  FROM bk GROUP BY bid)
+        |SELECT fk.aid AS src_id, fk.bid AS tgt_id, fk.sim,
+        |  round(fk.sim / (sa / (2.0 * na * 10000.0) +
+        |                  sb / (2.0 * nb * 10000.0)), 6) AS margin
+        |FROM fk JOIN avga USING (aid) JOIN avgb USING (bid)
+        |ORDER BY margin DESC, src_id, tgt_id LIMIT $BitextTopM""".stripMargin,
   )
 
   /** Shared oracle CTE chain for the IVF family: quantized vectors,

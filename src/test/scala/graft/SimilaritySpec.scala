@@ -292,4 +292,53 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
         assert(d <= radius + 1e-12, s"vec $i at $d outside radius $radius")
     }
   }
+
+  test("x65 bitext margins replay from Spark buckets + driver cosines") {
+    // replay the whole pipeline in plain Scala: the candidate rule from
+    // the operator's own LSH buckets, left-to-right fold cosines, the
+    // 1e4-scaled integer neighborhood sums, and the ratio margin — the
+    // operator's top-M rows must match exactly, order included
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p * q }
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val rows = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label",
+        $"embedding".cast("array<double>").as("e"))
+      .withColumn("bucket",
+        SimilarityOps.lshSignature(spark, $"e").cast("long"))
+      .as[(Long, Int, Seq[Double], Long)].collect()
+    val aSide = rows.filter(_._2 % 2 == 0)
+    val bSide = rows.filter(_._2 % 2 == 1)
+    val cands = for {
+      (aid, _, ae, ab) <- aSide
+      (bid, _, be, bb) <- bSide
+      if java.lang.Long.bitCount(ab ^ bb) <= SimilarityOps.ProbeRadius
+    } yield (aid, bid, r(cos(ae, be), 4))
+    def topk(xs: Seq[(Long, Long, Double)], key: ((Long, Long, Double)) => Long,
+             tie: ((Long, Long, Double)) => Long) =
+      xs.groupBy(key).map { case (k, g) =>
+        k -> g.sortBy(t => (-t._3, tie(t))).take(SimilarityOps.BitextK) }
+    def s4(x: Double) =
+      BigDecimal(x * 1e4).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val fk = topk(cands.toSeq, _._1, _._2)
+    val bk = topk(cands.toSeq, _._2, _._1)
+    val avgA = fk.map { case (k, g) => k -> ((g.map(t => s4(t._3)).sum, g.size)) }
+    val avgB = bk.map { case (k, g) => k -> ((g.map(t => s4(t._3)).sum, g.size)) }
+    val want = fk.values.flatten.toSeq.map { case (aid, bid, sim) =>
+      val (sa, na) = avgA(aid); val (sb, nb) = avgB(bid)
+      (aid, bid, sim,
+        r(sim / (sa / (2.0 * na * 1e4) + sb / (2.0 * nb * 1e4)), 6))
+    }.sortBy { case (a, b, _, m) => (-m, a, b) }.take(SimilarityOps.BitextTopM)
+    val got = SimilarityOps.bitextMining(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+    // hubness normalization does real work on this fixture: the margin
+    // order must not simply be the cosine order
+    assert(got.map(_._3) !== got.map(_._3).sorted.reverse)
+  }
 }
