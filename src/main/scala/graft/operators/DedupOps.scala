@@ -418,10 +418,37 @@ object DedupOps {
     * distinct rep set that broadcasts back onto the label frame, so
     * the only corpus-sized work beyond x17's own is one broadcast-hash
     * probe. */
-  def removalPropagation(s: SparkSession, d: String): DataFrame =
-    removalPropagationOf(
-      Tables.documents(s, d).select(col("doc_id"), col("text")),
-      _ % RemovalIdStride === 0)
+  /** Materialized x17 cluster labels (the ensure discipline every
+    * serving artifact follows — content-keyed path, staged-rename
+    * build): `labels/` holds the converged (doc_id, rep) relation.
+    * Takedown feeds arrive repeatedly against the same corpus
+    * snapshot, so the production mode is label-lookup, not
+    * re-convergence — the propagation loop runs ONCE at build and
+    * every subsequent removal request is a probe. */
+  def ensureClusterIndex(s: SparkSession, d: String,
+                         indexRoot: String = sys.props("java.io.tmpdir")): String =
+    ArtifactBuild.ensure(s, SimilarityOps.indexPath(
+        s, d, "documents.parquet", "cc", "v1", indexRoot),
+        "labels/_SUCCESS") { staging =>
+      dedupClusters(s, d).write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(staging, "labels").toString)
+    }
+
+  def removalPropagation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // Served from the materialized labels: the only corpus-sized work
+    // is one scan of the label relation + the broadcast rep probe —
+    // the convergence loop never runs on the query path (plan-pinned).
+    val labels = s.read.parquet(s"${ensureClusterIndex(s, d)}/labels")
+    val isListed = (c: Column) => c % RemovalIdStride === 0
+    val listedReps = labels.filter(isListed($"doc_id"))
+      .select($"rep").distinct()
+    labels.join(broadcast(listedReps), Seq("rep"))
+      .select($"doc_id", $"rep",
+        when(isListed($"doc_id"), lit("listed"))
+          .otherwise(lit("neardup")).as("reason"))
+      .orderBy($"doc_id")
+  }
 
   /** The same closure for an arbitrary (doc_id, text) frame and an
     * arbitrary takedown-list membership predicate over doc_id. */

@@ -248,12 +248,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert("documents\\.parquet".r.findAllIn(p).size === 1)
   }
 
-  test("x57: the removal closure broadcasts the listed reps — no extra shuffle") {
-    // beyond x17's own propagation, the closure must cost ONE
-    // broadcast-hash probe: the listed-rep set is tiny by construction
-    // (a takedown list), so a SortMergeJoin or cartesian against the
+  test("x57: served from the materialized labels; closure is one broadcast probe") {
+    // takedown feeds recur against a corpus snapshot, so the
+    // production shape is label-LOOKUP: the plan must read the
+    // persisted cluster-label artifact, never re-run the x17
+    // convergence (no corpus scan), and the listed-rep set is tiny by
+    // construction (a takedown list) so the closure must cost ONE
+    // broadcast-hash probe — a SortMergeJoin or cartesian against the
     // label frame would be a 100 TB regression
     val p = plan("x57_removal_propagation")
+    assert(p.contains("graft-cc-index"), "must serve from the labels artifact")
+    assert(!p.contains("documents.parquet"),
+      "the corpus must not be rescanned (no in-query re-convergence)")
     assert(!p.contains("SortMergeJoin"))
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("BroadcastHashJoin"))
