@@ -89,8 +89,21 @@ object MultimodalOps {
     * exceptions (IllegalArgumentException, AIOOBE, NegativeArraySize…)
     * on many malformed payloads, and one bad image must fall back to
     * the stub, not kill the stage. */
+  /** Magic-byte sniff (PNG PNG / JPEG FFD8) BEFORE the codec:
+    * `ImageIO.read` on a non-image payload still pays a full
+    * reader-registry scan + stream setup per row before returning
+    * null — at corpus scale that is a per-row constant spent proving
+    * the negative. The sniff changes no result (no ImageIO reader
+    * claims a payload that fails it); it only makes the dispatch
+    * O(8 bytes). */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    (b.length >= 8 && (b(0) & 0xff) == 0x89 &&
+      b(1) == 'P'.toByte && b(2) == 'N'.toByte && b(3) == 'G'.toByte) ||
+    (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+
   private def tryReadImage(r: MediaRow): java.awt.image.BufferedImage =
     if (r.format != "png" && r.format != "jpeg") null
+    else if (!looksLikeImage(r.media)) null
     else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
     catch { case scala.util.control.NonFatal(_) => null }
 
