@@ -347,7 +347,24 @@ object DedupOps {
   def dedupClustersOf(docsFrame: DataFrame): DataFrame = {
     val s = docsFrame.sparkSession
     import s.implicits._
-    val pairs = dedupMinhashLshOf(docsFrame).select($"da", $"db")
+    val labels = ccLabelsOf(dedupMinhashLshOf(docsFrame).select($"da", $"db"))
+    docsFrame.select($"doc_id")
+      .join(broadcast(labels.select($"doc_id", $"rep".as("erep"))),
+        Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"erep", $"doc_id").as("rep"))
+      .orderBy($"doc_id")
+  }
+
+  /** Connected-component labels of an undirected pair graph — the x17
+    * Observation-fused min-label loop over an arbitrary (da, db) edge
+    * frame, extracted so the INCREMENTAL label maintenance
+    * (streaming.ClusterStream) can run the identical convergence on
+    * its batch-sized contracted graph. Returns (doc_id, rep) for
+    * EDGE-INCIDENT nodes only. */
+  private[graft] def ccLabelsOf(pairs0: DataFrame): DataFrame = {
+    val s = pairs0.sparkSession
+    import s.implicits._
+    val pairs = pairs0.select($"da", $"db")
       .localCheckpoint(true)
     val edges = pairs.select($"da".as("a"), $"db".as("b"))
       .unionAll(pairs.select($"db".as("a"), $"da".as("b")))
@@ -390,11 +407,7 @@ object DedupOps {
     // otherwise return silently-wrong labels; fail loudly instead.
     require(converged,
       s"label propagation did not converge within $rounds rounds")
-    docsFrame.select($"doc_id")
-      .join(broadcast(labels.select($"doc_id", $"rep".as("erep"))),
-        Seq("doc_id"), "left")
-      .select($"doc_id", coalesce($"erep", $"doc_id").as("rep"))
-      .orderBy($"doc_id")
+    labels
   }
 
   /** Takedown-list membership for x57 — stands in for the external

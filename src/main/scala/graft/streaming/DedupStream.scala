@@ -30,7 +30,7 @@ import graft.operators.DedupOps
   * compaction = identity merge (docs are disjoint across batches). */
 object DedupStream {
 
-  private val setsSchema: org.apache.spark.sql.types.StructType = {
+  private[streaming] val setsSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(
       StructField("doc_id", LongType),
@@ -38,7 +38,7 @@ object DedupStream {
       StructField("batch_id", LongType)))
   }
 
-  private val bandsSchema: org.apache.spark.sql.types.StructType = {
+  private[streaming] val bandsSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(
       StructField("doc_id", LongType),

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.DedupOps
+import graft.streaming.ClusterStream
+
+/** The incrementally-maintained x17 cluster-label relation: after every
+  * micro-batch the served labels must equal `dedupClustersOf` over all
+  * docs landed so far — including the hard case, a batch that MERGES
+  * components formed in different earlier batches (rep contraction +
+  * touched-partition rewrite), plus replay idempotence and the
+  * removal-closure path. */
+class ClusterRetentionSpec extends AnyFunSuite with SparkTestSession {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf)
+    .select($"doc_id", $"text")
+
+  private def recompute(dfs: org.apache.spark.sql.DataFrame*): Seq[(Long, Long)] =
+    DedupOps.dedupClustersOf(dfs.reduce(_ union _))
+      .as[(Long, Long)].collect().toSeq
+
+  private def served(state: String): Seq[(Long, Long)] =
+    ClusterStream.servedLabels(spark, state)
+      .as[(Long, Long)].collect().toSeq
+
+  test("streaming labels: served equals one-shot x17 under growth + replay") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cc-stream")
+    val state = s"$root/state"
+    assert(served(state).isEmpty)
+    val b0 = docs.filter($"doc_id" % 3 === 0)
+    val b1 = docs.filter($"doc_id" % 3 === 1)
+    val b2 = docs.filter($"doc_id" % 3 === 2)
+    ClusterStream.processClusterBatch(b0, state, 0L)
+    assert(served(state) === recompute(b0))
+    ClusterStream.processClusterBatch(b1, state, 1L)
+    assert(served(state) === recompute(b0, b1))
+    ClusterStream.processClusterBatch(b2, state, 2L)
+    val full = served(state)
+    assert(full === recompute(b0, b1, b2))
+    // the fixture genuinely exercises cross-batch clustering: some
+    // cluster must span two landing batches
+    val byRep = full.groupBy(_._2).values
+    assert(byRep.exists(c => c.map(_._1 % 3).distinct.size > 1),
+      "fixture should contain a cluster spanning batches")
+    // replay: re-running a committed batch is a no-op
+    ClusterStream.processClusterBatch(b1, state, 1L)
+    assert(served(state) === full)
+  }
+
+  test("streaming labels: a later batch merges components across batches") {
+    // A (batch 0) and B (batch 1) share too little to pair with each
+    // other (jaccard 40/56 < 0.8) but C (batch 2) pairs with BOTH
+    // (40/48 >= 0.8): landing C must weld two single-doc components
+    // from DIFFERENT earlier partitions into one cluster — the rep
+    // remap has to rewrite a non-landing partition (B's rep falls from
+    // its own id to A's)
+    val root = java.nio.file.Files.createTempDirectory("graft-cc-merge")
+    val state = s"$root/state"
+    val base = (1 to 40).map(i => s"mtok$i").mkString(" ")
+    val a = Seq((1000L, base + " " + (1 to 8).map(i => s"atail$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val b = Seq((2000L, base + " " + (1 to 8).map(i => s"btail$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val c = Seq((3000L, base)).toDF("doc_id", "text")
+    ClusterStream.processClusterBatch(a, state, 0L)
+    ClusterStream.processClusterBatch(b, state, 1L)
+    assert(served(state) === Seq((1000L, 1000L), (2000L, 2000L)),
+      "A and B must start as separate components")
+    ClusterStream.processClusterBatch(c, state, 2L)
+    assert(served(state) ===
+      Seq((1000L, 1000L), (2000L, 1000L), (3000L, 1000L)))
+    assert(served(state) === recompute(a, b, c))
+  }
+
+  test("streaming labels: a removal closure reaches the served labels") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cc-forget")
+    val state = s"$root/state"
+    val b0 = docs.filter($"doc_id" % 2 === 0)
+    val b1 = docs.filter($"doc_id" % 2 === 1)
+    ClusterStream.processClusterBatch(b0, state, 0L)
+    ClusterStream.processClusterBatch(b1, state, 1L)
+    // take down one member of a real multi-doc cluster; the closure is
+    // its whole cluster (x57 semantics), so surviving labels must equal
+    // a recompute over the survivors
+    val labels = served(state)
+    val cluster = labels.groupBy(_._2).values.find(_.size > 1).get
+    val closure = labels.filter(_._2 == cluster.head._2).map(_._1)
+    ClusterStream.applyRemovals(spark, state, closure)
+    val survivors = docs.filter(!$"doc_id".isin(closure: _*))
+    assert(served(state) === recompute(survivors))
+    assert(served(state).map(_._1).toSet.intersect(closure.toSet).isEmpty)
+  }
+}
