@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CoreQueries, DedupOps, LayoutOps, MultimodalOps, SearchOps, SimilarityOps, SketchOps, SkewOps, TextOps}
+import graft.operators.{CoreQueries, DedupOps, GraphOps, LayoutOps, MultimodalOps, SearchOps, SimilarityOps, SketchOps, SkewOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       TextOps.queries ++ MultimodalOps.queries ++ SketchOps.queries ++
-      LayoutOps.queries ++ SearchOps.queries ++ SkewOps.queries
+      LayoutOps.queries ++ SearchOps.queries ++ SkewOps.queries ++
+      GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB
     * on the same parquet tables. EVERY registered query has an oracle:
@@ -35,5 +36,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ DedupOps.oracleSql ++ SimilarityOps.oracleSql ++
       TextOps.oracleSql ++ MultimodalOps.oracleSql ++ SketchOps.oracleSql ++
-      LayoutOps.oracleSql ++ SearchOps.oracleSql ++ SkewOps.oracleSql
+      LayoutOps.oracleSql ++ SearchOps.oracleSql ++ SkewOps.oracleSql ++
+      GraphOps.oracleSql
 }

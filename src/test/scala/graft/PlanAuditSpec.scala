@@ -185,6 +185,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       "term membership must push down to the postings scan")
   }
 
+  test("x66: each PageRank round is one shuffle; top-K bounded; no SMJ") {
+    // the join fabric and rank state are node/edge-sized relations that
+    // broadcast (or AQE-shuffle) — a SortMergeJoin or cartesian in the
+    // iteration body would multiply by the round count at 100 TB
+    val p = plan("x66_pagerank")
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("x64: hybrid fusion is two index probes, no corpus scan, no SMJ") {
     // both legs must serve from their materialized indexes (the x33b
     // postings probe + the x06 LSH-bucket probe); the fusion itself is
