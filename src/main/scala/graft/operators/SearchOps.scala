@@ -277,16 +277,24 @@ object SearchOps {
     * (score DESC, id) tiebreaks; each leg's contribution rounds to 6
     * decimals; the per-doc sum has ≤2 addends and IEEE addition is
     * commutative, so group order cannot perturb the double. */
-  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+  def hybridRrf(s: SparkSession, d: String): DataFrame =
+    fuseRrf(bm25SearchIndexed(s, d), SimilarityOps.annLsh(s, d))
+
+  /** The fusion over ANY (doc_id, score, …) lexical top-K and
+    * (vec_id, sim) dense top-K — one implementation serving both the
+    * batch indexes (x64) and the incrementally-maintained streaming
+    * state (SearchStream.servedHybrid), so the two paths cannot drift. */
+  def fuseRrf(lexTop: DataFrame, vecTop: DataFrame): DataFrame = {
+    val s = lexTop.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     import graft.Tables.SmallResult
-    val lex = bm25SearchIndexed(s, d)
+    val lex = lexTop
       .select($"doc_id",
         row_number().over(Window.orderBy($"score".desc, $"doc_id"))
           .cast("long").as("r"),
         lit("lex").as("leg"))
-    val vec = SimilarityOps.annLsh(s, d)
+    val vec = vecTop
       .select($"vec_id".as("doc_id"),
         row_number().over(Window.orderBy($"sim".desc, $"vec_id"))
           .cast("long").as("r"),

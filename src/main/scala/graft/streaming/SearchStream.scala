@@ -86,4 +86,17 @@ object SearchStream {
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))
     SearchOps.scoreFromHits(hits, stats0)
   }
+
+  /** x64's fusion served ENTIRELY from incrementally-maintained state:
+    * the lexical leg from this stream's postings partials, the dense
+    * leg from AnnStream's bucket partials — the same `fuseRrf`
+    * arithmetic as the batch-index form, so hybrid retrieval stays
+    * fresh under ingest without ever rebuilding either index
+    * (spec-pinned equal to the batch x64 over the same corpus). */
+  def servedHybrid(spark: SparkSession, searchStateDir: String,
+                   annStateDir: String, probeE: Seq[Double],
+                   excludeId: Long = -1L): DataFrame =
+    SearchOps.fuseRrf(
+      servedBm25(spark, searchStateDir),
+      AnnStream.servedAnnLsh(spark, annStateDir, probeE, excludeId))
 }

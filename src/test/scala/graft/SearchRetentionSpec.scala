@@ -50,6 +50,35 @@ class SearchRetentionSpec extends AnyFunSuite with SparkTestSession {
       === hits(SearchOps.bm25SearchOf(b1.union(b2))))
   }
 
+  test("streaming hybrid: fusion over streamed state equals batch x64") {
+    // land the documents in the search stream and the embeddings in
+    // the ANN stream, then fuse from the SERVED state — the hybrid
+    // composition must equal the batch-index x64 over the same corpus
+    // (vec 0 is the probe and excluded from its own leg, exactly as
+    // annLsh does)
+    import java.nio.file.Files
+    import graft.streaming.AnnStream
+    val root = Files.createTempDirectory("graft-hybrid-stream")
+    val (sState, aState) = (s"$root/search", s"$root/ann")
+    val docs = Tables.documents(spark, sf)
+    SearchStream.processPostingsBatch(
+      docs.filter($"doc_id" % 2 === 0), sState, 0L)
+    SearchStream.processPostingsBatch(
+      docs.filter($"doc_id" % 2 === 1), sState, 1L)
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    AnnStream.processVectorBatch(emb.filter($"vec_id" % 2 === 0), aState, 0L)
+    AnnStream.processVectorBatch(emb.filter($"vec_id" % 2 === 1), aState, 1L)
+    val probe = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).as[Seq[Double]].head()
+    val served = SearchStream
+      .servedHybrid(spark, sState, aState, probe, excludeId = 0L)
+      .as[(Long, Double, Option[Long], Option[Long])].collect().toSeq
+    val batch = SearchOps.hybridRrf(spark, sf)
+      .as[(Long, Double, Option[Long], Option[Long])].collect().toSeq
+    assert(served === batch)
+    assert(served.nonEmpty)
+  }
+
   test("streaming postings end-to-end: file-drop stream builds the index") {
     import java.nio.file.Files
     val root = Files.createTempDirectory("graft-bm25-e2e")
