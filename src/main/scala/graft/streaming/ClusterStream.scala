@@ -185,4 +185,14 @@ object ClusterStream {
     StateMaintenance.removeDocs(spark, s"$stateDir/labels", removedIds)
     DedupStream.applyRemovals(spark, stateDir, removedIds)
   }
+
+  /** Fold a committed prefix of batches into one partition per
+    * artifact — a doc's label row is unique across partitions (it
+    * stays in its landing partition even when remapped), so labels
+    * compact by identity like the sets/bands partials. */
+  def compact(spark: SparkSession, stateDir: String, upTo: Long): Unit = {
+    StateMaintenance.compactBatches(spark, s"$stateDir/labels", upTo,
+      identity)
+    DedupStream.compact(spark, stateDir, upTo)
+  }
 }

@@ -47,6 +47,14 @@ class ClusterRetentionSpec extends AnyFunSuite with SparkTestSession {
     // replay: re-running a committed batch is a no-op
     ClusterStream.processClusterBatch(b1, state, 1L)
     assert(served(state) === full)
+    // compaction: folding the prefix changes nothing served, and the
+    // stream keeps working on top of the compacted state
+    ClusterStream.compact(spark, state, 2L)
+    assert(served(state) === full)
+    val extra = Seq((9000L, (1 to 50).map(i => s"ctok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    ClusterStream.processClusterBatch(extra, state, 3L)
+    assert(served(state) === recompute(b0, b1, b2, extra))
   }
 
   test("streaming labels: a later batch merges components across batches") {
