@@ -248,6 +248,107 @@ object SearchOps {
     scoreFromHits(hits, stats0)
   }
 
+  // ---- exact phrase search ----------------------------------------------
+
+  /** The fixed test phrase — three consecutive tokens that occur in
+    * several fixture documents (multi-doc hits, still selective). */
+  val PhraseTerms: Seq[String] = Seq("window", "fast", "query")
+  val PhraseTopK = 20
+
+  /** x67 — exact phrase search: the docs containing PhraseTerms as
+    * ADJACENT tokens, with occurrence counts and the first match
+    * position. BM25 (x33) ranks by bag-of-words and cannot distinguish
+    * "window fast query" from the words scattered apart — but
+    * decontamination triage, quote detection, and blocklist audits all
+    * ask for the exact sequence. This is the query-time scan form: ONE
+    * narrow pass (tokenize → per-row position filter → size/first),
+    * no shuffle before the bounded top-K; `phraseSearchIndexed` (x67b)
+    * is the serving form — per-term position arrays in a
+    * bucket-partitioned positional index, adjacency as a per-row
+    * array intersection over the probed postings only.
+    *
+    * Oracle-exactness: positions are 1-based integers from the same
+    * whitespace tokenization both engines share; counts and positions
+    * are exact integers. */
+  def phraseSearch(s: SparkSession, d: String): DataFrame =
+    phraseSearchOf(Tables.rebalance(Tables.documents(s, d)))
+
+  def phraseSearchOf(docsFrame: DataFrame): DataFrame = {
+    val s = docsFrame.sparkSession
+    import s.implicits._
+    val n = PhraseTerms.size
+    val cond = PhraseTerms.zipWithIndex.map { case (t, j) =>
+      s"element_at(toks, CAST(i + $j AS INT)) = '$t'" }.mkString(" AND ")
+    docsFrame
+      .select($"doc_id", toksCol.as("toks"))
+      .select($"doc_id", expr(
+        s"""CASE WHEN size(toks) >= $n THEN
+           |  filter(sequence(1, size(toks) - ${n - 1}), i -> $cond)
+           |ELSE CAST(array() AS ARRAY<INT>) END""".stripMargin).as("ps"))
+      .filter(size($"ps") > 0)
+      .select($"doc_id", size($"ps").cast("long").as("n_hits"),
+        element_at($"ps", 1).cast("long").as("first_pos"))
+      .orderBy($"n_hits".desc, $"doc_id")
+      .limit(PhraseTopK)
+  }
+
+  /** The positional inverted index (the serving path for phrase
+    * queries): (doc_id, term, positions[]) PARTITIONED BY the term's
+    * bucket — x33b's layout plus per-term sorted position arrays, kept
+    * as a SEPARATE artifact so the BM25 postings stay lean (most
+    * queries never need positions; shipping them in every postings row
+    * would tax the common case). Build cost is one corpus tokenize +
+    * one (doc_id, term) shuffle. */
+  def ensurePhraseIndex(s: SparkSession, d: String,
+                        indexRoot: String = sys.props("java.io.tmpdir")): String =
+    ArtifactBuild.ensure(s, SimilarityOps.indexPath(
+        s, d, "documents.parquet", "phrase", "v1", indexRoot),
+        "positions/_SUCCESS") { staging =>
+      import s.implicits._
+      tokenizedOf(Tables.rebalance(Tables.documents(s, d)))
+        .select($"doc_id", posexplode($"toks"))
+        .toDF("doc_id", "pos", "term")
+        .groupBy($"doc_id", $"term")
+        // 1-based positions, sorted so element_at(·, 1) is the first hit
+        .agg(sort_array(collect_list($"pos" + 1)).as("positions"))
+        .withColumn("tb", termBucketCol($"term"))
+        .write.mode("overwrite").partitionBy("tb")
+        .parquet(new org.apache.hadoop.fs.Path(staging, "positions").toString)
+    }
+
+  /** x67b — phrase search served from the positional index: the
+    * phrase's terms become bucket literals (partition pruning), each
+    * matched doc pivots its terms' position arrays into columns, and
+    * adjacency is a per-row array intersection — start position i
+    * matches iff term j's positions contain i+j for every j. Per-query
+    * work ∝ the phrase terms' posting lists, never the corpus; output
+    * is bit-identical to the x67 scan (one shared oracle). */
+  def phraseSearchIndexed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = ensurePhraseIndex(s, d)
+    val tbs = PhraseTerms.map(termBucketJvm).distinct
+    val hits = s.read.parquet(s"$root/positions")
+      .filter($"tb".isin(tbs: _*) && $"term".isin(PhraseTerms: _*))
+    val pivoted = hits.groupBy($"doc_id")
+      .agg(PhraseTerms.zipWithIndex.map { case (t, j) =>
+        max(when($"term" === t, $"positions")).as(s"p$j") }.head,
+        PhraseTerms.zipWithIndex.drop(1).map { case (t, j) =>
+          max(when($"term" === t, $"positions")).as(s"p$j") }: _*)
+      .filter(PhraseTerms.indices.map(j => col(s"p$j").isNotNull)
+        .reduceLeft(_ && _))
+    val adjacency = PhraseTerms.indices.drop(1)
+      .map(j => s"array_contains(p$j, CAST(i + $j AS INT))")
+      .mkString(" AND ")
+    pivoted
+      .select($"doc_id",
+        expr(s"filter(p0, i -> $adjacency)").as("ps"))
+      .filter(size($"ps") > 0)
+      .select($"doc_id", size($"ps").cast("long").as("n_hits"),
+        element_at($"ps", 1).cast("long").as("first_pos"))
+      .orderBy($"n_hits".desc, $"doc_id")
+      .limit(PhraseTopK)
+  }
+
   // ---- hybrid retrieval: BM25 ⊕ dense ANN via RRF -----------------------
 
   /** RRF smoothing constant — k=60, the value recommended in the
@@ -312,6 +413,8 @@ object SearchOps {
     "x33_bm25_search" -> bm25Search _,
     "x33b_bm25_search_indexed" -> bm25SearchIndexed _,
     "x64_hybrid_rrf" -> hybridRrf _,
+    "x67_phrase_search" -> phraseSearch _,
+    "x67b_phrase_search_indexed" -> phraseSearchIndexed _,
   )
 
   /** ONE oracle definition for both the scan form and the index-served
@@ -403,5 +506,31 @@ object SearchOps {
     "x33_bm25_search" -> bm25OracleSql,
     "x33b_bm25_search_indexed" -> bm25OracleSql,
     "x64_hybrid_rrf" -> hybridOracleSql,
+    // x67/x67b: DuckDB's range(1, n) is [1, n) and list indexing is
+    // 1-based, so the position semantics line up with Spark's sequence
+    // + element_at form exactly; counts/positions are exact integers.
+    // ONE oracle validates both the scan and the index-served form
+    // (the index changes only what gets read — the x33/x33b pattern).
+    "x67b_phrase_search_indexed" -> phraseOracleSql,
+    "x67_phrase_search" -> phraseOracleSql,
   )
+
+  private lazy val phraseOracleSql: String = {
+      val n = PhraseTerms.size
+      val cond = PhraseTerms.zipWithIndex.map { case (t, j) =>
+        s"w[CAST(i + $j AS BIGINT)] = '$t'" }.mkString(" AND ")
+      s"""WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\\s+'),
+        |                x -> x <> '') AS w
+        |  FROM documents),
+        |ph AS (
+        |  SELECT doc_id,
+        |    list_filter(range(1, len(w) - ${n - 2}), i -> $cond) AS ps
+        |  FROM toks)
+        |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_hits,
+        |       CAST(ps[1] AS BIGINT) AS first_pos
+        |FROM ph WHERE len(ps) > 0
+        |ORDER BY n_hits DESC, doc_id LIMIT $PhraseTopK""".stripMargin
+  }
 }

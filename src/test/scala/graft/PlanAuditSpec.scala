@@ -185,6 +185,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       "term membership must push down to the postings scan")
   }
 
+  test("x67: phrase search is one narrow pass into a bounded top-K") {
+    // tokenize + position filter + count run in the same projection;
+    // nothing shuffles before the TakeOrdered cut
+    val p = plan("x67_phrase_search")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!"HashAggregate".r.findFirstIn(p).isDefined,
+      "no aggregate belongs in a per-row phrase scan")
+  }
+
+  test("x67b: served from the positional index, probed buckets only") {
+    val p = plan("x67b_phrase_search_indexed")
+    assert(p.contains("graft-phrase-index"), "must scan the positional index")
+    assert(!p.contains("documents.parquet"),
+      "the corpus must not be rescanned at query time")
+    assert(!p.contains("SortMergeJoin"))
+    val f = formatted("x67b_phrase_search_indexed")
+    assert("PartitionFilters: \\[[^\\]]*tb".r.findFirstIn(f).isDefined,
+      "positions scan must prune on the term-bucket partition column")
+  }
+
   test("x66: each PageRank round is one shuffle; top-K bounded; no SMJ") {
     // the join fabric and rank state are node/edge-sized relations that
     // broadcast (or AQE-shuffle) — a SortMergeJoin or cartesian in the

@@ -94,6 +94,40 @@ class SearchSpec extends AnyFunSuite with SparkTestSession {
     assert(expected.exists { case (id, _, l, v) => l.isEmpty && v.isDefined })
   }
 
+  test("x67: phrase hits replay from a plain-Scala sliding-window scan") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val want = docs.flatMap { case (id, t) =>
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val ps = toks.sliding(SearchOps.PhraseTerms.size).zipWithIndex
+        .collect { case (w, i) if w == SearchOps.PhraseTerms => i + 1L }
+        .toSeq
+      if (ps.isEmpty) None else Some((id, ps.size.toLong, ps.head))
+    }.sortBy { case (id, n, _) => (-n, id) }
+      .take(SearchOps.PhraseTopK).toSeq
+    val got = SearchOps.phraseSearch(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "fixture should contain the test phrase")
+    // adjacency is doing the work: every hit doc contains all three
+    // words, but docs with the words NON-adjacent must not match
+    val bagMatches = docs.count { case (_, t) =>
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet
+      SearchOps.PhraseTerms.forall(toks.contains)
+    }
+    assert(bagMatches > got.size,
+      "phrase must be stricter than bag-of-words containment")
+  }
+
+  test("x67b: index-served phrase search equals the scan form") {
+    val served = SearchOps.phraseSearchIndexed(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    val scan = SearchOps.phraseSearch(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(served === scan)
+    assert(served.nonEmpty)
+  }
+
   test("term-bucket function agrees between the JVM and Spark forms") {
     // the probe prunes partitions with DRIVER-computed bucket literals
     // against SPARK-computed partition values — any disagreement
