@@ -41,12 +41,16 @@ object GraphOps {
     * are materialized (the bipartite walk), so no node dangles. */
   def pageRank(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // the fact join + distinct is the expensive subtree, and it feeds
+    // FOUR consumers (both union branches, each appearing again under
+    // the deg aggregate) — checkpoint it once or the join runs 4×
     val pairs = Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey")
       .join(Tables.orders(s, d).select($"o_orderkey", $"o_custkey"),
         $"l_orderkey" === $"o_orderkey")
       .select(($"o_custkey" * 2).as("src"),
         ($"l_suppkey" * 2 + 1).as("dst"))
       .distinct()
+      .localCheckpoint(false)
     val edges = pairs
       .unionAll(pairs.select($"dst".as("src"), $"src".as("dst")))
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
@@ -54,13 +58,17 @@ object GraphOps {
     val fabric = edges.join(deg, "src").localCheckpoint(false)
     var ranks = deg.select($"src".as("node"), lit(PrUnit).as("r"))
     for (_ <- 1 to PrIters) {
+      // rank state is node-sized (2 longs per node) — broadcast it into
+      // the cached fabric so no iteration re-shuffles the edge relation;
+      // the only per-round shuffle is the partial-aggregated dst sum.
+      // (At node counts past broadcast range, drop the hint and the
+      // join falls back to the shuffle form — a conf, not a rewrite.)
       ranks = fabric
-        .join(ranks.select($"node".as("src"), $"r"), "src")
+        .join(broadcast(ranks.select($"node".as("src"), $"r")), "src")
         .groupBy($"dst")
         .agg(sum(expr("r div deg")).as("m"))
         .select($"dst".as("node"),
           (lit(150000L) + expr("(85 * m) div 100")).as("r"))
-        .localCheckpoint(false)
     }
     ranks
       .select($"node", $"r".as("rank"),

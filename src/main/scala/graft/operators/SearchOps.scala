@@ -276,15 +276,15 @@ object SearchOps {
   def phraseSearchOf(docsFrame: DataFrame): DataFrame = {
     val s = docsFrame.sparkSession
     import s.implicits._
-    val n = PhraseTerms.size
-    val cond = PhraseTerms.zipWithIndex.map { case (t, j) =>
-      s"element_at(toks, CAST(i + $j AS INT)) = '$t'" }.mkString(" AND ")
+    // positions via the fused codegen scan (graft_phrase_positions) —
+    // the equivalent filter(sequence(…), …) HOF pipeline evaluates its
+    // lambda interpreted per element and measured ~15× slower at sf0.1
+    graft.plans.GraftExpressions.register(s)
     docsFrame
       .select($"doc_id", toksCol.as("toks"))
-      .select($"doc_id", expr(
-        s"""CASE WHEN size(toks) >= $n THEN
-           |  filter(sequence(1, size(toks) - ${n - 1}), i -> $cond)
-           |ELSE CAST(array() AS ARRAY<INT>) END""".stripMargin).as("ps"))
+      .select($"doc_id", call_function(
+        graft.plans.GraftExpressions.PhrasePosFn,
+        $"toks", lit(PhraseTerms.mkString(","))).as("ps"))
       .filter(size($"ps") > 0)
       .select($"doc_id", size($"ps").cast("long").as("n_hits"),
         element_at($"ps", 1).cast("long").as("first_pos"))

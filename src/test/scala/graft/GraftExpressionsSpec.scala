@@ -267,4 +267,30 @@ class GraftExpressionsSpec extends AnyFunSuite with SparkTestSession {
     }
     assert(err.getMessage.contains("array<string>"))
   }
+
+  test("PhrasePositions ≡ the filter(sequence) HOF form on the corpus") {
+    GraftExpressions.register(spark)
+    val phrase = Seq("window", "fast", "query")
+    val cond = phrase.zipWithIndex.map { case (t, j) =>
+      s"element_at(toks, CAST(i + $j AS INT)) = '$t'" }.mkString(" AND ")
+    val toks = Tables.documents(spark, sf)
+      .select(filter(split(lower($"text"), "\\s+"), _ =!= "").as("toks"))
+    val both = toks.select(
+      call_function(GraftExpressions.PhrasePosFn,
+        $"toks", lit(phrase.mkString(","))).as("got"),
+      expr(s"""CASE WHEN size(toks) >= 3 THEN
+              |  filter(sequence(1, size(toks) - 2), i -> $cond)
+              |ELSE CAST(array() AS ARRAY<INT>) END""".stripMargin).as("want"))
+    assert(both.filter(not($"got" <=> $"want")).count() === 0)
+    // edge cases: short arrays, phrase at the very start/end, repeats
+    val edge = Seq(
+      Seq("window", "fast"),                                  // too short
+      Seq("window", "fast", "query"),                         // exact fit
+      Seq("x", "window", "fast", "query"),                    // at end
+      Seq("window", "fast", "query", "window", "fast", "query")) // repeats
+      .map(Tuple1(_)).toDF("toks")
+    val got = edge.select(call_function(GraftExpressions.PhrasePosFn,
+      $"toks", lit(phrase.mkString(",")))).as[Seq[Int]].collect().toSeq
+    assert(got === Seq(Seq(), Seq(1), Seq(2), Seq(1, 4)))
+  }
 }
