@@ -227,4 +227,23 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     assert(rows(DedupOps.snapshotDedupOf(c1, b1)) ===
       rows(DedupOps.snapshotDedupOf(c2, b2)))
   }
+
+  test("PhrasePositions ≡ naive sliding scan on generated token arrays") {
+    // tiny vocabulary so the phrase genuinely occurs (incl. overlapping
+    // and back-to-back repeats); one DataFrame pass over all samples
+    graft.plans.GraftExpressions.register(spark)
+    val phrase = Seq("a", "b", "a")
+    val tokGen = Gen.listOf(Gen.oneOf("a", "b", "c"))
+    val samples = Gen.listOfN(400, tokGen).sample.get
+    val want = samples.map { toks =>
+      toks.sliding(phrase.size).zipWithIndex
+        .collect { case (w, i) if w == phrase => i + 1 }.toSeq
+    }
+    val got = samples.map(Tuple1(_)).toDF("toks")
+      .select(call_function(graft.plans.GraftExpressions.PhrasePosFn,
+        $"toks", lit(phrase.mkString(","))).as("ps"))
+      .as[Seq[Int]].collect().toSeq
+    assert(got === want)
+    assert(want.exists(_.size > 1), "generator should produce repeats")
+  }
 }
