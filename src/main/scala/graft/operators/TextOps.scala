@@ -87,6 +87,47 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  // ---- mixed-language (code-switching) detection ------------------------
+
+  /** Window width (tokens) for the per-window language votes. */
+  val MixWindow = 32
+
+  /** x68 — mixed-language detection: doc-level language ID (x07) hides
+    * code-switched documents — a half-English half-German page votes
+    * "en" and sails into a monolingual corpus. Chunk each doc into
+    * non-overlapping MixWindow-token windows, vote each window with the
+    * SAME stopword battery x07 validates, and report the per-doc
+    * window-language profile: a doc whose windows disagree is flagged
+    * `mixed`. (On the synthetic fixture the mix axis is en/und; on a
+    * real crawl it is en/de/es/fr/zh — the mechanism is identical.)
+    *
+    * Scale shape: one narrow pass — tokenize, window transform, and
+    * the per-window explode all in one projection; the generated row
+    * count is ~tokens/MixWindow per doc; one map-combined group
+    * aggregate back to doc granularity. No joins, no corpus shuffle
+    * beyond the aggregate's. */
+  def mixedLanguage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExpressions.register(s)
+    docs(s, d)
+      .select($"doc_id",
+        filter(split(lower(trim($"text")), "\\s+"), _ =!= "").as("toks"))
+      .select($"doc_id", explode(expr(
+        // the empty-doc guard matters: sequence(0, -1) is DESCENDING
+        s"""CASE WHEN size(toks) > 0 THEN
+           |  transform(sequence(0, CAST(ceil(size(toks) / $MixWindow.0) AS INT) - 1),
+           |    w -> array_join(slice(toks, w * $MixWindow + 1, $MixWindow), ' '))
+           |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("wt"))
+      .select($"doc_id", langIdCol($"wt").as("wlang"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        countDistinct($"wlang").as("n_langs"),
+        sum(when($"wlang" === "en", 1L).otherwise(0L)).as("n_en_w"),
+        sum(when($"wlang" === "und", 1L).otherwise(0L)).as("n_und_w"))
+      .withColumn("mixed", $"n_langs" > 1)
+      .orderBy($"doc_id")
+  }
+
   // ---- quality scoring --------------------------------------------------
 
   def nTokensCol(t: Column): Column = size(split(trim(t), "\\s+")).cast("long")
@@ -1249,6 +1290,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x07_text_langid"      -> textLangId _,
+    "x68_mixed_language"   -> mixedLanguage _,
     "x08_text_quality"     -> textQuality _,
     "x09_text_tokens"      -> textTokens _,
     "x10_text_fingerprint" -> textFingerprint _,
@@ -1564,6 +1606,39 @@ object TextOps {
          |        DESC, doc_id) AS BIGINT) AS rn
          |  FROM documents)
          |WHERE rn <= $GroupSampleK ORDER BY source, rn""".stripMargin,
+    // x68: the x07 vote CASE applied per MixWindow-token window —
+    // DuckDB's 1-based inclusive list slice w[a:b] clamps at the end
+    // exactly like Spark's slice(toks, start, len).
+    "x68_mixed_language" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |              x -> x <> '') AS w
+         |  FROM documents),
+         |win AS (SELECT doc_id,
+         |  unnest(list_transform(range(0, CAST(ceil(len(w) / $MixWindow.0) AS BIGINT)),
+         |    i -> array_to_string(w[i * $MixWindow + 1 : i * $MixWindow + $MixWindow], ' '))) AS wt
+         |  FROM toks),
+         |v AS (SELECT doc_id,
+         |  len(regexp_extract_all(wt, '$stopEn')) AS en_n,
+         |  len(regexp_extract_all(wt, '$stopDe')) AS de_n,
+         |  len(regexp_extract_all(wt, '$stopEs')) AS es_n,
+         |  len(regexp_extract_all(wt, '$stopFr')) AS fr_n,
+         |  len(regexp_extract_all(wt, '[\\x{4e00}-\\x{9fff}]')) AS zh_n
+         |  FROM win),
+         |lv AS (SELECT doc_id, CASE
+         |  WHEN greatest(en_n, de_n, es_n, fr_n, zh_n) = 0 THEN 'und'
+         |  WHEN en_n = greatest(en_n, de_n, es_n, fr_n, zh_n) THEN 'en'
+         |  WHEN de_n = greatest(en_n, de_n, es_n, fr_n, zh_n) THEN 'de'
+         |  WHEN es_n = greatest(en_n, de_n, es_n, fr_n, zh_n) THEN 'es'
+         |  WHEN fr_n = greatest(en_n, de_n, es_n, fr_n, zh_n) THEN 'fr'
+         |  ELSE 'zh' END AS wlang
+         |  FROM v)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(count(DISTINCT wlang) AS BIGINT) AS n_langs,
+         |  CAST(sum(CASE WHEN wlang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en_w,
+         |  CAST(sum(CASE WHEN wlang = 'und' THEN 1 ELSE 0 END) AS BIGINT) AS n_und_w,
+         |  count(DISTINCT wlang) > 1 AS mixed
+         |FROM lv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x07_text_langid" ->
       s"""WITH c AS (SELECT doc_id,
          |  len(regexp_extract_all(lower(text), '$stopEn')) AS en_n,

@@ -759,4 +759,33 @@ class TextPipelineSpec extends AnyFunSuite with SparkTestSession {
       (4L, 3L, "big sort,dup,fast scan"),
       (6L, 1L, "dup")))
   }
+
+  test("x68: window profile replays from driver windowing over x07 votes") {
+    // rebuild the windows in plain Scala, vote each with the
+    // x07-validated langIdCol (one DataFrame pass over the window
+    // strings), aggregate in the driver — the operator's fused
+    // window+vote+aggregate plan must produce the same profile
+    graft.plans.GraftExpressions.register(spark)
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val windows = docs.flatMap { case (id, t) =>
+      val toks = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      toks.grouped(TextOps.MixWindow).map(w => (id, w.mkString(" ")))
+    }.toSeq
+    val votes = windows.toDF("doc_id", "wt")
+      .select($"doc_id", TextOps.langIdCol($"wt").as("wlang"))
+      .as[(Long, String)].collect()
+    val want = votes.groupBy(_._1).map { case (id, vs) =>
+      val langs = vs.map(_._2)
+      (id, langs.size.toLong, langs.distinct.size.toLong,
+        langs.count(_ == "en").toLong, langs.count(_ == "und").toLong,
+        langs.distinct.size > 1)
+    }.toSeq.sortBy(_._1)
+    val got = TextOps.mixedLanguage(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got === want)
+    // the window mechanism genuinely discriminates on this corpus:
+    // some docs are mixed, some are not
+    assert(got.exists(_._6) && got.exists(!_._6))
+  }
 }
