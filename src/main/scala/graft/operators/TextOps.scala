@@ -120,8 +120,11 @@ object TextOps {
            |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("wt"))
       .select($"doc_id", langIdCol($"wt").as("wlang"))
       .groupBy($"doc_id")
+      // distinct langs via a bounded collect_set (≤6 values) — a
+      // countDistinct would plan an Expand + two-phase aggregate,
+      // doubling the exchanges for a set the vote domain bounds anyway
       .agg(count(lit(1)).as("n_windows"),
-        countDistinct($"wlang").as("n_langs"),
+        size(collect_set($"wlang")).cast("long").as("n_langs"),
         sum(when($"wlang" === "en", 1L).otherwise(0L)).as("n_en_w"),
         sum(when($"wlang" === "und", 1L).otherwise(0L)).as("n_und_w"))
       .withColumn("mixed", $"n_langs" > 1)

@@ -196,6 +196,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       "no aggregate belongs in a per-row phrase scan")
   }
 
+  test("x68: window votes are one narrow pass into the doc aggregate") {
+    // tokenize + window transform + explode + vote run in one
+    // projection; the only exchange is the doc-grain aggregate's
+    val p = plan("x68_mixed_language")
+    assert(!p.contains("Join"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Expand"),
+      "n_langs must ride collect_set, not a distinct-rewrite Expand")
+    assert("Exchange".r.findAllIn(p).size <= 3,
+      "only the aggregate and the doc-order sort may exchange")
+  }
+
   test("x67b: served from the positional index, probed buckets only") {
     val p = plan("x67b_phrase_search_indexed")
     assert(p.contains("graft-phrase-index"), "must scan the positional index")
