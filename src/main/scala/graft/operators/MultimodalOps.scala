@@ -93,13 +93,16 @@ object MultimodalOps {
     * `ImageIO.read` on a non-image payload still pays a full
     * reader-registry scan + stream setup per row before returning
     * null — at corpus scale that is a per-row constant spent proving
-    * the negative. The sniff changes no result (no ImageIO reader
-    * claims a payload that fails it); it only makes the dispatch
-    * O(8 bytes). */
+    * the negative. The sniff NARROWS decoding to payloads whose bytes
+    * are actually PNG/JPEG — the documented PNG/JPEG-only rule applied
+    * to content, not just the format label: a mislabeled row (format
+    * says png/jpeg, bytes are GIF/BMP/…) takes the stub path, where a
+    * bare ImageIO dispatch might have decoded it. */
   private def looksLikeImage(b: Array[Byte]): Boolean =
     (b.length >= 8 && (b(0) & 0xff) == 0x89 &&
       b(1) == 'P'.toByte && b(2) == 'N'.toByte && b(3) == 'G'.toByte) ||
-    (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8)
+    (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff)
 
   private def tryReadImage(r: MediaRow): java.awt.image.BufferedImage =
     if (r.format != "png" && r.format != "jpeg") null

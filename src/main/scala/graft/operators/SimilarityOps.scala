@@ -98,13 +98,24 @@ object SimilarityOps {
     * quantization / training constants) — bump it if those change. */
   private[operators] def indexPath(s: SparkSession, d: String, table: String,
                                    kind: String, version: String,
-                                   indexRoot: String): String = {
+                                   indexRoot: String): String =
+    indexPathMulti(s, d, Seq(table), kind, version, indexRoot)
+
+  /** Multi-table variant: an index derived from a JOIN (e.g. the
+    * PageRank edge relation over lineitem ⋈ orders) keys on every
+    * source table's listing, so regenerating ANY input invalidates. */
+  private[operators] def indexPathMulti(s: SparkSession, d: String,
+                                        tables: Seq[String], kind: String,
+                                        version: String,
+                                        indexRoot: String): String = {
     val hconf = s.sparkContext.hadoopConfiguration
-    val srcPath = new org.apache.hadoop.fs.Path(s"$d/$table")
-    val srcFs = srcPath.getFileSystem(hconf)
     val sig = {
-      val parts = srcFs.listStatus(srcPath).map(st =>
-        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}").sorted
+      val parts = tables.flatMap { table =>
+        val srcPath = new org.apache.hadoop.fs.Path(s"$d/$table")
+        val srcFs = srcPath.getFileSystem(hconf)
+        srcFs.listStatus(srcPath).map(st =>
+          s"$table/${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      }.sorted
       val md = java.security.MessageDigest.getInstance("MD5")
       md.digest(parts.mkString("|").getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(16)

@@ -426,7 +426,7 @@ object TextOps {
     val v = c12.select($"w1".as("word"))
       .unionAll(c12.select($"w2".as("word")))
       .agg(countDistinct($"word").as("v"))
-    c12.join(c1, "w1").crossJoin(v)
+    c12.join(c1, "w1").crossJoin(broadcast(v))
       .select($"w1", $"w2",
         expr(s"((c12 + 1L) * ${LmProbScale}L) div (c1 + v)").as("sp"))
   }

@@ -35,7 +35,9 @@ import graft.operators.DedupOps
   *  - growth: new docs land labels in their own partition; component
   *    merges rewrite ONLY the partitions holding a member of a merged
   *    component (metadata-scale driver listing, the removeDocs
-  *    discipline).
+  *    discipline). The landing partition and every merge-rewritten
+  *    partition commit in ONE dynamic overwrite, so no reader can
+  *    observe a component half-remapped between two writes.
   *  - replay: re-running a batch is idempotent — the probe may then
   *    see the batch's own bands in the index, but self-pairs are
   *    filtered, duplicate edges are harmless to min-label, and an
@@ -146,15 +148,19 @@ object ClusterStream {
     bBands.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id", "band").parquet(s"$stateDir/bands")
-    docs.select($"doc_id")
+    // ONE dynamic overwrite covers the fresh landing partition AND the
+    // merge-rewritten partitions: two separate writes would open a
+    // torn-read window (a crash between them leaves a merged component
+    // half-remapped until the batch replays — replay recovery is
+    // correct, but a concurrent reader would see inconsistent reps).
+    // A single write commits all touched partitions in one job commit.
+    val landing = docs.select($"doc_id")
       .join(comp.select($"doc_id", $"rep".as("crep")), Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"crep", $"doc_id").as("rep"),
         lit(batchId).as("batch_id"))
+    rewritten.fold(landing)(landing.unionByName(_))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(s"$stateDir/labels")
-    rewritten.foreach(_.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(s"$stateDir/labels"))
   }
 
   /** Start the label-maintenance stream over a parquet file-drop of

@@ -47,4 +47,14 @@ class GraphSpec extends AnyFunSuite with SparkTestSession {
     val n = r.size.toLong
     assert(r.values.sum > n * 900000L && r.values.sum < n * 1100000L)
   }
+
+  test("x66 served from the artifact ≡ the one-plan inline form") {
+    // training math is exact integer arithmetic, so the materialized
+    // ranks must replay the in-plan convergence bit for bit
+    val served = GraphOps.pageRank(spark, sf)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    val inline = GraphOps.pageRankInline(spark, sf)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(served === inline)
+  }
 }

@@ -219,11 +219,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       "positions scan must prune on the term-bucket partition column")
   }
 
-  test("x66: each PageRank round is one shuffle; top-K bounded; no SMJ") {
-    // the join fabric and rank state are node/edge-sized relations that
-    // broadcast (or AQE-shuffle) — a SortMergeJoin or cartesian in the
-    // iteration body would multiply by the round count at 100 TB
+  test("x66: served from the materialized rank artifact — no iteration at serve") {
+    // the convergence loop (graph build + PrIters propagation rounds)
+    // runs at index build only; the serve plan is one FileScan of the
+    // converged (node, r) table + projection + bounded top-K — no
+    // join, no fact-table scan, no aggregate (the x27/x12 discipline)
     val p = plan("x66_pagerank")
+    assert(p.contains("graft-pagerank-index"),
+      "ranks must serve from the materialized artifact")
+    assert(!p.contains("lineitem.parquet"),
+      "fact-table scan must not run at serve time")
+    assert(!p.contains("Join"), "no join at serve time")
+    assert(!p.contains("HashAggregate"), "no aggregate at serve time")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("x66 inline witness: each PageRank round is one shuffle; no SMJ") {
+    // the build-path form keeps the iteration-body contract: fabric
+    // and rank state broadcast (or AQE-shuffle) — a SortMergeJoin or
+    // cartesian there would multiply by the round count at 100 TB
+    val df = graft.operators.GraphOps.pageRankInline(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
     assert(!p.contains("SortMergeJoin"))
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("TakeOrderedAndProject"))

@@ -125,4 +125,46 @@ class StateMaintenanceSpec extends AnyFunSuite with SparkTestSession {
       === TextOps.finishReport(
         TextOps.reportPartialsOf(b0.union(b1).union(b2))).collect().toSeq)
   }
+
+  test("removal crash window: death between survivor overwrite and empty-partition delete recovers") {
+    // applyRemoval is two steps: (1) dynamic-overwrite the survivors —
+    // which writes NOTHING for a partition whose docs are all removed —
+    // then (2) explicitly delete the fully-emptied partition dirs. A
+    // crash between them leaves removed docs visible in state until
+    // re-apply. This test constructs that exact crash point and proves
+    // the marker protocol converges on the next maintenance call.
+    val root = java.nio.file.Files.createTempDirectory("graft-remove-crash")
+    val state = s"$root/state"
+    // two landing batches: the removal {1,2,3} fully empties batch 0
+    // and partially empties batch 1
+    Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)).toDF("doc_id", "batch_id")
+      .write.partitionBy("batch_id").parquet(state)
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash-point state: batch 1 already rewritten to its survivor,
+    // batch 0 untouched (the overwrite wrote no rows for it), the
+    // `_graft_removing` marker still pending
+    Seq((4L, 1L)).toDF("doc_id", "batch_id")
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(state)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(state, "_graft_removing"), true)
+    try out.write("1\n2\n3".getBytes("UTF-8")) finally out.close()
+    // the torn window is observable exactly as documented: batch 0's
+    // removed docs linger until the marker is re-applied
+    assert(spark.read.parquet(state).select("doc_id")
+      .as[Long].collect().toSet === Set(1L, 2L, 4L))
+    // the NEXT maintenance call — no new ids — finishes the crashed
+    // removal from the marker: emptied partition deleted, marker gone
+    StateMaintenance.removeDocs(spark, state, Seq.empty)
+    assert(spark.read.parquet(state).select("doc_id")
+      .as[Long].collect().toSet === Set(4L))
+    assert(batchDirs(state) === Set(1L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(state, "_graft_removing")))
+    // and replaying the SAME removal afterwards is a no-op (idempotent)
+    StateMaintenance.removeDocs(spark, state, Seq(1L, 2L, 3L))
+    assert(spark.read.parquet(state).select("doc_id")
+      .as[Long].collect().toSet === Set(4L))
+    assert(batchDirs(state) === Set(1L))
+  }
 }
