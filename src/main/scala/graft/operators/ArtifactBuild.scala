@@ -21,6 +21,23 @@ import org.apache.spark.sql.SparkSession
   */
 private[graft] object ArtifactBuild {
 
+  /** Cached read of an IMMUTABLE artifact relation. Ensure-built
+    * artifacts live at content-keyed paths (a regenerated corpus is a
+    * NEW path), so the analyzed relation can never go stale — while
+    * re-reading per query re-lists the partition tree, which for a
+    * bucket/term-partitioned index (hundreds of directories) exceeds
+    * the parallel-discovery threshold and schedules a listing Spark
+    * JOB on every serving query. Keyed by session identity so test
+    * sessions never alias; in-process only, like Tables' cache.
+    * Mutable state dirs (streaming `sets/bands/labels` batches) must
+    * NOT go through this — they use StateMaintenance.readOr. */
+  private val readCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), org.apache.spark.sql.DataFrame]()
+
+  def readCached(s: SparkSession, path: String): org.apache.spark.sql.DataFrame =
+    readCache.computeIfAbsent((System.identityHashCode(s), path),
+      _ => s.read.parquet(path))
+
   /** Ensure the artifact at `path` exists and is complete; build it
     * via `build(stagingDir)` if not. Returns `path`. */
   def ensure(s: SparkSession, path: String, markerRel: String)

@@ -452,7 +452,7 @@ object DedupOps {
     // Served from the materialized labels: the only corpus-sized work
     // is one scan of the label relation + the broadcast rep probe —
     // the convergence loop never runs on the query path (plan-pinned).
-    val labels = s.read.parquet(s"${ensureClusterIndex(s, d)}/labels")
+    val labels = ArtifactBuild.readCached(s, s"${ensureClusterIndex(s, d)}/labels")
     val isListed = (c: Column) => c % RemovalIdStride === 0
     val listedReps = labels.filter(isListed($"doc_id"))
       .select($"rep").distinct()

@@ -102,7 +102,7 @@ object GraphOps {
   def pageRank(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val root = ensureRankIndex(s, d)
-    s.read.parquet(s"$root/ranks")
+    ArtifactBuild.readCached(s, s"$root/ranks")
       .select($"node", $"r".as("rank"),
         when($"node" % 2 === 0, "customer").otherwise("supplier").as("kind"),
         expr("node div 2").as("key"))

@@ -235,14 +235,14 @@ object SearchOps {
   def bm25SearchIndexed(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val root = ensureBm25Index(s, d)
-    val stats0 = s.read.parquet(s"$root/stats")
+    val stats0 = ArtifactBuild.readCached(s, s"$root/stats")
     val tbs = QueryTerms.map(termBucketJvm).distinct
     // Pruned-bucket scan, exact term filter pushed to parquet. The df
     // and tf branches each read the pruned postings directly — NO
     // checkpoint here (unlike x33's corpus-wide base): the pruned read
     // is |query-term postings|-sized, and a checkpoint would hide the
     // partition-pruned scan from the plan the audit pins.
-    val hits = s.read.parquet(s"$root/postings")
+    val hits = ArtifactBuild.readCached(s, s"$root/postings")
       .filter($"tb".isin(tbs: _*) && $"term".isin(QueryTerms: _*))
       .select($"doc_id", $"term", $"tf", $"dl")
     scoreFromHits(hits, stats0)
@@ -327,7 +327,7 @@ object SearchOps {
     import s.implicits._
     val root = ensurePhraseIndex(s, d)
     val tbs = PhraseTerms.map(termBucketJvm).distinct
-    val hits = s.read.parquet(s"$root/positions")
+    val hits = ArtifactBuild.readCached(s, s"$root/positions")
       .filter($"tb".isin(tbs: _*) && $"term".isin(PhraseTerms: _*))
     val pivoted = hits.groupBy($"doc_id")
       .agg(PhraseTerms.zipWithIndex.map { case (t, j) =>

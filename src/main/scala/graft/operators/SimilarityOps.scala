@@ -152,7 +152,7 @@ object SimilarityOps {
     * nothing is collected to the driver. */
   def annLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val idx = s.read.parquet(ensureAnnIndex(s, d))
+    val idx = ArtifactBuild.readCached(s, ensureAnnIndex(s, d))
     val probe = Tables.embeddings(s, d)
       .filter($"vec_id" === 0)
       .select($"embedding".cast("array<double>").as("qe"),
@@ -345,8 +345,8 @@ object SimilarityOps {
   def annIvf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val root = ensureIvfIndex(s, d)
-    val cents = s.read.parquet(s"$root/centroids")
-    val assigned = s.read.parquet(s"$root/assign")
+    val cents = ArtifactBuild.readCached(s, s"$root/centroids")
+    val assigned = ArtifactBuild.readCached(s, s"$root/assign")
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
     val probe = emb.filter($"vec_id" === 0).select($"e".as("qe"))
@@ -449,9 +449,9 @@ object SimilarityOps {
         indexPath(s, d, "embeddings.parquet", "ivfpq", "v1", indexRoot),
         "codes/_SUCCESS") { staging =>
       val ivf = ensureIvfIndex(s, d, indexRoot)
-      val cents = s.read.parquet(s"$ivf/centroids")
+      val cents = ArtifactBuild.readCached(s, s"$ivf/centroids")
         .select($"cid".cast("int").as("cid"), $"c")
-      val assigned = s.read.parquet(s"$ivf/assign")
+      val assigned = ArtifactBuild.readCached(s, s"$ivf/assign")
       // residuals r = q − c(cid): one corpus scan, feeds the codebook
       // AND the encoder (checkpointed — the x13/x33 shared-base rule)
       val res = Tables.embeddings(s, d)
@@ -500,9 +500,9 @@ object SimilarityOps {
   def annIvfPq(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val root = ensureIvfPqIndex(s, d)
-    val cents = s.read.parquet(s"${ensureIvfIndex(s, d)}/centroids")
-    val cb = s.read.parquet(s"$root/codebook")
-    val codes = s.read.parquet(s"$root/codes")
+    val cents = ArtifactBuild.readCached(s, s"${ensureIvfIndex(s, d)}/centroids")
+    val cb = ArtifactBuild.readCached(s, s"$root/codebook")
+    val codes = ArtifactBuild.readCached(s, s"$root/codes")
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
     val probe = emb.filter($"vec_id" === 0).select($"e".as("qe"))
@@ -634,8 +634,8 @@ object SimilarityOps {
   def semDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val root = ensureIvfIndex(s, d)
-    val cents = s.read.parquet(s"$root/centroids")
-    val assigned = s.read.parquet(s"$root/assign")
+    val cents = ArtifactBuild.readCached(s, s"$root/centroids")
+    val assigned = ArtifactBuild.readCached(s, s"$root/assign")
       .select($"vec_id", $"cid".cast("long").as("cid"))
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
@@ -690,8 +690,8 @@ object SimilarityOps {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val root = ensureIvfIndex(s, d)
-    val cents = s.read.parquet(s"$root/centroids")
-    val assigned = s.read.parquet(s"$root/assign")
+    val cents = ArtifactBuild.readCached(s, s"$root/centroids")
+    val assigned = ArtifactBuild.readCached(s, s"$root/assign")
       .select($"vec_id", $"cid".cast("long").as("cid"))
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))

@@ -482,7 +482,7 @@ object TextOps {
   def lmLikelihood(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val root = ensureLmModel(s, d)
-    lmScore(docs(s, d), s.read.parquet(s"$root/model"))
+    lmScore(docs(s, d), ArtifactBuild.readCached(s, s"$root/model"))
       .orderBy($"doc_id")
   }
 
@@ -686,7 +686,7 @@ object TextOps {
   def dsirWeights(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val root = ensureDsirModel(s, d)
-    dsirScore(dsirToksOf(docs(s, d)), s.read.parquet(s"$root/model"))
+    dsirScore(dsirToksOf(docs(s, d)), ArtifactBuild.readCached(s, s"$root/model"))
       .orderBy($"doc_id")
   }
 
@@ -1190,7 +1190,7 @@ object TextOps {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val root = ensureLmModel(s, d)
-    val ppt = lmScore(docs(s, d), s.read.parquet(s"$root/model"))
+    val ppt = lmScore(docs(s, d), ArtifactBuild.readCached(s, s"$root/model"))
       .select($"doc_id", expr("sum_scaled_p div n_bigrams").as("ppt"))
       .localCheckpoint(false)
     val cum = ppt.groupBy($"ppt".as("p")).agg(count(lit(1)).as("c"))

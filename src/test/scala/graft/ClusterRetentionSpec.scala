@@ -100,4 +100,51 @@ class ClusterRetentionSpec extends AnyFunSuite with SparkTestSession {
     assert(served(state) === recompute(survivors))
     assert(served(state).map(_._1).toSet.intersect(closure.toSet).isEmpty)
   }
+
+  test("takedown between batches: both orders converge to their ground truth") {
+    // The A/B/C merge construction again (A~C and B~C pair, A!~B), but
+    // now a takedown of B interleaves with the merge batch C. The two
+    // orders are DIFFERENT requests with DIFFERENT ground truths —
+    // what must hold is that each converges to the one-shot recompute
+    // over exactly the docs its closure leaves behind:
+    //  - takedown BEFORE the merge batch: the closure (computed from
+    //    pre-merge labels) is B alone; C then lands and must weld with
+    //    A only — B's removed sets/bands must NOT feed a stale edge,
+    //    and B must never resurface.
+    //  - merge BEFORE the takedown: the closure must honor the
+    //    POST-MERGE component (x57 semantics: the unit of deletion is
+    //    the listed doc's whole near-dup cluster as currently known),
+    //    sweeping A and C with B.
+    val base = (1 to 40).map(i => s"ttok$i").mkString(" ")
+    val a = Seq((1000L, base + " " + (1 to 8).map(i => s"atail$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val b = Seq((2000L, base + " " + (1 to 8).map(i => s"btail$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val c = Seq((3000L, base)).toDF("doc_id", "text")
+
+    // order 1: takedown lands between batch 1 (B) and batch 2 (C)
+    val root1 = java.nio.file.Files.createTempDirectory("graft-cc-tdm")
+    val s1 = s"$root1/state"
+    ClusterStream.processClusterBatch(a, s1, 0L)
+    ClusterStream.processClusterBatch(b, s1, 1L)
+    val closure1 = served(s1).filter(_._2 == 2000L).map(_._1)
+    assert(closure1 === Seq(2000L), "pre-merge closure is B alone")
+    ClusterStream.applyRemovals(spark, s1, closure1)
+    ClusterStream.processClusterBatch(c, s1, 2L)
+    assert(served(s1) === Seq((1000L, 1000L), (3000L, 1000L)))
+    assert(served(s1) === recompute(a, c))
+
+    // order 2: the merge batch lands first, then the same takedown
+    val root2 = java.nio.file.Files.createTempDirectory("graft-cc-mtd")
+    val s2 = s"$root2/state"
+    ClusterStream.processClusterBatch(a, s2, 0L)
+    ClusterStream.processClusterBatch(b, s2, 1L)
+    ClusterStream.processClusterBatch(c, s2, 2L)
+    val repOfB = served(s2).find(_._1 == 2000L).get._2
+    val closure2 = served(s2).filter(_._2 == repOfB).map(_._1).sorted
+    assert(closure2 === Seq(1000L, 2000L, 3000L),
+      "post-merge closure must sweep the welded component")
+    ClusterStream.applyRemovals(spark, s2, closure2)
+    assert(served(s2).isEmpty)
+  }
 }
