@@ -129,11 +129,15 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val okTimes = times.filter(_._2).map(_._1)
-      // rep spread = (max−min)/min — the artifact's own variance
-      // evidence: a query whose reps disagree >30% is flagged below so
-      // a one-boot number is never mistaken for a stable one
-      val spread = if (okTimes.size >= 2 && okTimes.min > 0)
-        (okTimes.max - okTimes.min) / okTimes.min else 0.0
+      // rep spread = (max−min)/min over the reps AFTER the first — the
+      // artifact's own variance evidence. Rep 1 always carries the
+      // query's one-time planning/codegen/listing cost (at small SF
+      // that alone exceeds 30% of a tiny runtime — measured 97/102
+      // flagged when rep 1 was included), so steady-state spread is
+      // what distinguishes host interference from warm-up.
+      val steady = times.drop(1).filter(_._2).map(_._1)
+      val spread = if (steady.size >= 2 && steady.min > 0)
+        (steady.max - steady.min) / steady.min else 0.0
       (name, okTimes.minOption.getOrElse(0.0), times.exists(_._2), spread)
     }
     val good = results.filter(_._3)

@@ -110,6 +110,16 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       "fixture should contain a component larger than one pair")
   }
 
+  test("x17 served from the artifact ≡ the inline convergence") {
+    // label math is exact integer arithmetic, so the materialized
+    // artifact must replay the in-plan convergence bit for bit
+    val served = DedupOps.dedupClustersServed(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    val inline = DedupOps.dedupClusters(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(served === inline)
+  }
+
   test("x57 removal closure equals the takedown list's full clusters") {
     val labels = DedupOps.dedupClusters(spark, sf)
       .as[(Long, Long)].collect().toMap

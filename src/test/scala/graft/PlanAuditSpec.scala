@@ -117,8 +117,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
-  test("x17: isolated docs rejoin via broadcast, not a corpus shuffle") {
+  test("x17: served from the materialized label artifact — no convergence at serve") {
+    // labels are maintained by ClusterStream / periodic rebuilds; a
+    // query reads the artifact (the x66/x27 discipline). No corpus
+    // scan, no join, no iteration in the serve plan.
     val p = plan("x17_dedup_clusters")
+    assert(p.contains("graft-cc-index"),
+      "labels must serve from the materialized artifact")
+    assert(!p.contains("documents.parquet"),
+      "corpus scan must not run at serve time")
+    assert(!p.contains("Join"), "no join at serve time")
+  }
+
+  test("x17 inline witness: isolated docs rejoin via broadcast, not a corpus shuffle") {
+    val df = graft.operators.DedupOps.dedupClusters(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"))
   }
