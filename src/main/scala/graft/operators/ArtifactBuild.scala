@@ -38,6 +38,18 @@ private[graft] object ArtifactBuild {
     readCache.computeIfAbsent((System.identityHashCode(s), path),
       _ => s.read.parquet(path))
 
+  /** One lock object per artifact path: `ensure` must serialize
+    * IN-PROCESS. Without it, two concurrent ensures (parallel test
+    * suites, concurrent serving queries on a cold index) can both see
+    * the marker missing, and the slower one's crash-recovery `delete`
+    * destroys the artifact the faster one just completed — which
+    * `readCached` then pins as missing files for the session's
+    * lifetime. Cross-JVM the staged-rename still arbitrates; the
+    * destructive delete only fires for a genuinely crashed build
+    * (marker absent under the lock). */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Ensure the artifact at `path` exists and is complete; build it
     * via `build(stagingDir)` if not. Returns `path`. */
   def ensure(s: SparkSession, path: String, markerRel: String)
@@ -45,13 +57,18 @@ private[graft] object ArtifactBuild {
     val hconf = s.sparkContext.hadoopConfiguration
     val destPath = new Path(path)
     val fs = destPath.getFileSystem(hconf)
-    if (!fs.exists(new Path(path, markerRel))) {
-      if (fs.exists(destPath)) fs.delete(destPath, true)
-      val staging = new Path(
-        path + s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-      build(staging)
-      if (!fs.rename(staging, destPath)) fs.delete(staging, true)
-    }
+    if (!fs.exists(new Path(path, markerRel)))
+      buildLocks.computeIfAbsent(path, _ => new Object).synchronized {
+        // re-check under the lock: a concurrent ensure may have built
+        // it while this thread waited
+        if (!fs.exists(new Path(path, markerRel))) {
+          if (fs.exists(destPath)) fs.delete(destPath, true)
+          val staging = new Path(
+            path + s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+          build(staging)
+          if (!fs.rename(staging, destPath)) fs.delete(staging, true)
+        }
+      }
     path
   }
 }

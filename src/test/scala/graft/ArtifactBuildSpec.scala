@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.hadoop.fs.Path
+import graft.operators.ArtifactBuild
+
+/** The ensure protocol under concurrency: parallel test suites (and
+  * concurrent serving queries on a cold index) race into `ensure` for
+  * the same content-keyed path. The regression this pins: the loser of
+  * the race must NOT run its crash-recovery delete against the
+  * artifact the winner just completed — with `readCached` pinning file
+  * listings per session, that delete turned one transient race into
+  * session-lifetime FAILED_READ_FILE (the r7 CoreQueriesSpec /
+  * PlanAuditSpec failures on the phrase index). */
+class ArtifactBuildSpec extends AnyFunSuite with SparkTestSession {
+
+  test("concurrent ensures build exactly once and never delete a completed artifact") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ensure-race")
+    val path = s"$root/artifact"
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def ensureOnce(): String = ArtifactBuild.ensure(
+      spark, path, "part/_MARKER") { staging =>
+      builds.incrementAndGet()
+      // slow build widens the race window the lock must close
+      Thread.sleep(50)
+      val part = new Path(staging, "part")
+      fs.mkdirs(part)
+      fs.create(new Path(part, "data-" + System.nanoTime())).close()
+      fs.create(new Path(part, "_MARKER")).close()
+    }
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 8).map(_ => pool.submit(
+        new java.util.concurrent.Callable[String] { def call(): String = ensureOnce() }))
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+
+    assert(builds.get() === 1, "the marker re-check under the lock must " +
+      "make every later ensure a no-op")
+    val files = fs.listStatus(new Path(path, "part")).map(_.getPath.getName).toSet
+    assert(files.exists(_.startsWith("data-")) && files.contains("_MARKER"))
+
+    // a completed artifact is terminal: re-ensure never rebuilds, and
+    // the exact file set (what a cached relation pins) survives
+    ensureOnce()
+    assert(builds.get() === 1)
+    assert(fs.listStatus(new Path(path, "part"))
+      .map(_.getPath.getName).toSet === files,
+      "re-ensure must leave the pinned file listing untouched")
+  }
+}
