@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.Tables.SmallResult
 
 /** Deduplication operators over the `documents` table — the core of a
   * training-data pipeline at 100 TB:
@@ -41,9 +42,12 @@ object DedupOps {
     * frame (the common tokenization). Rebalanced: everything downstream
     * (shingling, 128-perm minhash, simhash votes) is compute-bound per
     * row. */
-  private def wordsOf(docs: DataFrame): DataFrame =
+  private def wordsOf(docs: DataFrame): DataFrame = wordsOf(docs, Nil)
+
+  private def wordsOf(docs: DataFrame, keep: Seq[String]): DataFrame =
     Tables.rebalance(docs)
-      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
+      .select((col("doc_id") +: keep.map(col)) :+
+        split(lower(col("text")), "\\s+").as("w"): _*)
 
   private def words(s: SparkSession, d: String): DataFrame =
     wordsOf(Tables.documents(s, d))
@@ -77,13 +81,18 @@ object DedupOps {
     * tokenize + ≥3-words + distinct word-3-gram rules as the corpus
     * pipeline, so frame-based operators (contaminationFrames, the
     * streaming dedup index) cannot drift from the corpus queries. */
-  def shingleSetsOf(docs: DataFrame): DataFrame = {
+  def shingleSetsOf(docs: DataFrame): DataFrame = shingleSetsTagged(docs, Nil)
+
+  /** shingleSetsOf carrying `keep` columns through the same narrow
+    * pass (x71's source tag) — one shared tokenize/guard/shingle
+    * definition, so tagged consumers cannot drift from it. */
+  def shingleSetsTagged(docs: DataFrame, keep: Seq[String]): DataFrame = {
     graft.plans.GraftExpressions.register(docs.sparkSession)
-    wordsOf(docs)
+    wordsOf(docs, keep)
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"),
+      .select((col("doc_id") +: keep.map(col)) :+
         call_function(graft.plans.GraftExpressions.ShingleHashesFn,
-          col("w")).as("s"))
+          col("w")).as("s"): _*)
   }
 
   // ---- exact dedup ------------------------------------------------------
@@ -748,6 +757,42 @@ object DedupOps {
     contaminationFrames(docs, eval)
   }
 
+  // ---- cross-source overlap matrix (x71) --------------------------------
+
+  /** x71 — the SOURCE-pair contamination matrix: for every pair of
+    * sources, how many DISTINCT word-3-gram shingles they share — the
+    * all-pairs generalization of x20's two-frame decontamination and
+    * the overlap panel a corpus report leads with (which sources are
+    * near-copies of each other; where a leak between subsets would
+    * come from). Exact counts on the canonical shingle rule, so the
+    * matrix is comparable with every other shingle-based verdict.
+    *
+    * Scale shape: ONE shuffle — the narrow tagged shingle pass
+    * explodes to (shingle, source) rows and a single hash aggregate
+    * collects each shingle's distinct source set (bounded by the
+    * source count, which stays small at any corpus size); pair
+    * fan-out per shingle is ≤ C(|sources|, 2) rows computed by an
+    * in-row HOF, and the final matrix aggregate runs on ≤ C(|sources|,
+    * 2) keys. No join anywhere in the plan. */
+  def sourceOverlapMatrix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ss = shingleSetsTagged(
+        Tables.documents(s, d).select($"doc_id", $"source", $"text"),
+        Seq("source"))
+      .select($"source", explode($"s").as("sh"))
+    val srcsPerSh = ss.groupBy($"sh")
+      .agg(sort_array(collect_set($"source")).as("srcs"))
+      .filter(size($"srcs") > 1)
+    srcsPerSh
+      .select(explode(flatten(transform($"srcs", (x, i) =>
+          transform(slice($"srcs", i + lit(2), size($"srcs")),
+            y => struct(x.as("src_a"), y.as("src_b")))))).as("p"))
+      .select($"p.src_a", $"p.src_b")
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("shared"))
+      .smallOrdered($"src_a", $"src_b")
+  }
+
   // ---- embedding-cosine near-dup ----------------------------------------
 
   val CosineThreshold = 0.4
@@ -920,6 +965,7 @@ object DedupOps {
     "x51_gopher_repetition"   -> gopherRepetition _,
     "x24_contamination_eval"  -> contaminationEval _,
     "x26_dedup_blocks"        -> dedupBlocks _,
+    "x71_source_overlap"      -> sourceOverlapMatrix _,
   )
 
   /** x02's oracle is the EXACT all-pairs Jaccard — valid because the
@@ -995,6 +1041,18 @@ object DedupOps {
         |           JOIN sizes sb ON sb.doc_id = dup_of
         |WHERE ROUND(i / (sa.n + sb.n - i), 4) >= $JaccardThreshold
         |ORDER BY new_id, dup_of""".stripMargin,
+    // x71: the oracle recomputes the matrix from shingle STRINGS (the
+    // ShingleBaseCtes sh relation) via the self-join formulation —
+    // identical counts to the hash-keyed aggregate absent collisions,
+    // the module's standing hash-identity assumption.
+    "x71_source_overlap" ->
+      s"""WITH $ShingleBaseCtes,
+        |ss AS (SELECT DISTINCT d.source, s.sh
+        |       FROM sh s JOIN documents d USING (doc_id))
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |       CAST(count(*) AS BIGINT) AS shared
+        |FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x17_dedup_clusters" ->
       s"""WITH RECURSIVE
         |$ShingleBaseCtes,

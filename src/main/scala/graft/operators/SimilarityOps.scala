@@ -976,6 +976,72 @@ object SimilarityOps {
       .limit(BitextTopM)
   }
 
+  // ---- hard-negative mining (x69) ---------------------------------------
+
+  /** Anchors for contrastive-pair mining: the first HardNegQueries
+    * vec_ids (the x22 query-batch convention). */
+  val HardNegQueries = 8L
+  /** Negatives returned per anchor. */
+  val HardNegK = 5
+  /** Similarity cap: a candidate at/over the corpus near-dup threshold
+    * (DedupOps.CosineThreshold — the x05 rule) is a POSITIVE for the
+    * anchor, not a negative; hard negatives sit strictly below it. */
+  val HardNegCap: Double = DedupOps.CosineThreshold
+
+  /** x69 — HARD-NEGATIVE mining for contrastive training: for each
+    * anchor vector, the K most-similar candidates that are NOT
+    * near-duplicates of it — the "hard" negatives that make a
+    * contrastive objective informative (random negatives are too easy;
+    * near-dups are false negatives). The mining rule follows the
+    * ANCE/retriever-training recipe: retrieve by ANN, drop everything
+    * at/over the dedup threshold, keep the top-K of what remains.
+    *
+    * Composes two existing serving structures and adds NO new state:
+    * candidates come from the materialized IVF index (per-anchor
+    * probed cells, the x12 probe) and the positive/negative boundary
+    * is the corpus's own near-dup threshold (x05's CosineThreshold) —
+    * so the negatives are consistent BY CONSTRUCTION with what the
+    * dedup pipeline would have merged.
+    *
+    * Scale shape: per-anchor centroid ranking crosses the tiny trained
+    * centroid table with the broadcast anchor batch; the candidate
+    * fetch is the x12 broadcast-probe equi-join (dynamic partition
+    * pruning reads only probed cid list directories); the per-anchor
+    * top-K is a rank window over bounded probed-list members. No
+    * corpus scan beyond the probed lists, no all-pairs anything. */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val root = ensureIvfIndex(s, d)
+    val cents = ArtifactBuild.readCached(s, s"$root/centroids")
+    val assigned = ArtifactBuild.readCached(s, s"$root/assign")
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val anchors = emb.filter($"vec_id" < HardNegQueries)
+      .select($"vec_id".as("qid"), $"e".as("qe"), quantize($"e").as("qq"))
+    // per-anchor probed cells: integer-dot rank of the trained table
+    val probeCids = cents.crossJoin(broadcast(anchors.select($"qid", $"qq")))
+      .select($"qid", $"cid", longDot(s, $"c", $"qq").as("dot"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"dot".desc, $"cid")))
+      .filter($"rn" <= NProbe)
+      .select($"qid", $"cid".cast("int").as("cid"))
+    val candidates = assigned
+      .join(broadcast(probeCids), "cid")
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id")
+    emb.join(broadcast(candidates), "vec_id")
+      .join(broadcast(anchors.select($"qid", $"qe")), "qid")
+      .select($"qid", $"vec_id",
+        round(CoreQueries.cosine(s, $"e", $"qe"), 4).as("sim"))
+      .filter($"sim" < HardNegCap)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")))
+      .filter($"rn" <= HardNegK)
+      .select($"qid", $"rn".cast("long").as("rn"), $"vec_id", $"sim")
+      .orderBy($"qid", $"rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x06_ann_lsh"  -> annLsh _,
     "x12_ann_ivf"  -> annIvf _,
@@ -988,6 +1054,7 @@ object SimilarityOps {
     "x61_kcenter_coreset" -> kcenterCoreset _,
     "x63_cluster_cap" -> clusterCap _,
     "x65_bitext_margin" -> bitextMining _,
+    "x69_hard_negatives" -> hardNegatives _,
   )
 
   /** One Lloyd iteration as DuckDB CTEs: integer-dot assignment
@@ -1184,6 +1251,35 @@ object SimilarityOps {
         |      ORDER BY sim DESC, cid) AS BIGINT) AS rn
         |  FROM cands)
         |WHERE rn <= $KnnJoinK ORDER BY qid, rn""".stripMargin,
+    // x69: the shared trained index + a PER-ANCHOR probe ranking, then
+    // the same probed-list cosine as x12 with the near-dup cap and a
+    // per-anchor rank window — every step before the final cosine is
+    // the x12 oracle's exact integer arithmetic.
+    "x69_hard_negatives" ->
+      s"""WITH $ivfTrainCtes,
+        |qs AS (SELECT vec_id AS qid, e AS qe, q AS qq FROM qv
+        |       WHERE vec_id < $HardNegQueries),
+        |pc AS (SELECT qid, cid FROM (
+        |  SELECT qs.qid, c.cid,
+        |    row_number() OVER (PARTITION BY qs.qid
+        |      ORDER BY list_dot_product(c.c, qs.qq) DESC, c.cid) AS rn
+        |  FROM qs CROSS JOIN c2 c) WHERE rn <= $NProbe),
+        |sims AS (
+        |  SELECT pc.qid, a.vec_id,
+        |    ROUND(list_dot_product(v.e, qs.qe) /
+        |      (sqrt(list_dot_product(v.e, v.e)) *
+        |       sqrt(list_dot_product(qs.qe, qs.qe))), 4) AS sim
+        |  FROM pc JOIN af a USING (cid)
+        |    JOIN qv v ON v.vec_id = a.vec_id
+        |    JOIN qs ON qs.qid = pc.qid
+        |  WHERE a.vec_id <> pc.qid)
+        |SELECT qid, CAST(rn AS BIGINT) AS rn, vec_id, sim FROM (
+        |  SELECT qid, vec_id, sim,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, vec_id) AS rn
+        |  FROM sims WHERE sim < $HardNegCap)
+        |WHERE rn <= $HardNegK
+        |ORDER BY qid, rn""".stripMargin,
     "x12_ann_ivf" ->
       s"""WITH $ivfServeCtes
         |SELECT v.vec_id,
@@ -1313,11 +1409,13 @@ object SimilarityOps {
         |ORDER BY margin DESC, src_id, tgt_id LIMIT $BitextTopM""".stripMargin,
   )
 
-  /** Shared oracle CTE chain for the IVF family: quantized vectors,
-    * the unrolled KmeansIters(=2) Lloyd training, final assignment,
-    * and the probe's ranked centroid lists — ONE definition feeding
-    * the x12 and x38 oracles (the sigCtes anti-drift convention). */
-  private def ivfServeCtes: String =
+  /** Shared oracle CTE chain for the IVF family THROUGH training and
+    * assignment: quantized vectors, the unrolled KmeansIters(=2) Lloyd
+    * training, and the final per-vector assignment — ONE definition
+    * feeding every IVF oracle (the sigCtes anti-drift convention).
+    * Single-query serving (pq/pc) layers on in ivfServeCtes; the
+    * multi-anchor x69 oracle ranks its own per-anchor probe lists. */
+  private def ivfTrainCtes: String =
     s"""qv AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS e,
        |    list_transform(embedding::DOUBLE[],
@@ -1331,7 +1429,10 @@ object SimilarityOps {
        |  SELECT v.vec_id, c.cid,
        |    row_number() OVER (PARTITION BY v.vec_id
        |      ORDER BY list_dot_product(v.q, c.c) DESC, c.cid) AS rn
-       |  FROM qv v CROSS JOIN c2 c) WHERE rn = 1),
+       |  FROM qv v CROSS JOIN c2 c) WHERE rn = 1)""".stripMargin
+
+  private def ivfServeCtes: String =
+    s"""$ivfTrainCtes,
        |pq AS (SELECT e, q FROM qv WHERE vec_id = 0),
        |pc AS (SELECT c2.cid FROM c2, pq
        |       ORDER BY list_dot_product(c2.c, pq.q) DESC, c2.cid

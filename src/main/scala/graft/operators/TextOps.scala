@@ -155,6 +155,64 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  // ---- per-source quality gate (x70/x70b) -------------------------------
+
+  /** Gate percentile: keep the top (1−p) of each source by quality. */
+  val QualityGateP = 0.75
+
+  /** Quality in integer MICRO-units — the repo's integer-micro idiom:
+    * both engines compute the identical double then round once, so the
+    * gate compares exact BIGINTs against the percentile threshold. */
+  private def qMicroCol(t: Column): Column =
+    round(qualityCol(t) * 1e6, 0).cast("long")
+
+  private def gateFrom(scored: DataFrame, th: DataFrame): DataFrame = {
+    import scored.sparkSession.implicits._
+    scored.join(broadcast(th), "source")
+      .filter($"q_micro" >= $"q_th")
+      .select($"doc_id", $"source", $"q_micro")
+      .orderBy($"doc_id")
+  }
+
+  /** x70 — PER-SOURCE quality flooring (the exact validator): keep
+    * documents at or above their OWN source's p75 quality. A single
+    * global threshold lets one clean source crowd out a noisy-but-
+    * valuable one; per-source quantile gating (the CCNet idiom —
+    * Wenzek et al. bucket BY perplexity quantiles per language shard)
+    * keeps the best fraction of EVERY source.
+    *
+    * Scale shape: one pass scores the corpus (narrow map); the exact
+    * per-source percentile is one map-combined aggregate over
+    * |sources| groups (Spark's percentile agg holds per-group value
+    * buffers — the exact path's known cost and why x70b exists); the
+    * threshold table (|sources| rows) broadcasts back into a narrow
+    * filter. No window, no global sort of the corpus. */
+  def qualityGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scored = docs(s, d).select($"doc_id", $"source",
+      qMicroCol($"text").as("q_micro"))
+    val th = scored.groupBy($"source")
+      .agg(percentile($"q_micro", lit(QualityGateP)).as("q_th"))
+    gateFrom(scored, th)
+  }
+
+  /** x70b — the production twin at 100 TB: thresholds from the
+    * mergeable Greenwald–Khanna sketch (percentile_approx) instead of
+    * exact per-group value buffers — bounded state per source no
+    * matter how many rows a source has (the x35b discipline: the
+    * estimate is engine-specific, so this entry gets the rows-only
+    * check; the exact twin x70 is the hash-matched validator, and
+    * TextPipelineSpec pins the two gates' agreement on the fixture). */
+  def qualityGateSketch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scored = docs(s, d).select($"doc_id", $"source",
+      qMicroCol($"text").as("q_micro"))
+    val th = scored.groupBy($"source")
+      .agg(percentile_approx($"q_micro", lit(QualityGateP), lit(10000))
+        .cast("double").as("q_th"))
+    gateFrom(scored, th)
+  }
+
   // ---- token counting ---------------------------------------------------
 
   /** BPE-ish pre-tokenizer: alpha runs, digit runs, single punctuation. */
@@ -1295,6 +1353,8 @@ object TextOps {
     "x07_text_langid"      -> textLangId _,
     "x68_mixed_language"   -> mixedLanguage _,
     "x08_text_quality"     -> textQuality _,
+    "x70_quality_gate"     -> qualityGate _,
+    "x70b_quality_gate_sketch" -> qualityGateSketch _,
     "x09_text_tokens"      -> textTokens _,
     "x10_text_fingerprint" -> textFingerprint _,
     "x14_curation_pipeline" -> curationPipeline _,
@@ -1671,6 +1731,27 @@ object TextOps {
          |      + least((n_stop / n_tokens) * 5.0, 1.0) * 0.4
          |      + (1.0 - least((n_punct / n_chars) * 10.0, 1.0)) * 0.2, 4) AS quality
          |FROM c ORDER BY doc_id""".stripMargin,
+    // x70: the identical quality double as x08 (same term order →
+    // bitwise-equal IEEE arithmetic), scaled to micro-units; the
+    // per-source threshold is quantile_cont = Spark's linear-
+    // interpolation percentile over exact BIGINTs (the q25 pairing).
+    "x70_quality_gate" ->
+      s"""WITH c AS (SELECT doc_id, source,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+         |  CAST(len(regexp_extract_all(lower(text), '$stopEn')) AS BIGINT) AS n_stop,
+         |  length(text) AS n_chars FROM documents),
+         |q AS (SELECT doc_id, source,
+         |  CAST(ROUND(((least(n_tokens, 100) / 100.0) * 0.4
+         |      + least((n_stop / n_tokens) * 5.0, 1.0) * 0.4
+         |      + (1.0 - least((n_punct / n_chars) * 10.0, 1.0)) * 0.2)
+         |    * 1000000.0, 0) AS BIGINT) AS q_micro FROM c),
+         |th AS (SELECT source, quantile_cont(q_micro, $QualityGateP) AS q_th
+         |       FROM q GROUP BY source)
+         |SELECT q.doc_id, q.source, q.q_micro
+         |FROM q JOIN th USING (source)
+         |WHERE q.q_micro >= th.q_th
+         |ORDER BY q.doc_id""".stripMargin,
     "x09_text_tokens" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,

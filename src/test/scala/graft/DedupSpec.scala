@@ -285,4 +285,27 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       assert((g._2, g._3, g._4, g._5, g._6, g._7) === r, s"planted doc $id")
     }
   }
+
+  test("x71 source-overlap matrix equals string-shingle recompute") {
+    // independent witness: distinct shingle STRINGS per source via SQL
+    // HOFs (no ShingleHashes expression, no collect_set pair fan-out),
+    // intersected pairwise on the driver — crosses both the 64-bit
+    // hash identity and the in-row pair-combination HOF
+    val bySource = Tables.documents(spark, sf)
+      .select($"source", split(lower($"text"), "\\s+").as("w"))
+      .filter(size($"w") >= 3)
+      .select($"source", expr(
+        "array_distinct(transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3))))"
+      ).as("s"))
+      .select($"source", explode($"s").as("sh"))
+      .as[(String, String)].collect()
+      .groupBy(_._1).map { case (src, rows) => src -> rows.map(_._2).toSet }
+    val want = bySource.keys.toSeq.sorted.combinations(2).map {
+      case Seq(a, b) => (a, b, (bySource(a) & bySource(b)).size.toLong)
+    }.filter(_._3 > 0).toSeq
+    val got = DedupOps.sourceOverlapMatrix(spark, sf)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty, "fixture sources must share n-grams")
+  }
 }

@@ -341,4 +341,26 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     // order must not simply be the cosine order
     assert(got.map(_._3) !== got.map(_._3).sorted.reverse)
   }
+
+  test("x69 hard negatives: under the dup cap, dense ranks, disjoint from x05 positives") {
+    val got = SimilarityOps.hardNegatives(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    // strictly below the near-dup threshold — nothing the dedup
+    // pipeline would merge may appear as a negative
+    assert(got.forall(_._4 < SimilarityOps.HardNegCap))
+    assert(got.forall(r => r._3 != r._1), "anchor never its own negative")
+    // ranks dense from 1, ordered by sim desc within each anchor
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2) === (1L to sorted.size).toSeq, s"anchor $qid")
+      assert(sorted.map(-_._4) === sorted.map(-_._4).sorted, s"anchor $qid order")
+    }
+    // cross-consistency with x05: a mined negative is never a near-dup
+    // PAIR of its anchor under the corpus rule
+    val dups = graft.operators.DedupOps.dedupEmbedding(spark, sf)
+      .as[(Long, Long, Double)].collect()
+      .flatMap { case (a, b, _) => Seq((a, b), (b, a)) }.toSet
+    assert(got.forall(r => !dups.contains((r._1, r._3))))
+  }
 }

@@ -788,4 +788,38 @@ class TextPipelineSpec extends AnyFunSuite with SparkTestSession {
     // some docs are mixed, some are not
     assert(got.exists(_._6) && got.exists(!_._6))
   }
+
+  test("x70 quality gate: clean per-source cut; sketch twin agrees within one rank") {
+    val exact = TextOps.qualityGate(spark, sf)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(exact.nonEmpty)
+    val all = TextOps.textQuality(spark, sf)
+      .select($"doc_id", round($"quality" * 1e6, 0).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val srcOf = Tables.documents(spark, sf).select($"doc_id", $"source")
+      .as[(Long, String)].collect().toMap
+    val keptBySrc = exact.groupBy(_._2)
+    // the cut is clean: within a source, every kept doc outscores
+    // every dropped doc (gate is q >= threshold, drops are strictly
+    // below it)
+    srcOf.groupBy(_._2).foreach { case (src, docs) =>
+      val kept = keptBySrc.getOrElse(src, Nil).map(_._1).toSet
+      val (k, d) = docs.keys.partition(kept)
+      assert(k.nonEmpty, s"$src keeps its top quantile")
+      if (d.nonEmpty)
+        assert(k.map(all).min > d.map(all).max, s"$src cut not clean")
+      // roughly the top quarter survives (ties can widen it)
+      assert(k.size.toDouble / docs.size >= 0.2, s"$src keep rate")
+    }
+    // the GK-sketch twin picks a threshold within one rank of exact:
+    // per source the two gates disagree on at most one document
+    val sketch = TextOps.qualityGateSketch(spark, sf)
+      .as[(Long, String, Long)].collect().toSeq
+    val sBySrc = sketch.groupBy(_._2)
+    (keptBySrc.keySet ++ sBySrc.keySet).foreach { src =>
+      val e = keptBySrc.getOrElse(src, Nil).map(_._1).toSet
+      val s2 = sBySrc.getOrElse(src, Nil).map(_._1).toSet
+      assert(((e diff s2) ++ (s2 diff e)).size <= 1, s"$src twin drift")
+    }
+  }
 }
