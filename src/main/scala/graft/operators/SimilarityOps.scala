@@ -1011,14 +1011,26 @@ object SimilarityOps {
     * corpus scan beyond the probed lists, no all-pairs anything. */
   def hardNegatives(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val anchorIds = Tables.embeddings(s, d)
+      .filter($"vec_id" < HardNegQueries).select($"vec_id".as("qid"))
+    hardNegativesFor(s, d, anchorIds, HardNegK).orderBy($"qid", $"rn")
+  }
+
+  /** The x69/x72 mining core over an ARBITRARY bounded anchor-id frame
+    * (qid): per-anchor IVF probe, dup-capped cosine, per-anchor rank.
+    * Unordered — callers order their own presentation. */
+  private def hardNegativesFor(s: SparkSession, d: String,
+                               anchorIds: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val root = ensureIvfIndex(s, d)
     val cents = ArtifactBuild.readCached(s, s"$root/centroids")
     val assigned = ArtifactBuild.readCached(s, s"$root/assign")
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
-    val anchors = emb.filter($"vec_id" < HardNegQueries)
-      .select($"vec_id".as("qid"), $"e".as("qe"), quantize($"e").as("qq"))
+    val anchors = emb.join(broadcast(anchorIds.select($"qid")),
+        emb("vec_id") === col("qid"))
+      .select($"qid", $"e".as("qe"), quantize($"e").as("qq"))
     // per-anchor probed cells: integer-dot rank of the trained table
     val probeCids = cents.crossJoin(broadcast(anchors.select($"qid", $"qq")))
       .select($"qid", $"cid", longDot(s, $"c", $"qq").as("dot"))
@@ -1037,9 +1049,43 @@ object SimilarityOps {
       .filter($"sim" < HardNegCap)
       .withColumn("rn", row_number().over(
         Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")))
-      .filter($"rn" <= HardNegK)
+      .filter($"rn" <= k)
       .select($"qid", $"rn".cast("long").as("rn"), $"vec_id", $"sim")
-      .orderBy($"qid", $"rn")
+  }
+
+  /** Negatives per triplet anchor (each anchor fans out to its
+    * positives × these). */
+  val TripletNegK = 3
+
+  /** x72 — CONTRASTIVE TRIPLET assembly: the full (anchor, positive,
+    * negative) training-example relation for contrastive/embedding
+    * fine-tuning. Positives are the corpus's own near-dup verdicts
+    * (x05's pairs, both directions — the pair the dedup pipeline says
+    * means the same thing); negatives are x69's dup-capped IVF-probed
+    * hard negatives FOR EXACTLY THOSE anchors. The cap (the same
+    * near-dup threshold that admits the positives) guarantees no
+    * false negatives by construction — the standard failure mode of
+    * in-batch negative sampling that mined triplets exist to fix.
+    *
+    * Scale shape: the positive relation is the x05 blocked join
+    * (bounded output, materialized once and reused for both
+    * directions); the anchor set it induces is bounded by that
+    * output, so the mining core's broadcasts stay small; the final
+    * positives × negatives join is a broadcast fan-out of bounded
+    * frames. */
+  def contrastiveTriplets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = DedupOps.dedupEmbedding(s, d).localCheckpoint(false)
+    val pos = pairs
+      .select($"va".as("qid"), $"vb".as("pos_id"), $"sim".as("sim_pos"))
+      .unionAll(pairs
+        .select($"vb".as("qid"), $"va".as("pos_id"), $"sim".as("sim_pos")))
+    val negs =
+      hardNegativesFor(s, d, pos.select($"qid").distinct(), TripletNegK)
+    pos.join(broadcast(negs), "qid")
+      .select($"qid".as("anchor_id"), $"pos_id", $"sim_pos",
+        $"rn", $"vec_id".as("neg_id"), $"sim".as("sim_neg"))
+      .orderBy($"anchor_id", $"pos_id", $"rn")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1055,6 +1101,7 @@ object SimilarityOps {
     "x63_cluster_cap" -> clusterCap _,
     "x65_bitext_margin" -> bitextMining _,
     "x69_hard_negatives" -> hardNegatives _,
+    "x72_contrastive_triplets" -> contrastiveTriplets _,
   )
 
   /** One Lloyd iteration as DuckDB CTEs: integer-dot assignment
@@ -1280,6 +1327,47 @@ object SimilarityOps {
         |  FROM sims WHERE sim < $HardNegCap)
         |WHERE rn <= $HardNegK
         |ORDER BY qid, rn""".stripMargin,
+    // x72: x05's pair SQL (verbatim formula) provides positives and
+    // the anchor set; the negative legs are the x69 chain restricted
+    // to those anchors; the final join is pure composition.
+    "x72_contrastive_triplets" ->
+      s"""WITH $ivfTrainCtes,
+        |prs AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+        |  ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS sim
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.4),
+        |pos AS (SELECT va AS qid, vb AS pos_id, sim AS sim_pos FROM prs
+        |        UNION ALL SELECT vb, va, sim FROM prs),
+        |qs AS (SELECT vec_id AS qid, e AS qe, q AS qq FROM qv
+        |       WHERE vec_id IN (SELECT qid FROM pos)),
+        |pc AS (SELECT qid, cid FROM (
+        |  SELECT qs.qid, c.cid,
+        |    row_number() OVER (PARTITION BY qs.qid
+        |      ORDER BY list_dot_product(c.c, qs.qq) DESC, c.cid) AS rn
+        |  FROM qs CROSS JOIN c2 c) WHERE rn <= $NProbe),
+        |sims AS (
+        |  SELECT pc.qid, a.vec_id,
+        |    ROUND(list_dot_product(v.e, qs.qe) /
+        |      (sqrt(list_dot_product(v.e, v.e)) *
+        |       sqrt(list_dot_product(qs.qe, qs.qe))), 4) AS sim
+        |  FROM pc JOIN af a USING (cid)
+        |    JOIN qv v ON v.vec_id = a.vec_id
+        |    JOIN qs ON qs.qid = pc.qid
+        |  WHERE a.vec_id <> pc.qid),
+        |negs AS (SELECT qid, vec_id, sim,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, vec_id) AS rn
+        |  FROM sims WHERE sim < $HardNegCap)
+        |SELECT pos.qid AS anchor_id, pos.pos_id, pos.sim_pos,
+        |  CAST(negs.rn AS BIGINT) AS rn, negs.vec_id AS neg_id,
+        |  negs.sim AS sim_neg
+        |FROM pos JOIN negs USING (qid) WHERE negs.rn <= $TripletNegK
+        |ORDER BY anchor_id, pos_id, rn""".stripMargin,
     "x12_ann_ivf" ->
       s"""WITH $ivfServeCtes
         |SELECT v.vec_id,

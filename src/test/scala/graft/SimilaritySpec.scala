@@ -363,4 +363,25 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       .flatMap { case (a, b, _) => Seq((a, b), (b, a)) }.toSet
     assert(got.forall(r => !dups.contains((r._1, r._3))))
   }
+
+  test("x72 triplets: positives are exactly the x05 verdicts, margins positive") {
+    val got = SimilarityOps.contrastiveTriplets(spark, sf)
+      .as[(Long, Long, Double, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty, "fixture near-dup pairs must yield triplets")
+    val pairs = graft.operators.DedupOps.dedupEmbedding(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    val posSet = pairs.flatMap { case (a, b, s) => Seq((a, b, s), (b, a, s)) }.toSet
+    // every (anchor, positive, sim_pos) is an x05 verdict, oriented
+    assert(got.forall { case (a, p, sp, _, _, _) => posSet((a, p, sp)) })
+    // the triplet margin is structurally positive: positives sit at or
+    // above the near-dup threshold, negatives strictly below it
+    assert(got.forall { case (_, _, sp, _, _, sn) => sp > sn })
+    got.foreach { case (a, p, _, _, n, _) =>
+      assert(n != a && n != p, s"negative $n collides with anchor/positive")
+    }
+    // ranks dense per (anchor, positive) leg
+    got.groupBy(t => (t._1, t._2)).foreach { case (k, rows) =>
+      assert(rows.map(_._4).sorted === (1L to rows.size).toSeq, s"$k ranks")
+    }
+  }
 }
