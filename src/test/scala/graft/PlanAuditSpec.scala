@@ -524,4 +524,35 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       .findFirstIn(x05).isDefined,
       "graft_cosine must sit inside a whole-stage-codegen projection")
   }
+
+  test("x69/x72: mining serves from the materialized IVF index — no Lloyd training at serve") {
+    Seq("x69_hard_negatives", "x72_contrastive_triplets").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("graft-ivf-index"),
+        s"$q must probe the materialized index")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), q)
+      // the x12 discipline: reading the persisted index means the
+      // probed-cid filter reaches the cid-partitioned assignment scan
+      assert(p.contains("dynamicpruning"),
+        s"$q assignment scan must partition-prune to probed cids")
+    }
+  }
+
+  test("x70: exact thresholds broadcast back; x70b plans the sketch, not the exact buffers") {
+    val e = plan("x70_quality_gate")
+    assert(e.contains("BroadcastHashJoin") && !e.contains("SortMergeJoin"))
+    assert(!e.contains("Window"), "gate must not window the corpus")
+    val s2 = plan("x70b_quality_gate_sketch")
+    assert(s2.contains("percentile_approx"),
+      "production twin must aggregate via the GK sketch")
+    assert(!s2.contains("Window") && !s2.contains("SortMergeJoin"))
+  }
+
+  test("x71: one shuffle, join-free — pair expansion stays in-row") {
+    val p = plan("x71_source_overlap")
+    assert(!p.contains("Join"), "the matrix plan must not join")
+    // exchanges: the shingle aggregate's + the bounded matrix
+    // aggregate's (both hash) and nothing else
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }
