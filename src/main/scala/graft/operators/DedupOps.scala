@@ -774,16 +774,26 @@ object DedupOps {
     * fan-out per shingle is ≤ C(|sources|, 2) rows computed by an
     * in-row HOF, and the final matrix aggregate runs on ≤ C(|sources|,
     * 2) keys. No join anywhere in the plan. */
-  def sourceOverlapMatrix(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val ss = shingleSetsTagged(
-        Tables.documents(s, d).select($"doc_id", $"source", $"text"),
-        Seq("source"))
-      .select($"source", explode($"s").as("sh"))
-    val srcsPerSh = ss.groupBy($"sh")
+  def sourceOverlapMatrix(s: SparkSession, d: String): DataFrame =
+    overlapMatrixFrom(sourcePairsOf(
+      Tables.documents(s, d).select(col("doc_id"), col("source"),
+        col("text"))))
+
+  /** The exploded (source, sh) pair relation for an arbitrary
+    * (doc_id, source, text) frame — the canonical-shingle narrow pass
+    * both the one-shot x71 and OverlapStream's per-batch partials run
+    * (one definition, so the streamed matrix cannot drift). */
+  def sourcePairsOf(docs: DataFrame): DataFrame =
+    shingleSetsTagged(docs, Seq("source"))
+      .select(col("source"), explode(col("s")).as("sh"))
+
+  /** The matrix aggregate over an exploded (source, sh) relation —
+    * shared by x71 and the streamed serving view. */
+  private[graft] def overlapMatrixFrom(ss: DataFrame): DataFrame = {
+    import ss.sparkSession.implicits._
+    ss.groupBy($"sh")
       .agg(sort_array(collect_set($"source")).as("srcs"))
       .filter(size($"srcs") > 1)
-    srcsPerSh
       .select(explode(flatten(transform($"srcs", (x, i) =>
           transform(slice($"srcs", i + lit(2), size($"srcs")),
             y => struct(x.as("src_a"), y.as("src_b")))))).as("p"))
