@@ -787,6 +787,33 @@ object DedupOps {
     shingleSetsTagged(docs, Seq("source"))
       .select(col("source"), explode(col("s")).as("sh"))
 
+  /** x73 — SOURCE-similarity ranking: x71's shared counts normalized
+    * to the Jaccard of each pair's distinct-shingle sets. The matrix
+    * answers "how many n-grams do these share"; the Jaccard answers
+    * the curation question "are these two sources near-copies" on a
+    * size-free [0,1] scale (a mirror of a small source is invisible
+    * in raw counts next to two unrelated huge ones).
+    *
+    * Scale shape: the deduplicated pair relation is computed once
+    * (checkpointed) and feeds both the per-source sizes (a tiny
+    * aggregate) and the matrix; the sizes broadcast back onto the
+    * ≤ C(S,2)-row matrix. Same single corpus-scale shuffle as x71. */
+  def sourceSimilarity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dd = sourcePairsOf(
+        Tables.documents(s, d).select($"doc_id", $"source", $"text"))
+      .distinct().localCheckpoint(false)
+    val sizes = dd.groupBy($"source").agg(count(lit(1)).as("n"))
+    overlapMatrixFrom(dd)
+      .join(broadcast(sizes.select($"source".as("src_a"), $"n".as("na"))),
+        "src_a")
+      .join(broadcast(sizes.select($"source".as("src_b"), $"n".as("nb"))),
+        "src_b")
+      .select($"src_a", $"src_b", $"shared", $"na", $"nb",
+        round($"shared" / ($"na" + $"nb" - $"shared"), 6).as("jaccard"))
+      .smallOrdered($"src_a", $"src_b")
+  }
+
   /** The matrix aggregate over an exploded (source, sh) relation —
     * shared by x71 and the streamed serving view. */
   private[graft] def overlapMatrixFrom(ss: DataFrame): DataFrame = {
@@ -976,6 +1003,7 @@ object DedupOps {
     "x24_contamination_eval"  -> contaminationEval _,
     "x26_dedup_blocks"        -> dedupBlocks _,
     "x71_source_overlap"      -> sourceOverlapMatrix _,
+    "x73_source_similarity"   -> sourceSimilarity _,
   )
 
   /** x02's oracle is the EXACT all-pairs Jaccard — valid because the
@@ -1063,6 +1091,23 @@ object DedupOps {
         |       CAST(count(*) AS BIGINT) AS shared
         |FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // x73: x71's counts joined to per-source distinct-shingle sizes;
+    // jaccard = shared/(na+nb−shared) on exact BIGINTs, ROUND 6.
+    "x73_source_similarity" ->
+      s"""WITH $ShingleBaseCtes,
+        |ss AS (SELECT DISTINCT d.source, s.sh
+        |       FROM sh s JOIN documents d USING (doc_id)),
+        |sz AS (SELECT source, count(*) AS n FROM ss GROUP BY 1),
+        |m AS (SELECT a.source AS src_a, b.source AS src_b,
+        |             CAST(count(*) AS BIGINT) AS shared
+        |      FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT m.src_a, m.src_b, m.shared,
+        |       CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+        |       ROUND(m.shared / (sa.n + sb.n - m.shared), 6) AS jaccard
+        |FROM m JOIN sz sa ON sa.source = m.src_a
+        |       JOIN sz sb ON sb.source = m.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "x17_dedup_clusters" ->
       s"""WITH RECURSIVE
         |$ShingleBaseCtes,

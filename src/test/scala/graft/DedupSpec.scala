@@ -307,5 +307,20 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       .as[(String, String, Long)].collect().toSeq
     assert(got === want)
     assert(got.nonEmpty, "fixture sources must share n-grams")
+
+    // x73 from the same independent sets: sizes and Jaccard
+    val wantSim = bySource.keys.toSeq.sorted.combinations(2).flatMap {
+      case Seq(a, b) =>
+        val sh = (bySource(a) & bySource(b)).size.toLong
+        val (na, nb) = (bySource(a).size.toLong, bySource(b).size.toLong)
+        if (sh > 0)
+          Some((a, b, sh, na, nb,
+            BigDecimal(sh.toDouble / (na + nb - sh))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        else None
+    }.toSeq
+    val gotSim = DedupOps.sourceSimilarity(spark, sf)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(gotSim === wantSim)
   }
 }
