@@ -57,6 +57,23 @@ object TrainingDataDemo {
     val classed = gated.join(kept, "doc_id").localCheckpoint(false)
     report += ("after_classifier_gate" -> classed.count())
 
+    // 2b1-audit. per-source quality flooring (x70): the demo's gates
+    // are corpus-global; this line quantifies what the PER-SOURCE
+    // quantile policy would change — how many docs sit in their own
+    // source's top quartile yet below the GLOBAL p75 (the docs a
+    // global cut would lose from clean-but-modest sources, the CCNet
+    // fairness argument in one number). Audit only: the demo keeps
+    // its global policy, a deployment picks one.
+    val perSrc = operators.TextOps.qualityGate(spark, sfDir)
+      .select($"doc_id", $"q_micro")
+    val gq = operators.TextOps.textQuality(spark, sfDir)
+      .select($"doc_id", round($"quality" * 1e6, 0).cast("long").as("q_micro"))
+    val gth = gq.agg(percentile($"q_micro", lit(operators.TextOps.QualityGateP))
+      .as("th"))
+    val savedByPerSource = perSrc
+      .crossJoin(broadcast(gth)).filter($"q_micro" < $"th").count()
+    report += ("saved_by_per_source_quality_gate" -> savedByPerSource)
+
     // 2b2. repetition gate (x51): drop docs whose repetition signals
     // trip the Gopher thresholds (top-2-gram char mass or intra-doc
     // duplicated-5-gram coverage) — generation loops and boilerplate
@@ -148,6 +165,16 @@ object TrainingDataDemo {
       .filter(conv(substring(md5($"text"), 1, 8), 16, 10).cast("long")
         % 1000000L < $"rate_ppm")
     report += ("train_after_mixture_budget" -> mixed.count())
+
+    // 6b-audit. source-overlap panel (x73): the highest cross-source
+    // n-gram Jaccard in the corpus — the "are any two sources
+    // near-copies" number a dataset card leads with (a high value
+    // here means the mixture plan above double-budgeted one corpus
+    // wearing two names)
+    val maxJac = operators.DedupOps.sourceSimilarity(spark, sfDir)
+      .agg(coalesce(max(round($"jaccard" * 1e6, 0).cast("long")), lit(0L)))
+      .as[Long].head()
+    report += ("max_source_jaccard_ppm" -> maxJac)
 
     // 7. training order (x53): the corpus that survived everything
     // gets its reproducible permutation — content-keyed shard +

@@ -128,5 +128,26 @@ class DemoSpec extends AnyFunSuite with SparkTestSession {
     assert(counts("train_order_shards") <= operators.TextOps.NumShards)
     assert(counts("train_order_shards") > 1L,
       "the surviving train corpus should spread across shards")
+
+    // x70 — per-source flooring audit: the reported count recomputes
+    // from the gate output and a driver-side global p75 over the x08
+    // micro scores
+    val q = operators.TextOps.textQuality(spark, sf)
+      .select($"doc_id", round($"quality" * 1e6, 0).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val sortedQ = q.values.toSeq.sorted
+    val pos = 0.75 * (sortedQ.size - 1)
+    val (lo, hi) = (sortedQ(pos.toInt), sortedQ(math.ceil(pos).toInt))
+    val gth = lo + (pos - pos.toInt) * (hi - lo)
+    val saved = operators.TextOps.qualityGate(spark, sf)
+      .select($"doc_id").as[Long].collect()
+      .count(id => q(id) < gth)
+    assert(counts("saved_by_per_source_quality_gate") === saved.toLong)
+
+    // x73 — overlap panel: the reported max Jaccard is the operator's
+    assert(counts("max_source_jaccard_ppm") ===
+      operators.DedupOps.sourceSimilarity(spark, sf)
+        .agg(coalesce(max(round($"jaccard" * 1e6, 0).cast("long")), lit(0L)))
+        .as[Long].head())
   }
 }
