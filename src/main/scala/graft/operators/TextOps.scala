@@ -246,6 +246,67 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  // ---- snapshot diff & length histogram (x74/x75) -----------------------
+
+  /** x74 — CRAWL-TO-CRAWL diff report: per source, how many documents
+    * the new snapshot retained, added, and removed, by order-
+    * insensitive CONTENT identity (x10's fingerprint — a re-crawled
+    * page whose words merely reordered is "retained", not
+    * removed+added). Old/new membership is the fixture's stand-in for
+    * a real snapshot column: the md5-uniform bit of the exact text
+    * (the x19/x23 content-hash idiom — id-scheme-independent, so it
+    * mixes within every source; a deployment feeds its crawl ids
+    * instead). This is the report an ingest run publishes before
+    * anyone decides whether a 40% "removed" spike is a crawler bug or
+    * a site purge.
+    *
+    * Scale shape: one hash shuffle on (source, fp) with map-side
+    * partial max; the per-source rollup runs on distinct-fingerprint
+    * counts, the final frame is |sources| rows. No join. */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame =
+    snapshotDiffOf(docs(s, d))
+
+  /** The diff over an arbitrary (source, text) frame with the
+    * md5-parity membership stand-in — frame-based so specs can plant
+    * reordered twins that exercise the "retained" column. */
+  def snapshotDiffOf(docs0: DataFrame): DataFrame = {
+    import docs0.sparkSession.implicits._
+    docs0
+      .select($"source", fingerprintCol($"text").as("fp"),
+        (conv(substring(md5($"text"), 1, 8), 16, 10).cast("long") % 2 === 0)
+          .as("old"))
+      .groupBy($"source", $"fp")
+      .agg(max(when($"old", 1).otherwise(0)).as("has_old"),
+           max(when(!$"old", 1).otherwise(0)).as("has_new"))
+      .groupBy($"source")
+      .agg(
+        sum(when($"has_old" === 1 && $"has_new" === 1, 1L).otherwise(0L))
+          .as("retained"),
+        sum(when($"has_old" === 0, 1L).otherwise(0L)).as("added"),
+        sum(when($"has_new" === 0, 1L).otherwise(0L)).as("removed"))
+      .smallOrdered($"source")
+  }
+
+  /** x75 — per-source token-LENGTH histogram in power-of-two buckets
+    * (the dataset-card length panel; the packing/truncation planner's
+    * input): bucket = floor(log2(n_tokens)), with each bucket's doc
+    * count and token mass. One narrow map + one bounded aggregate
+    * (≤ sources × 64 keys); integer log2 via bit length, so both
+    * engines bucket identically with no floating-point log. */
+  def lengthHistogram(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // floor(log2(n)) = binary digit count − 1 for n ≥ 1 (n_tokens ≥ 1:
+    // split of a trimmed non-empty string yields ≥ 1 token)
+    docs(s, d)
+      .select($"source", nTokensCol($"text").as("n_toks"))
+      .select($"source", $"n_toks",
+        (length(conv($"n_toks".cast("string"), 10, 2)) - 1).cast("long")
+          .as("bucket"))
+      .groupBy($"source", $"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("tokens"))
+      .smallOrdered($"source", $"bucket")
+  }
+
   // ---- curation pipeline (capstone) -------------------------------------
 
   /** End-to-end corpus curation in ONE narrow plan: language-ID and
@@ -1355,6 +1416,8 @@ object TextOps {
     "x08_text_quality"     -> textQuality _,
     "x70_quality_gate"     -> qualityGate _,
     "x70b_quality_gate_sketch" -> qualityGateSketch _,
+    "x74_snapshot_diff"    -> snapshotDiff _,
+    "x75_length_histogram" -> lengthHistogram _,
     "x09_text_tokens"      -> textTokens _,
     "x10_text_fingerprint" -> textFingerprint _,
     "x14_curation_pipeline" -> curationPipeline _,
@@ -1752,6 +1815,30 @@ object TextOps {
          |FROM q JOIN th USING (source)
          |WHERE q.q_micro >= th.q_th
          |ORDER BY q.doc_id""".stripMargin,
+    // x74: x10's fingerprint + md5-uniform snapshot membership,
+    // rolled up per source — identical md5/token rules in both engines.
+    "x74_snapshot_diff" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    md5(array_to_string(list_sort(string_split_regex(lower(text), '\s+')), ' ')) AS fp,
+        |    max(CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 2 = 0 THEN 1 ELSE 0 END) AS has_old,
+        |    max(CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 2 = 1 THEN 1 ELSE 0 END) AS has_new
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(sum(CASE WHEN has_old = 1 AND has_new = 1 THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+        |  CAST(sum(CASE WHEN has_old = 0 THEN 1 ELSE 0 END) AS BIGINT) AS added,
+        |  CAST(sum(CASE WHEN has_new = 0 THEN 1 ELSE 0 END) AS BIGINT) AS removed
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    // x75: integer log2 via binary digit count — no float log in
+    // either engine's bucketing.
+    "x75_length_histogram" ->
+      """WITH t AS (SELECT source,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents)
+        |SELECT source, CAST(length(bin(n_toks)) - 1 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS tokens
+        |FROM t GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin,
     "x09_text_tokens" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,

@@ -822,4 +822,78 @@ class TextPipelineSpec extends AnyFunSuite with SparkTestSession {
       assert(((e diff s2) ++ (s2 diff e)).size <= 1, s"$src twin drift")
     }
   }
+
+  test("x74 diff: driver recompute; reordered twins count as retained") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def isOld(text: String): Boolean =
+      java.lang.Long.parseLong(md5hex(text).substring(0, 8), 16) % 2 == 0
+    def fp(text: String): String =
+      md5hex(text.toLowerCase.split("\\s+").sorted.mkString(" "))
+    // plant a reordered-twin pair whose two exact texts land on
+    // OPPOSITE sides of the membership bit — searched, not assumed,
+    // so the test cannot silently stop exercising "retained"
+    val base = "alpha beta gamma delta epsilon"
+    val twin = (1 to 200).iterator
+      .map(i => s"alpha beta gamma delta epsilon pad$i")
+      .map(t => (s"$t", t.split(" ").reverse.mkString(" ")))
+      .find { case (a, b) => fp(a) == fp(b) && isOld(a) != isOld(b) }
+    assert(twin.isDefined, "searchable twin must exist")
+    val (ta, tb) = twin.get
+    val planted = Seq(
+      ("srcA", ta), ("srcA", tb),          // retained via reorder
+      ("srcA", base),                      // single doc, one side only
+      ("srcB", "one two three"), ("srcB", "four five six"))
+      .toDF("source", "text")
+    val gotRows = TextOps.snapshotDiffOf(planted)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // driver reference over the planted frame
+    def ref(rows: Seq[(String, String)]): Map[String, (Long, Long, Long)] =
+      rows.groupBy(_._1).map { case (src, docs) =>
+        val groups = docs.map(_._2).distinct.groupBy(fp)
+        val (ret, add, rem) = groups.values.foldLeft((0L, 0L, 0L)) {
+          case ((r, a, d), texts) =>
+            val old = texts.exists(isOld)
+            val nw = texts.exists(t => !isOld(t))
+            if (old && nw) (r + 1, a, d)
+            else if (nw) (r, a + 1, d) else (r, a, d + 1)
+        }
+        src -> ((ret, add, rem))
+      }
+    assert(gotRows === ref(planted.as[(String, String)].collect().toSeq))
+    assert(gotRows("srcA")._1 === 1L, "the reordered twin must be retained")
+    // and the corpus query agrees with the same reference on testdata
+    val corpus = Tables.documents(spark, sf).select($"source", $"text")
+      .as[(String, String)].collect().toSeq
+    val corpusGot = TextOps.snapshotDiff(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(corpusGot === ref(corpus))
+  }
+
+  test("x75 histogram: buckets are exact log2 floors; masses reconcile with x09") {
+    val got = TextOps.lengthHistogram(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // per-source token mass equals the x09 audit's
+    val x09 = TextOps.textTokens(spark, sf)
+      .select($"source", $"ws_tokens").as[(String, Long)].collect().toMap
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.map(_._4).sum === x09(src), s"$src token mass")
+    }
+    // bucket identity: recompute per doc on the driver
+    val ref = Tables.documents(spark, sf)
+      .select($"source", $"text").as[(String, String)].collect()
+      .map { case (src, t) =>
+        val n = t.trim.split("\\s+").length.toLong
+        (src, 63L - java.lang.Long.numberOfLeadingZeros(n))
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (src, bucket, nDocs, _) =>
+      assert(ref((src, bucket)) === nDocs, s"($src, $bucket)")
+    }
+  }
 }
