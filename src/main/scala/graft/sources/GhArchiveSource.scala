@@ -67,7 +67,7 @@ object GhArchiveSource {
 
   /** All (date, hour) pairs from `start` to `end` inclusive, both in
     * the archive's own `yyyy-MM-dd-H` naming. */
-  private[sources] def hoursInRange(start: String,
+  private[graft] def hoursInRange(start: String,
                                     end: String): Seq[(String, Int)] = {
     def parse(s: String): (java.time.LocalDate, Int) = {
       val i = s.lastIndexOf('-')
@@ -86,7 +86,7 @@ object GhArchiveSource {
   /** Does (date, hour) satisfy one pushed source filter? Unhandled
     * filter shapes were never accepted by pushFilters, so this covers
     * exactly the accepted set. */
-  private[sources] def matches(date: String, hour: Int, f: Filter): Boolean = {
+  private[graft] def matches(date: String, hour: Int, f: Filter): Boolean = {
     def cmp(attr: String, v: Any): Option[Int] = attr.toLowerCase match {
       case "date" => Some(date.compareTo(v.toString))
       case "hour" => Some(hour.compare(v.asInstanceOf[Number].intValue()))
@@ -107,7 +107,7 @@ object GhArchiveSource {
     }
   }
 
-  private[sources] def accepts(f: Filter): Boolean = f match {
+  private[graft] def accepts(f: Filter): Boolean = f match {
     case EqualTo(a, _) => prunable(a)
     case GreaterThan(a, _) => prunable(a)
     case GreaterThanOrEqual(a, _) => prunable(a)

@@ -246,4 +246,72 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     assert(got === want)
     assert(want.exists(_.size > 1), "generator should produce repeats")
   }
+
+  test("gharchive hour walk ≡ Instant arithmetic across day/month/year bounds") {
+    import graft.sources.GhArchiveSource
+    val dayGen = for {
+      y <- Gen.choose(2015, 2026); m <- Gen.choose(1, 12)
+      d <- Gen.choose(1, 28); h <- Gen.choose(0, 23)
+      len <- Gen.choose(0, 80)
+    } yield (java.time.LocalDate.of(y, m, d), h, len)
+    dayGen.sample.toSeq ++ Gen.listOfN(40, dayGen).sample.get foreach {
+      case (d0, h0, len) =>
+        val from = d0.atStartOfDay(java.time.ZoneOffset.UTC).plusHours(h0)
+        val to = from.plusHours(len)
+        val got = GhArchiveSource.hoursInRange(
+          s"${d0}-$h0", s"${to.toLocalDate}-${to.getHour}")
+        // one partition per hour, inclusive, in walk order
+        assert(got.size === len + 1)
+        assert(got.head === (d0.toString, h0))
+        assert(got.last === (to.toLocalDate.toString, to.getHour))
+        // consecutive entries are exactly one hour apart
+        got.sliding(2).foreach {
+          case Seq((da, ha), (db, hb)) =>
+            val a = java.time.LocalDate.parse(da)
+              .atStartOfDay(java.time.ZoneOffset.UTC).plusHours(ha)
+            assert(a.plusHours(1) ===
+              java.time.LocalDate.parse(db)
+                .atStartOfDay(java.time.ZoneOffset.UTC).plusHours(hb))
+          case _ =>
+        }
+    }
+    // a december-31 range crosses the year boundary correctly
+    assert(GhArchiveSource.hoursInRange("2023-12-31-23", "2024-01-01-1") ===
+      Seq(("2023-12-31", 23), ("2024-01-01", 0), ("2024-01-01", 1)))
+  }
+
+  test("gharchive pruning never drops a matching hour (matches ⊇ residual truth)") {
+    import graft.sources.GhArchiveSource
+    import org.apache.spark.sql.sources._
+    val hours = GhArchiveSource.hoursInRange("2024-02-28-0", "2024-03-02-23")
+    val filters: Seq[Filter] = Seq(
+      EqualTo("date", "2024-02-29"), EqualTo("hour", 5),
+      GreaterThan("hour", 20), LessThanOrEqual("hour", 3),
+      GreaterThanOrEqual("date", "2024-03-01"), LessThan("date", "2024-03-01"),
+      In("hour", Array(0, 12, 23)), In("date", Array("2024-03-02")))
+    // every accepted filter shape prunes to EXACTLY the rows a full
+    // scan + row filter would keep — partition-level pruning and
+    // row-level residual evaluation must agree, or pruning loses data
+    filters.filter(GhArchiveSource.accepts).foreach { f =>
+      val pruned = hours.filter { case (d, h) =>
+        GhArchiveSource.matches(d, h, f) }
+      val truth = hours.filter { case (d, h) =>
+        f match {
+          case EqualTo("date", v) => d == v
+          case EqualTo("hour", v) => h == v.asInstanceOf[Int]
+          case GreaterThan("hour", v) => h > v.asInstanceOf[Int]
+          case LessThanOrEqual("hour", v) => h <= v.asInstanceOf[Int]
+          case GreaterThanOrEqual("date", v) => d >= v.toString
+          case LessThan("date", v) => d < v.toString
+          case In("hour", vs) => vs.exists(_.asInstanceOf[Int] == h)
+          case In("date", vs) => vs.exists(_.toString == d)
+          case _ => true
+        }
+      }
+      assert(pruned === truth, s"$f")
+    }
+    // an unsupported shape is never accepted for pruning
+    assert(!GhArchiveSource.accepts(
+      StringContains("line", "PushEvent")))
+  }
 }
