@@ -775,9 +775,71 @@ object DedupOps {
     * in-row HOF, and the final matrix aggregate runs on ≤ C(|sources|,
     * 2) keys. No join anywhere in the plan. */
   def sourceOverlapMatrix(s: SparkSession, d: String): DataFrame =
-    overlapMatrixFrom(sourcePairsOf(
+    overlapMatrixOfDocs(
       Tables.documents(s, d).select(col("doc_id"), col("source"),
-        col("text"))))
+        col("text")))
+
+  /** The matrix for an arbitrary (doc_id, source, text) frame, with
+    * the runtime-chosen aggregate: at ≤ 64 sources the per-shingle
+    * state is a single BIT_OR-folded long inside a whole-stage-codegen
+    * hash aggregate, so the corpus shuffle carries (long, long) rows
+    * and reducers hold one word per shingle — the collect_set form
+    * drags an object-hash set of strings through the same exchange
+    * (equal at fixture scale, where the narrow shingle pass dominates;
+    * the bound is what matters when the shuffle is the cost). Beyond
+    * 64 sources the collect_set form takes over unchanged
+    * (equivalence spec-pinned on both paths). The source list is read
+    * up front from the docs frame's source column alone (a
+    * dictionary-encoded column scan, no shingle work) — bounded by
+    * the source count, the repo's metadata-collect class. */
+  def overlapMatrixOfDocs(docs0: DataFrame): DataFrame = {
+    val srcs = sortedSourcesOf(docs0.select(col("source")))
+    val ss = sourcePairsOf(docs0)
+    if (srcs.nonEmpty && srcs.length <= 64)
+      matrixFromMasks(sourceMasks(ss, srcs), srcs)
+    else overlapMatrixFrom(ss)
+  }
+
+  private[graft] def sortedSourcesOf(srcCol: DataFrame): Array[String] =
+    srcCol.distinct().collect().map(_.getString(0)).sorted
+
+  /** (sh, mask): bit i of mask = "source i contains this shingle" —
+    * the per-shingle source set as ONE long, folded by the codegen'd
+    * BIT_OR aggregate through the single corpus shuffle. */
+  private[graft] def sourceMasks(ss: DataFrame,
+                                 srcs: Array[String]): DataFrame = {
+    import ss.sparkSession.implicits._
+    val idx = map(srcs.zipWithIndex.flatMap {
+      case (s, i) => Seq(lit(s), lit(i)) }: _*)
+    ss.select($"sh",
+        call_function("shiftleft", lit(1L), element_at(idx, $"source"))
+          .as("bit"))
+      .groupBy($"sh").agg(bit_or($"bit").as("mask"))
+  }
+
+  /** Pair counts from the mask relation: set-bit extraction and the
+    * i<j pair fan-out run IN-ROW over each 64-bit mask; only masks
+    * with ≥ 2 bits reach the fan-out. */
+  private[graft] def matrixFromMasks(masks: DataFrame,
+                                     srcs: Array[String]): DataFrame = {
+    import masks.sparkSession.implicits._
+    val names = array(srcs.map(lit): _*)
+    def bits(mask: Column): Column =
+      filter(sequence(lit(0), lit(srcs.length - 1)),
+        b => call_function("shiftright", mask, b)
+          .bitwiseAND(lit(1L)) === lit(1L))
+    masks
+      .filter(call_function("bit_count", $"mask") > 1)
+      .select(explode(flatten(transform(bits($"mask"), i =>
+          transform(filter(bits($"mask"), j => j > i), j =>
+            struct(element_at(names, (i + 1).cast("int")).as("src_a"),
+                   element_at(names, (j + 1).cast("int")).as("src_b"))))))
+        .as("p"))
+      .select($"p.src_a", $"p.src_b")
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("shared"))
+      .smallOrdered($"src_a", $"src_b")
+  }
 
   /** The exploded (source, sh) pair relation for an arbitrary
     * (doc_id, source, text) frame — the canonical-shingle narrow pass
@@ -800,12 +862,32 @@ object DedupOps {
     * ≤ C(S,2)-row matrix. Same single corpus-scale shuffle as x71. */
   def sourceSimilarity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val dd = sourcePairsOf(
-        Tables.documents(s, d).select($"doc_id", $"source", $"text"))
-      .distinct().localCheckpoint(false)
-    val sizes = dd.groupBy($"source").agg(count(lit(1)).as("n"))
-    overlapMatrixFrom(dd)
-      .join(broadcast(sizes.select($"source".as("src_a"), $"n".as("na"))),
+    val docs0 = Tables.documents(s, d)
+      .select($"doc_id", $"source", $"text")
+    val srcs = sortedSourcesOf(docs0.select($"source"))
+    val ss = sourcePairsOf(docs0)
+    // ONE corpus shuffle: the mask relation feeds both the matrix and
+    // the per-source sizes (bit i's population count across masks IS
+    // source i's distinct-shingle count). >64 sources falls back to
+    // the distinct-pair form, same result.
+    val (m, sizes) =
+      if (srcs.nonEmpty && srcs.length <= 64) {
+        val masks = sourceMasks(ss, srcs).localCheckpoint(false)
+        val names = array(srcs.map(lit): _*)
+        val sz = masks
+          .select(explode(filter(sequence(lit(0), lit(srcs.length - 1)),
+            b => call_function("shiftright", $"mask", b)
+              .bitwiseAND(lit(1L)) === lit(1L))).as("i"))
+          .groupBy($"i").agg(count(lit(1)).as("n"))
+          .select(element_at(names, ($"i" + 1).cast("int")).as("source"),
+            $"n")
+        (matrixFromMasks(masks, srcs), sz)
+      } else {
+        val dd = ss.distinct().localCheckpoint(false)
+        (overlapMatrixFrom(dd),
+          dd.groupBy($"source").agg(count(lit(1)).as("n")))
+      }
+    m.join(broadcast(sizes.select($"source".as("src_a"), $"n".as("na"))),
         "src_a")
       .join(broadcast(sizes.select($"source".as("src_b"), $"n".as("nb"))),
         "src_b")

@@ -69,10 +69,18 @@ object OverlapStream {
     * schema and values for the retained window (the shared
     * overlapMatrixFrom aggregate over the re-deduplicated pair
     * state). */
-  def servedMatrix(spark: SparkSession, stateDir: String): DataFrame =
-    DedupOps.overlapMatrixFrom(
-      StateMaintenance.readOr(spark, s"$stateDir/srcpairs", pairsSchema)
-        .select(col("source"), col("sh")).distinct())
+  def servedMatrix(spark: SparkSession, stateDir: String): DataFrame = {
+    val pairs = StateMaintenance
+      .readOr(spark, s"$stateDir/srcpairs", pairsSchema)
+      .select(col("source"), col("sh"))
+    // the same runtime choice as the batch operator: bit_or masks at
+    // ≤ 64 sources (the source list reads one dictionary-encoded state
+    // column), collect_set beyond
+    val srcs = DedupOps.sortedSourcesOf(pairs.select(col("source")))
+    if (srcs.nonEmpty && srcs.length <= 64)
+      DedupOps.matrixFromMasks(DedupOps.sourceMasks(pairs, srcs), srcs)
+    else DedupOps.overlapMatrixFrom(pairs.distinct())
+  }
 
   /** Fold a committed prefix of batches into one partial: the merge is
     * distinct-union, so the fold is a re-distinct. */

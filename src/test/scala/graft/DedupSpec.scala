@@ -323,4 +323,33 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       .as[(String, String, Long, Long, Long, Double)].collect().toSeq
     assert(gotSim === wantSim)
   }
+
+  test("x71 bitmask fast path ≡ collect_set path; >64-source fallback works") {
+    val docs0 = Tables.documents(spark, sf)
+      .select($"doc_id", $"source", $"text")
+    // the fixture has ≤64 sources, so overlapMatrixOfDocs takes the
+    // mask path — it must equal the collect_set form row for row
+    val viaMask = DedupOps.overlapMatrixOfDocs(docs0)
+      .as[(String, String, Long)].collect().toSeq
+    val viaSet = DedupOps.overlapMatrixFrom(DedupOps.sourcePairsOf(docs0))
+      .as[(String, String, Long)].collect().toSeq
+    assert(viaMask === viaSet)
+    assert(viaMask.nonEmpty)
+
+    // 70 planted sources force the fallback; a shared phrase gives
+    // every pair the same known overlap (its 3 distinct 3-grams),
+    // and each doc's unique tail shares nothing
+    val planted = (0 until 70).map { i =>
+      (i.toLong, f"s$i%02d",
+        s"common shared overlap phrase here tail$i unique$i")
+    }.toDF("doc_id", "source", "text")
+    val got = DedupOps.overlapMatrixOfDocs(planted)
+      .as[(String, String, Long)].collect().toSeq
+    val srcs = (0 until 70).map(i => f"s$i%02d")
+    // cross-doc shared shingles = the 3-grams not touching the
+    // per-doc tail: "common shared overlap", "shared overlap phrase",
+    // "overlap phrase here"
+    assert(got.size === srcs.combinations(2).size)
+    assert(got.forall(_._3 === 3L), s"got head: ${got.take(3)}")
+  }
 }
