@@ -1072,7 +1072,12 @@ object SimilarityOps {
     * directions); the anchor set it induces is bounded by that
     * output, so the mining core's broadcasts stay small; the final
     * positives × negatives join is a broadcast fan-out of bounded
-    * frames. */
+    * frames. Total work (and output) is proportional to the
+    * corpus's TRUE near-dup pair count times K — inherent to
+    * emitting a triplet per positive. On a corpus whose dup-pair
+    * relation alone outgrows broadcast range, the final join drops
+    * the hint and shuffles on qid (standard threshold conf) — the
+    * operator's shape is otherwise unchanged. */
   def contrastiveTriplets(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = DedupOps.dedupEmbedding(s, d).localCheckpoint(false)
