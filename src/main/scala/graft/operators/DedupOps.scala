@@ -437,6 +437,37 @@ object DedupOps {
     labels
   }
 
+  /** x76 — CLUSTER-COHERENT train/val/test split: x23's deterministic
+    * content-hash assignment, lifted to near-dup CLUSTER granularity.
+    * Per-doc splitting leaks — two near-duplicates hashing to train
+    * and test hand the eval set to the model — so the unit of
+    * assignment is the x17 component: every member gets the split of
+    * its cluster's MIN member digest (order-invariant, content-keyed,
+    * so the assignment survives re-crawls and reshuffles exactly like
+    * x23's). Singleton clusters reduce to x23's own rule bit for bit
+    * (shared splitOfDigest definition), so the two assignments
+    * disagree only where per-doc splitting was unsafe.
+    *
+    * Scale shape: rides the MATERIALIZED x17 label artifact (no
+    * propagation at serve); one groupBy(rep) min-digest aggregate and
+    * one equi-join back to the labels — at fixture scale both sides
+    * broadcast, at corpus scale the join shuffles on rep, the same
+    * class as every label probe. */
+  def clusterSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val labels = ArtifactBuild
+      .readCached(s, s"${ensureClusterIndex(s, d)}/labels")
+      .select($"doc_id", $"rep")
+    val withRep = Tables.documents(s, d).select($"doc_id", $"text")
+      .join(labels, "doc_id")
+    val clusterDigest = withRep.groupBy($"rep")
+      .agg(min(md5($"text")).as("cd"))
+    withRep.select($"doc_id", $"rep")
+      .join(clusterDigest, "rep")
+      .select($"doc_id", $"rep", TextOps.splitOfDigest($"cd").as("split"))
+      .orderBy($"doc_id")
+  }
+
   /** Takedown-list membership for x57 — stands in for the external
     * opt-out / copyright-removal feed (every 43rd doc id — chosen so the list intersects real near-dup clusters and the sweep path is exercised, not vacuous). The oracle
     * SQL mirrors the same predicate. */
@@ -1102,6 +1133,7 @@ object DedupOps {
     "x26_dedup_blocks"        -> dedupBlocks _,
     "x71_source_overlap"      -> sourceOverlapMatrix _,
     "x73_source_similarity"   -> sourceSimilarity _,
+    "x76_cluster_split"       -> clusterSplit _,
   )
 
   /** x02's oracle is the EXACT all-pairs Jaccard — valid because the
@@ -1212,6 +1244,21 @@ object DedupOps {
         |$AllPairsCte,
         |$ClusterCtes
         |SELECT doc_id, rep FROM lab ORDER BY doc_id""".stripMargin,
+    // x76: the x17 closure + per-cluster min member digest + the x23
+    // per-mille split CASE on that digest.
+    "x76_cluster_split" ->
+      s"""WITH RECURSIVE
+        |$ShingleBaseCtes,
+        |$AllPairsCte,
+        |$ClusterCtes,
+        |cd AS (SELECT l.rep, min(md5(d.text)) AS cd
+        |       FROM lab l JOIN documents d USING (doc_id) GROUP BY 1)
+        |SELECT l.doc_id, l.rep, CASE
+        |  WHEN ('0x' || substr(cd.cd, 1, 8))::BIGINT % 1000 < ${TextOps.TrainPm} THEN 'train'
+        |  WHEN ('0x' || substr(cd.cd, 1, 8))::BIGINT % 1000 < ${TextOps.ValPm} THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM lab l JOIN cd ON cd.rep = l.rep
+        |ORDER BY l.doc_id""".stripMargin,
     // x57: the closure is x17's lab relation; a doc is removed iff its
     // rep appears among the listed docs' reps.
     "x57_removal_propagation" ->

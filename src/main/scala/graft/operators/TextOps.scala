@@ -470,8 +470,14 @@ object TextOps {
   /** The per-document split label as a column — exposed so pipeline
     * compositions (TrainingDataDemo) assign the same deterministic
     * split the x23 audit reports. */
-  def splitCol(text: Column): Column = {
-    val b = hashBucketPm(text)
+  def splitCol(text: Column): Column = splitOfDigest(md5(text))
+
+  /** The split rule over an EXISTING md5 digest — one definition
+    * shared by the per-doc split (digest of the doc's own text) and
+    * x76's cluster-coherent split (the cluster's min member digest),
+    * so the two assignments agree by construction on singletons. */
+  private[graft] def splitOfDigest(digest: Column): Column = {
+    val b = conv(substring(digest, 1, 8), 16, 10).cast("long") % 1000L
     when(b < TrainPm, "train").when(b < ValPm, "val").otherwise("test")
   }
 

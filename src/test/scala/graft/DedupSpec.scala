@@ -352,4 +352,31 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(got.size === srcs.combinations(2).size)
     assert(got.forall(_._3 === 3L), s"got head: ${got.take(3)}")
   }
+
+  test("x76 cluster split: one split per component; singletons equal x23's rule") {
+    val got = DedupOps.clusterSplit(spark, sf)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got.size === Tables.documents(spark, sf).count())
+    // leakage safety: a component never straddles splits
+    got.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.map(_._3).distinct.size === 1, s"cluster $rep straddles")
+    }
+    // the fixture has real multi-member clusters, so the property bites
+    assert(got.groupBy(_._2).exists(_._2.size > 1))
+    // singletons reduce to the per-doc rule bit for bit
+    val perDoc = Tables.documents(spark, sf)
+      .select($"doc_id",
+        graft.operators.TextOps.splitCol($"text").as("split"))
+      .as[(Long, String)].collect().toMap
+    val singletons = got.groupBy(_._2).filter(_._2.size == 1).values.flatten
+    assert(singletons.nonEmpty)
+    singletons.foreach { case (id, _, sp) =>
+      assert(perDoc(id) === sp, s"singleton $id diverges from x23")
+    }
+    // and where they diverge, it is exactly the multi-member clusters
+    val diverging = got.filter { case (id, _, sp) => perDoc(id) != sp }
+    val multi = got.groupBy(_._2).filter(_._2.size > 1)
+      .values.flatten.map(_._1).toSet
+    assert(diverging.forall(r => multi(r._1)))
+  }
 }
