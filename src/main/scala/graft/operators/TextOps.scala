@@ -187,14 +187,45 @@ object TextOps {
     * buffers — the exact path's known cost and why x70b exists); the
     * threshold table (|sources| rows) broadcasts back into a narrow
     * filter. No window, no global sort of the corpus. */
-  def qualityGate(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val scored = docs(s, d).select($"doc_id", $"source",
+  def qualityGate(s: SparkSession, d: String): DataFrame =
+    qualityGateOf(docs(s, d))
+
+  /** The exact gate over an arbitrary (doc_id, source, text) frame —
+    * QualityStream's spec comparator. */
+  def qualityGateOf(docs0: DataFrame): DataFrame = {
+    import docs0.sparkSession.implicits._
+    graft.plans.GraftExpressions.register(docs0.sparkSession)
+    val scored = docs0.select($"doc_id", $"source",
       qMicroCol($"text").as("q_micro"))
     val th = scored.groupBy($"source")
       .agg(percentile($"q_micro", lit(QualityGateP)).as("q_th"))
     gateFrom(scored, th)
   }
+
+  /** Per-batch quality-histogram partial for QualityStream: each
+    * source's integer micro-score distribution as (q_micro, cnt)
+    * counts — additive across batches, and BOUNDED by the score
+    * domain (q_micro ∈ [0, 1e6]) rather than the row count, which is
+    * what integer micro-scores buy over a GK sketch: the merged
+    * histogram is exact AND mergeable. */
+  def qualityPartialsOf(docs0: DataFrame): DataFrame = {
+    import docs0.sparkSession.implicits._
+    graft.plans.GraftExpressions.register(docs0.sparkSession)
+    docs0.select($"source", qMicroCol($"text").as("q_micro"))
+      .groupBy($"source", $"q_micro")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Scored (doc_id, source, q_micro) for a corpus dir + the gate
+    * application — exposed so QualityStream's serving path runs the
+    * identical scoring pass and filter as x70. */
+  def scoredDocs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).select($"doc_id", $"source", qMicroCol($"text").as("q_micro"))
+  }
+
+  private[graft] def gateWith(scored: DataFrame, th: DataFrame): DataFrame =
+    gateFrom(scored, th)
 
   /** x70b — the production twin at 100 TB: thresholds from the
     * mergeable Greenwald–Khanna sketch (percentile_approx) instead of
