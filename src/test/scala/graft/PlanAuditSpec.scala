@@ -555,4 +555,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     // aggregate's (both hash) and nothing else
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("x76: serves from the materialized label artifact — no propagation at serve") {
+    val p = plan("x76_cluster_split")
+    assert(p.contains("graft-cc-index"),
+      "must read the converged labels, not re-run the component loop")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }
