@@ -132,6 +132,17 @@ object TrainingDataDemo {
     // 5. deterministic content-hash split + final corpus
     val corpus = docs.join(clean, "doc_id")
       .withColumn("split", operators.TextOps.splitCol($"text"))
+
+    // 5-audit. cluster-coherent splitting (x76): how many surviving
+    // docs the leakage-safe rule would place differently — each such
+    // doc is a near-dup whose cluster straddled the per-doc split,
+    // i.e. a train/eval leak the per-doc rule would have shipped
+    val moved = operators.DedupOps.clusterSplit(spark, sfDir)
+      .select($"doc_id", $"split".as("csplit"))
+      .join(corpus.select($"doc_id", $"split"), "doc_id")
+      .filter($"csplit" =!= $"split")
+      .count()
+    report += ("leaks_prevented_by_cluster_split" -> moved)
     outDir.foreach(o =>
       corpus.write.mode("overwrite").partitionBy("split").parquet(o))
 

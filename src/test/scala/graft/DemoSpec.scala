@@ -149,5 +149,21 @@ class DemoSpec extends AnyFunSuite with SparkTestSession {
       operators.DedupOps.sourceSimilarity(spark, sf)
         .agg(coalesce(max(round($"jaccard" * 1e6, 0).cast("long")), lit(0L)))
         .as[Long].head())
+
+    // x76 — leak audit: every counted doc is a member of a
+    // multi-member cluster (singletons agree with x23 by definition)
+    val cs = operators.DedupOps.clusterSplit(spark, sf)
+      .as[(Long, Long, String)].collect()
+    val multiDocs = cs.groupBy(_._2).filter(_._2.size > 1)
+      .values.flatten.map(_._1).toSet
+    val corpusSplits = corpus.select($"doc_id", $"split")
+      .as[(Long, String)].collect().toMap
+    val movedRef = cs.count { case (id, _, csp) =>
+      corpusSplits.get(id).exists(_ != csp) }
+    assert(counts("leaks_prevented_by_cluster_split") === movedRef.toLong)
+    cs.filter { case (id, _, csp) =>
+      corpusSplits.get(id).exists(_ != csp) }
+      .foreach { case (id, _, _) =>
+        assert(multiDocs(id), s"moved doc $id is not in a real cluster") }
   }
 }
