@@ -805,26 +805,70 @@ object DedupOps {
     * fan-out per shingle is ≤ C(|sources|, 2) rows computed by an
     * in-row HOF, and the final matrix aggregate runs on ≤ C(|sources|,
     * 2) keys. No join anywhere in the plan. */
-  /** Per-(session, corpus dir) memo of the sorted source list — the
-    * chooser's extra driver job amortizes to once per session for the
-    * dir-based entry points (same immutable-fixture assumption as
-    * ArtifactBuild.readCached; frame-based callers still scan). */
-  private val sourceListCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), Array[String]]()
+  /** Materialized overlap index for a corpus dir — the ensure
+    * discipline (content-keyed path, staged rename, marker = the
+    * LAST-written piece) applied to the overlap family. The corpus
+    * shingle pass — the irreducible cost of x71/x73, and the suite's
+    * top wall when it re-ran per call — now runs ONCE per corpus
+    * snapshot; every query is an artifact read. The artifact holds:
+    *
+    *  - `masks/` (≤ 64 sources: the (sh, mask) relation) or `pairs/`
+    *    (beyond: the distinct (source, sh) relation) — the MERGEABLE
+    *    state, the same algebra OverlapStream's per-batch partials
+    *    fold into, kept so an incremental refresh can merge instead
+    *    of rebuild;
+    *  - `sizes/` — per-source distinct-shingle counts (≤ |sources|
+    *    rows), derived from the state in the same build;
+    *  - `matrix/` — the pair-count matrix (≤ C(|sources|, 2) rows),
+    *    written last so its `_SUCCESS` marks the artifact complete.
+    *
+    * Serving x71 is then a FileScan of `matrix/` + the bounded
+    * presentation sort; x73 adds two broadcast joins against
+    * `sizes/`. No shingle work, no corpus scan, no corpus-scale
+    * shuffle on any serve path (plan-pinned). */
+  def ensureOverlapIndex(s: SparkSession, d: String,
+                         indexRoot: String = sys.props("java.io.tmpdir")): String =
+    ArtifactBuild.ensure(s, SimilarityOps.indexPathMulti(
+        s, d, Seq("documents.parquet"), "overlap", "v1", indexRoot),
+        "matrix/_SUCCESS") { staging =>
+      val docs0 = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      val srcs = sortedSourcesOf(docs0.select(col("source")))
+      val ss = sourcePairsOf(docs0)
+      val st = staging.toString
+      // land the mergeable state FIRST and read it back, so the
+      // corpus shingle pass runs exactly once across matrix and sizes
+      val (matrix, sizes) =
+        if (srcs.nonEmpty && srcs.length <= 64) {
+          sourceMasks(ss, srcs).write.mode("overwrite").parquet(s"$st/masks")
+          val masks = s.read.parquet(s"$st/masks")
+          (matrixFromMasks(masks, srcs), sizesFromMasks(masks, srcs))
+        } else {
+          ss.distinct().write.mode("overwrite").parquet(s"$st/pairs")
+          val pairs = s.read.parquet(s"$st/pairs")
+          (overlapMatrixFrom(pairs),
+            pairs.groupBy(col("source")).agg(count(lit(1)).as("n")))
+        }
+      sizes.write.mode("overwrite").parquet(s"$st/sizes")
+      matrix.write.mode("overwrite").parquet(s"$st/matrix")
+    }
 
-  private def sortedSources(s: SparkSession, d: String): Array[String] =
-    sourceListCache.computeIfAbsent((System.identityHashCode(s), d),
-      _ => sortedSourcesOf(Tables.documents(s, d).select(col("source"))))
-
+  /** x71 — SERVED from the materialized overlap artifact: the plan is
+    * one FileScan of the ≤ C(|sources|, 2)-row matrix plus the bounded
+    * presentation sort (the x66/x17 discipline). The inline form below
+    * remains the equivalence witness. */
   def sourceOverlapMatrix(s: SparkSession, d: String): DataFrame = {
-    val docs0 = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), col("text"))
-    val srcs = sortedSources(s, d)
-    val ss = sourcePairsOf(docs0)
-    if (srcs.nonEmpty && srcs.length <= 64)
-      matrixFromMasks(sourceMasks(ss, srcs), srcs)
-    else overlapMatrixFrom(ss)
+    val root = ensureOverlapIndex(s, d)
+    ArtifactBuild.readCached(s, s"$root/matrix")
+      .smallOrdered(col("src_a"), col("src_b"))
   }
+
+  /** The one-shot x71 (shingle pass + mask aggregate in a single
+    * query) — the equivalence witness for the artifact-served form,
+    * and the body the artifact build stages. */
+  def sourceOverlapMatrixInline(s: SparkSession, d: String): DataFrame =
+    overlapMatrixOfDocs(Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text")))
 
   /** The matrix for an arbitrary (doc_id, source, text) frame, with
     * the runtime-chosen aggregate: at ≤ 64 sources the per-shingle
@@ -903,37 +947,61 @@ object DedupOps {
     * size-free [0,1] scale (a mirror of a small source is invisible
     * in raw counts next to two unrelated huge ones).
     *
-    * Scale shape: the deduplicated pair relation is computed once
-    * (checkpointed) and feeds both the per-source sizes (a tiny
-    * aggregate) and the matrix; the sizes broadcast back onto the
-    * ≤ C(S,2)-row matrix. Same single corpus-scale shuffle as x71. */
+    * Scale shape: SERVED from the same materialized overlap artifact
+    * as x71 — the ≤ C(S,2)-row matrix FileScan plus two broadcast
+    * joins against the ≤ |sources|-row sizes table. The corpus-scale
+    * work (shingle pass + ONE shuffle feeding both matrix and sizes)
+    * runs once at artifact build; the inline form below keeps that
+    * plan as the equivalence witness. */
   def sourceSimilarity(s: SparkSession, d: String): DataFrame = {
+    val root = ensureOverlapIndex(s, d)
+    similarityOf(ArtifactBuild.readCached(s, s"$root/matrix"),
+      ArtifactBuild.readCached(s, s"$root/sizes"))
+  }
+
+  /** The one-shot x73 — ONE corpus shuffle: the mask relation feeds
+    * both the matrix and the per-source sizes (bit i's population
+    * count across masks IS source i's distinct-shingle count).
+    * >64 sources falls back to the distinct-pair form, same result. */
+  def sourceSimilarityInline(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs0 = Tables.documents(s, d)
       .select($"doc_id", $"source", $"text")
-    val srcs = sortedSources(s, d)
+    val srcs = sortedSourcesOf(docs0.select(col("source")))
     val ss = sourcePairsOf(docs0)
-    // ONE corpus shuffle: the mask relation feeds both the matrix and
-    // the per-source sizes (bit i's population count across masks IS
-    // source i's distinct-shingle count). >64 sources falls back to
-    // the distinct-pair form, same result.
     val (m, sizes) =
       if (srcs.nonEmpty && srcs.length <= 64) {
         val masks = sourceMasks(ss, srcs).localCheckpoint(false)
-        val names = array(srcs.map(lit): _*)
-        val sz = masks
-          .select(explode(filter(sequence(lit(0), lit(srcs.length - 1)),
-            b => call_function("shiftright", $"mask", b)
-              .bitwiseAND(lit(1L)) === lit(1L))).as("i"))
-          .groupBy($"i").agg(count(lit(1)).as("n"))
-          .select(element_at(names, ($"i" + 1).cast("int")).as("source"),
-            $"n")
-        (matrixFromMasks(masks, srcs), sz)
+        (matrixFromMasks(masks, srcs), sizesFromMasks(masks, srcs))
       } else {
         val dd = ss.distinct().localCheckpoint(false)
         (overlapMatrixFrom(dd),
           dd.groupBy($"source").agg(count(lit(1)).as("n")))
       }
+    similarityOf(m, sizes)
+  }
+
+  /** Per-source distinct-shingle counts from the mask relation: bit
+    * i's population count across masks IS source i's size — an
+    * in-row bit explode over ≤ 64 set bits, aggregated on ≤ |sources|
+    * keys. */
+  private[graft] def sizesFromMasks(masks: DataFrame,
+                                    srcs: Array[String]): DataFrame = {
+    import masks.sparkSession.implicits._
+    val names = array(srcs.map(lit): _*)
+    masks
+      .select(explode(filter(sequence(lit(0), lit(srcs.length - 1)),
+        b => call_function("shiftright", $"mask", b)
+          .bitwiseAND(lit(1L)) === lit(1L))).as("i"))
+      .groupBy($"i").agg(count(lit(1)).as("n"))
+      .select(element_at(names, ($"i" + 1).cast("int")).as("source"), $"n")
+  }
+
+  /** x73's presentation: matrix counts normalized by the broadcast
+    * per-source sizes. Shared by the artifact-served and inline
+    * forms so the two cannot drift. */
+  private def similarityOf(m: DataFrame, sizes: DataFrame): DataFrame = {
+    import m.sparkSession.implicits._
     m.join(broadcast(sizes.select($"source".as("src_a"), $"n".as("na"))),
         "src_a")
       .join(broadcast(sizes.select($"source".as("src_b"), $"n".as("nb"))),

@@ -353,6 +353,25 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
     assert(got.forall(_._3 === 3L), s"got head: ${got.take(3)}")
   }
 
+  test("x71/x73 artifact-served equals the one-shot inline forms") {
+    // the materialized overlap artifact (ensureOverlapIndex) must
+    // replay bit for bit what the single-query forms compute — the
+    // same witness pattern as x66's pageRankInline. Stream parity is
+    // OverlapRetentionSpec's: streamed state ≡ sourceOverlapMatrix,
+    // which with this test closes artifact ≡ one-shot ≡ stream.
+    val served = DedupOps.sourceOverlapMatrix(spark, sf)
+      .as[(String, String, Long)].collect().toSeq
+    val inline = DedupOps.sourceOverlapMatrixInline(spark, sf)
+      .as[(String, String, Long)].collect().toSeq
+    assert(served === inline)
+    assert(served.nonEmpty)
+    val servedSim = DedupOps.sourceSimilarity(spark, sf)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    val inlineSim = DedupOps.sourceSimilarityInline(spark, sf)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(servedSim === inlineSim)
+  }
+
   test("x76 cluster split: one split per component; singletons equal x23's rule") {
     val got = DedupOps.clusterSplit(spark, sf)
       .as[(Long, Long, String)].collect().toSeq

@@ -548,8 +548,37 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(!s2.contains("Window") && !s2.contains("SortMergeJoin"))
   }
 
-  test("x71: one shuffle, join-free — pair expansion stays in-row") {
+  test("x71: served from the materialized overlap artifact — no shingle pass at serve") {
+    // the corpus shingle pass runs at artifact build only; the serve
+    // plan is one FileScan of the ≤C(S,2)-row matrix + the bounded
+    // presentation sort (the x66/x17 discipline)
     val p = plan("x71_source_overlap")
+    assert(p.contains("graft-overlap-index"),
+      "the matrix must serve from the materialized artifact")
+    assert(!p.contains("documents.parquet"),
+      "corpus scan must not run at serve time")
+    assert(!p.contains("graft_shingle_hashes"),
+      "no shingle pass at serve time")
+    assert(!p.contains("Join"), "no join at serve time")
+    assert(!p.contains("HashAggregate"), "no aggregate at serve time")
+  }
+
+  test("x73: artifact matrix + broadcast sizes — no corpus work at serve") {
+    val p = plan("x73_source_similarity")
+    assert(p.contains("graft-overlap-index"),
+      "must serve from the materialized artifact")
+    assert(!p.contains("documents.parquet"),
+      "corpus scan must not run at serve time")
+    assert(!p.contains("graft_shingle_hashes"),
+      "no shingle pass at serve time")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+  }
+
+  test("x71 inline witness: one shuffle, join-free — pair expansion stays in-row") {
+    val df = graft.operators.DedupOps.sourceOverlapMatrixInline(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
     assert(!p.contains("Join"), "the matrix plan must not join")
     // exchanges: the shingle aggregate's + the bounded matrix
     // aggregate's (both hash) and nothing else
