@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -16,7 +17,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * a fetch step): `spark.read.format("gharchive").option("start",
   * "2024-01-15-0").option("end", "2024-01-15-23").load()` yields
   * `(date STRING, hour INT, line STRING)` — one row per raw NDJSON
-  * event line, one input partition per archive hour.
+  * event line, one input partition per archive hour. The same table
+  * also reads as a STREAM (`spark.readStream.format("gharchive")`):
+  * each micro-batch consumes the next published hours, so tail-follow
+  * and backfill unify under one source instead of the fetch-then-read
+  * landing-dir hop.
   *
   * Why a DSv2 rather than fetch-then-read (`GhFetch` remains for the
   * reference's land-to-disk pipeline): the catalog integration makes
@@ -36,6 +41,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * note, the reference's per-hour log-and-continue (O3). Anything
   * else (corrupt payload, refused connection) still fails the task:
   * only known-absent data is skippable, silent data loss is not.
+  *
+  * Network discipline: every connection carries connect/read timeouts
+  * (`connectTimeoutMs`/`readTimeoutMs` options) so a stalled CDN
+  * connection fails the OPEN fast instead of hanging the task until
+  * the scheduler's own timeout — at 744 partitions/month a single
+  * hung socket is the first thing a real backfill hits. Opens retry
+  * up to `maxRetries` times with linear backoff; a failure mid-stream
+  * still fails the task (a .gz body cannot be resumed), which Spark's
+  * own task retry re-runs from the top.
   *
   * Scale shape: one partition per hour bounds task count by the
   * requested range; each task is a single sequential gunzip scan
@@ -85,13 +99,18 @@ object GhArchiveSource {
 
   /** Does (date, hour) satisfy one pushed source filter? Unhandled
     * filter shapes were never accepted by pushFilters, so this covers
-    * exactly the accepted set. */
+    * exactly the accepted set. Null comparands (Spark pushes
+    * `hour IN (5, NULL)` with the null retained) can never prune: a
+    * null never matches a concrete hour, so they are skipped rather
+    * than dereferenced. */
   private[graft] def matches(date: String, hour: Int, f: Filter): Boolean = {
-    def cmp(attr: String, v: Any): Option[Int] = attr.toLowerCase match {
-      case "date" => Some(date.compareTo(v.toString))
-      case "hour" => Some(hour.compare(v.asInstanceOf[Number].intValue()))
-      case _ => None
-    }
+    def cmp(attr: String, v: Any): Option[Int] =
+      if (v == null) None
+      else attr.toLowerCase match {
+        case "date" => Some(date.compareTo(v.toString))
+        case "hour" => Some(hour.compare(v.asInstanceOf[Number].intValue()))
+        case _ => None
+      }
     f match {
       case EqualTo(a, v) => cmp(a, v).forall(_ == 0)
       case GreaterThan(a, v) => cmp(a, v).forall(_ > 0)
@@ -99,8 +118,9 @@ object GhArchiveSource {
       case LessThan(a, v) => cmp(a, v).forall(_ < 0)
       case LessThanOrEqual(a, v) => cmp(a, v).forall(_ <= 0)
       case In(a, vs) => a.toLowerCase match {
-        case "date" => vs.exists(_.toString == date)
-        case "hour" => vs.exists(_.asInstanceOf[Number].intValue() == hour)
+        case "date" => vs.exists(v => v != null && v.toString == date)
+        case "hour" => vs.exists(v =>
+          v != null && v.asInstanceOf[Number].intValue() == hour)
         case _ => true
       }
       case _ => true
@@ -120,6 +140,56 @@ object GhArchiveSource {
   private def prunable(attr: String): Boolean = {
     val a = attr.toLowerCase; a == "date" || a == "hour"
   }
+
+  /** Open `url` with the configured timeouts. 404 / missing file
+    * surfaces as FileNotFoundException (HttpURLConnection's own
+    * translation), which callers treat as KNOWN absence. */
+  private[sources] def openWithTimeouts(url: String,
+                                        net: GhNetConf): java.io.InputStream = {
+    val conn = new java.net.URI(url).toURL.openConnection()
+    conn.setConnectTimeout(net.connectTimeoutMs)
+    conn.setReadTimeout(net.readTimeoutMs)
+    conn.getInputStream
+  }
+
+  /** Is the hour's archive file published? HEAD for http(s) (no body
+    * transfer), open-and-close otherwise — the streaming frontier
+    * probe. */
+  private[sources] def hourExists(url: String, net: GhNetConf): Boolean =
+    try {
+      new java.net.URI(url).toURL.openConnection() match {
+        case http: java.net.HttpURLConnection =>
+          http.setConnectTimeout(net.connectTimeoutMs)
+          http.setReadTimeout(net.readTimeoutMs)
+          http.setRequestMethod("HEAD")
+          val ok = http.getResponseCode == 200
+          http.disconnect()
+          ok
+        case other =>
+          other.setConnectTimeout(net.connectTimeoutMs)
+          other.setReadTimeout(net.readTimeoutMs)
+          val in = other.getInputStream
+          in.close()
+          true
+      }
+    } catch {
+      case _: java.io.FileNotFoundException => false
+    }
+}
+
+/** Serializable network discipline for the hour readers — ships to
+  * executors inside each partition. */
+private[sources] case class GhNetConf(connectTimeoutMs: Int,
+                                      readTimeoutMs: Int,
+                                      maxRetries: Int,
+                                      retryBackoffMs: Long)
+
+private[sources] object GhNetConf {
+  def fromProps(props: Map[String, String]): GhNetConf = GhNetConf(
+    connectTimeoutMs = props.getOrElse("connecttimeoutms", "10000").toInt,
+    readTimeoutMs = props.getOrElse("readtimeoutms", "60000").toInt,
+    maxRetries = props.getOrElse("maxretries", "2").toInt,
+    retryBackoffMs = props.getOrElse("retrybackoffms", "500").toLong)
 }
 
 private[sources] class GhArchiveTable(props: Map[String, String])
@@ -131,17 +201,20 @@ private[sources] class GhArchiveTable(props: Map[String, String])
     s"gharchive(${props("start")}..${props("end")})"
   override def schema(): StructType = GhArchiveSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GhArchiveScanBuilder(
       props.getOrElse("baseurl",
         graft.streaming.GhFetch.DefaultArchiveUrl),
-      props("start"), props("end"))
+      props("start"), props("end"), GhNetConf.fromProps(props),
+      props.get("maxhourspertrigger").map(_.toInt))
 }
 
 private[sources] class GhArchiveScanBuilder(baseUrl: String, start: String,
-                                            end: String)
+                                            end: String, net: GhNetConf,
+                                            maxHoursPerTrigger: Option[Int])
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
@@ -168,16 +241,108 @@ private[sources] class GhArchiveScanBuilder(baseUrl: String, start: String,
         .filter { case (d, h) =>
           pushed.forall(GhArchiveSource.matches(d, h, _)) }
         .map { case (d, h) =>
-          GhHourPartition(baseUrl, d, h): InputPartition }
+          GhHourPartition(baseUrl, d, h, net): InputPartition }
         .toArray
 
     override def createReaderFactory(): PartitionReaderFactory =
       new GhHourReaderFactory(required.fieldNames)
+
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new GhArchiveMicroBatch(baseUrl, start, end, net,
+        maxHoursPerTrigger, pushed, required.fieldNames)
   }
 }
 
+/** Stream offset = count of hours (from `start`) already consumed. */
+private[sources] case class GhHourOffset(n: Int) extends Offset {
+  override def json(): String = n.toString
+}
+
+/** The hour range as a MICRO-BATCH stream: each trigger consumes the
+  * next PUBLISHED hours. The frontier probe walks forward while the
+  * next hour's file exists (HEAD for http) — the same EXISTS early
+  * break as `GhFetch`'s hour walk, matching the archive's sequential
+  * publication: the first absent hour is the tail, not a hole.
+  * (Historical holes — archive outages — belong to the batch path,
+  * which treats them as empty partitions; a stream pointed at one
+  * waits there by design, exactly like the reference's poll loop.)
+  *
+  * `maxhourspertrigger` caps each batch's advance, bounding per-batch
+  * task count and download volume — honored through
+  * SupportsAdmissionControl, so `Trigger.AvailableNow` (native via
+  * SupportsTriggerAvailableNow: the frontier is captured once at
+  * prepare and drained across rate-limited batches) and continuous
+  * triggers both respect it. Offsets are hour counts, so a restarted
+  * stream resumes exactly where the checkpoint committed — replayed
+  * hour files re-read identically (the archive is immutable), and the
+  * downstream dedup/watermark discipline already absorbs
+  * at-least-once delivery. */
+private[sources] class GhArchiveMicroBatch(baseUrl: String, start: String,
+                                           end: String, net: GhNetConf,
+                                           maxHoursPerTrigger: Option[Int],
+                                           pushed: Array[Filter],
+                                           fields: Array[String])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  private val hours = GhArchiveSource.hoursInRange(start, end)
+  // hours known published — monotone; probed forward on demand
+  private var published = 0
+  // AvailableNow target: the frontier captured at prepare time
+  private var target: Option[Int] = None
+
+  override def initialOffset(): Offset = GhHourOffset(0)
+
+  private def probe(upTo: Int): Unit =
+    while (published < upTo && GhArchiveSource.hourExists(
+        urlOf(hours(published)), net))
+      published += 1
+
+  override def prepareForTriggerAvailableNow(): Unit = {
+    probe(hours.length)
+    target = Some(published)
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def latestOffset(startOff: Offset, limit: ReadLimit): Offset = {
+    val from = startOff.asInstanceOf[GhHourOffset].n
+    val lim = target.getOrElse(hours.length)
+    val cap = maxHoursPerTrigger.fold(lim)(m => math.min(lim, from + m))
+    probe(cap)
+    GhHourOffset(math.max(from, math.min(published, cap)))
+  }
+
+  override def reportLatestOffset(): Offset = GhHourOffset(published)
+
+  private def urlOf(h: (String, Int)): String =
+    s"$baseUrl/${h._1}-${h._2}.json.gz"
+
+  override def planInputPartitions(startOff: Offset,
+                                   endOff: Offset): Array[InputPartition] =
+    hours.slice(startOff.asInstanceOf[GhHourOffset].n,
+        endOff.asInstanceOf[GhHourOffset].n)
+      .filter { case (d, h) =>
+        pushed.forall(GhArchiveSource.matches(d, h, _)) }
+      .map { case (d, h) =>
+        GhHourPartition(baseUrl, d, h, net): InputPartition }
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GhHourReaderFactory(fields)
+
+  override def deserializeOffset(json: String): Offset =
+    GhHourOffset(json.trim.toInt)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
 private[sources] case class GhHourPartition(baseUrl: String, date: String,
-                                            hour: Int) extends InputPartition
+                                            hour: Int, net: GhNetConf)
+    extends InputPartition
 
 private[sources] class GhHourReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
@@ -194,18 +359,41 @@ private[sources] class GhHourReader(p: GhHourPartition,
   private var reader: java.io.BufferedReader = _
   private var line: String = _
 
-  // open lazily-but-now, tolerating ONLY known absence (HTTP 404 /
-  // missing file → FileNotFoundException): the reference's per-hour
-  // log-and-continue. A corrupt or half-served payload still throws
-  // mid-read and fails the task — retriable, never silently empty.
-  try {
-    val in = new java.net.URI(url).toURL.openStream()
-    reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+  /** One open attempt: the raw connection stream is closed on ANY
+    * failure past its creation (a GZIP header rejection would
+    * otherwise leak the socket per task attempt). */
+  private def openOnce(): java.io.BufferedReader = {
+    val in = GhArchiveSource.openWithTimeouts(url, p.net)
+    try new java.io.BufferedReader(new java.io.InputStreamReader(
       new java.util.zip.GZIPInputStream(in), "UTF-8"))
-  } catch {
-    case _: java.io.FileNotFoundException =>
-      System.err.println(s"[gharchive] $url absent — empty hour")
-      reader = null
+    catch { case t: Throwable =>
+      try in.close() catch { case _: Throwable => () }
+      throw t
+    }
+  }
+
+  // open eagerly, tolerating ONLY known absence (HTTP 404 / missing
+  // file → FileNotFoundException): the reference's per-hour
+  // log-and-continue. Transient open failures (connect/read timeout,
+  // reset) retry with linear backoff up to net.maxRetries; a corrupt
+  // or half-served payload mid-read still throws and fails the task —
+  // retriable by the scheduler, never silently empty.
+  {
+    var attempt = 0
+    var opened = false
+    while (!opened)
+      try { reader = openOnce(); opened = true }
+      catch {
+        case _: java.io.FileNotFoundException =>
+          System.err.println(s"[gharchive] $url absent — empty hour")
+          reader = null; opened = true
+        case e: java.io.IOException if attempt < p.net.maxRetries =>
+          attempt += 1
+          System.err.println(
+            s"[gharchive] open $url failed (${e.getMessage}); " +
+              s"retry $attempt/${p.net.maxRetries}")
+          Thread.sleep(p.net.retryBackoffMs * attempt)
+      }
   }
 
   override def next(): Boolean = {
