@@ -23,16 +23,15 @@ object Tables {
     * projection/filters on top, so pushdown and pruning are untouched
     * (the relation is logical — Catalyst re-plans it per query).
     * In-process only — a regenerated fixture is a new JVM — and keyed
-    * by session identity + exact path, so test sessions and distinct
-    * scale factors never alias, and a stopped session's entries are
-    * never served to a new one. */
-  private val dfCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    * weakly by the session + exact path, so test sessions and distinct
+    * scale factors never alias, a stopped session's entries are never
+    * served to a new one, and dead sessions' entries are collectable
+    * with their session. */
+  private val dfCache = new SessionCache[DataFrame]
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
-    dfCache.computeIfAbsent((System.identityHashCode(spark), path),
-      _ => spark.read.parquet(path))
+    dfCache.get(spark, path)(spark.read.parquet(path))
   }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")

@@ -27,16 +27,15 @@ private[graft] object ArtifactBuild {
     * re-reading per query re-lists the partition tree, which for a
     * bucket/term-partitioned index (hundreds of directories) exceeds
     * the parallel-discovery threshold and schedules a listing Spark
-    * JOB on every serving query. Keyed by session identity so test
-    * sessions never alias; in-process only, like Tables' cache.
-    * Mutable state dirs (streaming `sets/bands/labels` batches) must
-    * NOT go through this — they use StateMaintenance.readOr. */
-  private val readCache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), org.apache.spark.sql.DataFrame]()
+    * JOB on every serving query. Weakly keyed by the session so test
+    * sessions never alias and entries evict with their session;
+    * in-process only, like Tables' cache. Mutable state dirs
+    * (streaming `sets/bands/labels` batches) must NOT go through
+    * this — they use StateMaintenance.readOr. */
+  private val readCache = new graft.SessionCache[org.apache.spark.sql.DataFrame]
 
   def readCached(s: SparkSession, path: String): org.apache.spark.sql.DataFrame =
-    readCache.computeIfAbsent((System.identityHashCode(s), path),
-      _ => s.read.parquet(path))
+    readCache.get(s, path)(s.read.parquet(path))
 
   /** One lock object per artifact path: `ensure` must serialize
     * IN-PROCESS. Without it, two concurrent ensures (parallel test
@@ -44,9 +43,18 @@ private[graft] object ArtifactBuild {
     * the marker missing, and the slower one's crash-recovery `delete`
     * destroys the artifact the faster one just completed — which
     * `readCached` then pins as missing files for the session's
-    * lifetime. Cross-JVM the staged-rename still arbitrates; the
-    * destructive delete only fires for a genuinely crashed build
-    * (marker absent under the lock). */
+    * lifetime. Cross-JVM the window is NARROWED, not closed: two
+    * processes can both observe the marker missing, and the slower
+    * one's delete can transiently destroy the artifact the faster one
+    * just renamed into place (its own rebuild re-lands it; readers in
+    * that window see the pinned-listing failure). Closing it fully
+    * needs a filesystem-level mutex (atomic lock-file create with
+    * stale-lock recovery) — deliberate non-goal while single-process
+    * builds are the deployment shape; the marker re-check sits
+    * immediately before the destructive delete to keep the window at
+    * its minimum. (The map never evicts: one Object per distinct
+    * artifact path ever ensured in-process — bounded and byte-sized,
+    * unlike the relation caches above.) */
   private val buildLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
