@@ -30,22 +30,31 @@ def main(oracle_json, sfdir, reps=3):
         except Exception as e:
             print(f"WARM-FAIL {name}: {e}", file=sys.stderr)
     times = {}
+    unstable = {}
     for name, sql in sqls.items():
-        best = None
+        rep_times = []
         for _ in range(reps):
             t0 = time.perf_counter()
             try:
                 con.execute(sql).fetchall()
             except Exception:
                 break
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        if best is not None:
-            times[name] = best
+            rep_times.append(time.perf_counter() - t0)
+        if rep_times:
+            times[name] = min(rep_times)
+            # symmetric with the Spark bench's estimator: steady-state
+            # reps (all post-warm here), single worst rep trimmed, so
+            # one scheduler hiccup doesn't flag a stable query
+            steady = sorted(rep_times)
+            trimmed = steady[:-1] if len(steady) >= 3 else steady
+            if trimmed and trimmed[0] > 0:
+                spread = (trimmed[-1] - trimmed[0]) / trimmed[0]
+                if spread > 0.3:
+                    unstable[name] = round(spread, 2)
     total = sum(times.values())
     print(json.dumps({"metric": "duckdb_total", "value": total,
                       "unit": "sec", "n_queries": len(times),
-                      "sf": sfdir,
+                      "sf": sfdir, "unstable": unstable,
                       "queries": {k: round(v, 6) for k, v in
                                   sorted(times.items(), key=lambda x: -x[1])}}))
 

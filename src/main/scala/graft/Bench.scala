@@ -116,12 +116,12 @@ object Bench {
             while (in.read(buf) >= 0) () } finally in.close()
         }
     } catch { case _: Throwable => () }
-    // Per-query time = MIN over SPARK_GRAFT_REPS runs (default 3): the
+    // Per-query time = MIN over SPARK_GRAFT_REPS runs (default 5): the
     // minimum is the standard interference-robust estimator for a
     // deterministic workload — observed machine-load swings move a
-    // single-shot total by ±25%, and min-of-3 cuts the residual swing
-    // roughly in half again vs min-of-2 for ~80 s more bench wall time.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    // single-shot total by ±25%; 5 reps give the spread estimator
+    // below enough steady-state samples to trim.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt.max(1)
     val results = selected.toSeq.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -129,15 +129,21 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val okTimes = times.filter(_._2).map(_._1)
-      // rep spread = (max−min)/min over the reps AFTER the first — the
+      // rep spread = (max−min)/min over STEADY reps (all but rep 1),
+      // with the single worst steady rep trimmed when ≥3 remain — the
       // artifact's own variance evidence. Rep 1 always carries the
       // query's one-time planning/codegen/listing cost (at small SF
       // that alone exceeds 30% of a tiny runtime — measured 97/102
-      // flagged when rep 1 was included), so steady-state spread is
-      // what distinguishes host interference from warm-up.
+      // flagged when rep 1 was included); and on a shared host a
+      // single GC pause or scheduler hiccup lands on ONE rep of a
+      // 40 ms query as a 3× outlier, which says nothing about the
+      // query — two slow steady reps are what flag genuine
+      // instability. The min estimate itself uses every rep.
       val steady = times.drop(1).filter(_._2).map(_._1)
-      val spread = if (steady.size >= 2 && steady.min > 0)
-        (steady.max - steady.min) / steady.min else 0.0
+      val trimmed =
+        if (steady.size >= 3) steady.sorted.dropRight(1) else steady.sorted
+      val spread = if (trimmed.size >= 2 && trimmed.head > 0)
+        (trimmed.last - trimmed.head) / trimmed.head else 0.0
       (name, okTimes.minOption.getOrElse(0.0), times.exists(_._2), spread)
     }
     val good = results.filter(_._3)
@@ -159,7 +165,7 @@ object Bench {
     // python3/duckdb aren't present or SPARK_GRAFT_DUCK=off. The
     // ratio compares like with like: Spark seconds summed over the
     // ORACLE-CHECKED queries only (the sketch-only twins have no SQL).
-    val duck: Option[(Double, Double, Int, String)] =
+    val duck: Option[(Double, Double, Int, String, String)] =
       if (sys.env.getOrElse("SPARK_GRAFT_DUCK", "auto") == "off") None
       else try {
         val oracles = SparkEntry.oracleSql.filter(o => selected.contains(o._1))
@@ -173,7 +179,7 @@ object Bench {
         val w = new java.io.PrintWriter(tmp, "UTF-8")
         try w.print(oracles.map { case (k, v) => s"${esc(k)}: ${esc(v)}" }
           .mkString("{", ",", "}")) finally w.close()
-        val duckReps = sys.env.getOrElse("SPARK_GRAFT_DUCK_REPS", "3")
+        val duckReps = sys.env.getOrElse("SPARK_GRAFT_DUCK_REPS", "5")
         val pb = new ProcessBuilder("python3", "dev/duckbench.py",
           tmp.getPath, sfDir, duckReps)
         pb.redirectErrorStream(false)
@@ -187,13 +193,16 @@ object Bench {
           // so the ≤2× adjudication works per query, not just per suite
           val perQuery = "\"queries\": *(\\{[^}]*\\})".r
             .findFirstMatchIn(out).map(_.group(1)).getOrElse("{}")
-          (d, sparkOracle, oracles.size, perQuery)
+          // …and its per-query instability, symmetric with ours
+          val duckUnstable = "\"unstable\": *(\\{[^}]*\\})".r
+            .findFirstMatchIn(out).map(_.group(1)).getOrElse("{}")
+          (d, sparkOracle, oracles.size, perQuery, duckUnstable)
         }
       } catch { case _: Throwable => None }
     val duckJson = duck match {
-      case Some((d, so, n, perQuery)) =>
+      case Some((d, so, n, perQuery, duckUnstable)) =>
         val ratio = if (d > 0) so / d else -1.0
-        s""","duckdb":$d,"spark_oracle":$so,"n_oracle":$n,"ratio":${math.round(ratio * 1000) / 1000.0},"duckdb_queries":$perQuery"""
+        s""","duckdb":$d,"spark_oracle":$so,"n_oracle":$n,"ratio":${math.round(ratio * 1000) / 1000.0},"duckdb_queries":$perQuery,"duckdb_unstable":$duckUnstable"""
       case None => ""","duckdb":null,"ratio":null"""
     }
     val full =
@@ -211,7 +220,7 @@ object Bench {
     // compact tail line: totals only (no per-query maps) so a
     // tail-windowed reader always gets a parseable self-contained JSON
     val duckCompact = duck match {
-      case Some((d, so, n, _)) =>
+      case Some((d, so, n, _, _)) =>
         val ratio = if (d > 0) so / d else -1.0
         s""","duckdb":$d,"spark_oracle":$so,"n_oracle":$n,"ratio":${math.round(ratio * 1000) / 1000.0}"""
       case None => ""","duckdb":null,"ratio":null"""
