@@ -1076,8 +1076,12 @@ object SimilarityOps {
     * corpus's TRUE near-dup pair count times K — inherent to
     * emitting a triplet per positive. On a corpus whose dup-pair
     * relation alone outgrows broadcast range, the final join drops
-    * the hint and shuffles on qid (standard threshold conf) — the
-    * operator's shape is otherwise unchanged. */
+    * the hint and shuffles on qid — wired to the STANDARD threshold
+    * conf: disabling auto-broadcast
+    * (`spark.sql.autoBroadcastJoinThreshold=-1`) drops the hint here
+    * too, so the escape hatch is a conf flip, not a rewrite
+    * (equality under both plans is spec-pinned). The operator's
+    * shape is otherwise unchanged. */
   def contrastiveTriplets(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = DedupOps.dedupEmbedding(s, d).localCheckpoint(false)
@@ -1087,7 +1091,10 @@ object SimilarityOps {
         .select($"vb".as("qid"), $"va".as("pos_id"), $"sim".as("sim_pos")))
     val negs =
       hardNegativesFor(s, d, pos.select($"qid").distinct(), TripletNegK)
-    pos.join(broadcast(negs), "qid")
+    val negsSide =
+      if (s.sessionState.conf.autoBroadcastJoinThreshold <= 0) negs
+      else broadcast(negs)
+    pos.join(negsSide, "qid")
       .select($"qid".as("anchor_id"), $"pos_id", $"sim_pos",
         $"rn", $"vec_id".as("neg_id"), $"sim".as("sim_neg"))
       .orderBy($"anchor_id", $"pos_id", $"rn")

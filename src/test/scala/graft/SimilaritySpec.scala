@@ -384,4 +384,31 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       assert(rows.map(_._4).sorted === (1L to rows.size).toSeq, s"$k ranks")
     }
   }
+
+  test("x72 broadcast→shuffle fallback: threshold conf flips the plan, not the rows") {
+    // the scale escape hatch the operator's Scaladoc promises: on a
+    // dup-heavy corpus whose positive relation outgrows broadcast
+    // range, disabling auto-broadcast shuffles the final join on qid.
+    // Prove the switch is real (the hint is actually dropped) and
+    // harmless (bitwise-equal triplets, no nested-loop/cartesian).
+    val default = SimilarityOps.contrastiveTriplets(spark, sf)
+      .as[(Long, Long, Double, Long, Long, Double)].collect().toSeq
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SimilarityOps.contrastiveTriplets(spark, sf)
+      val fell = df.as[(Long, Long, Double, Long, Long, Double)]
+        .collect().toSeq
+      assert(fell === default)
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      // no unbounded plan shapes appear (the hinted broadcast-NL cross
+      // of the tiny centroid table inside the IVF probe is pinned fine
+      // by the x12/x69 audits and remains)
+      assert(!p.contains("CartesianProduct"))
+      // the final pos⋈negs join really shuffled instead of broadcasting
+      assert("(SortMergeJoin|ShuffledHashJoin) \\[qid".r.findFirstIn(p).isDefined,
+        "with the threshold disabled the qid join must shuffle")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }
