@@ -57,6 +57,42 @@ class ClusterRetentionSpec extends AnyFunSuite with SparkTestSession {
     assert(served(state) === recompute(b0, b1, b2, extra))
   }
 
+  test("crash window: death after the partials commit, before the label commit, recovers on replay") {
+    // processClusterBatch commits three writes: sets, bands, then ONE
+    // dynamic overwrite for labels (landing + merge-rewritten
+    // partitions together). The only crash window left is between the
+    // partials and the label commit: the index already contains the
+    // batch's bands, the labels don't know the batch. Construct that
+    // exact state — run the batch fully, then restore the PRE-BATCH
+    // label tree — and prove the checkpoint-driven replay converges.
+    val root = java.nio.file.Files.createTempDirectory("graft-cc-crash")
+    val state = s"$root/state"
+    val b0 = docs.filter($"doc_id" % 3 === 0)
+    val b1 = docs.filter($"doc_id" % 3 === 1)
+    ClusterStream.processClusterBatch(b0, state, 0L)
+    val preCrash = served(state)
+    // snapshot the pre-batch labels, run batch 1, restore the snapshot
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val labels = new org.apache.hadoop.fs.Path(s"$state/labels")
+    val saved = new org.apache.hadoop.fs.Path(s"$root/labels-snapshot")
+    org.apache.hadoop.fs.FileUtil.copy(fs, labels, fs, saved, false, true,
+      spark.sparkContext.hadoopConfiguration)
+    ClusterStream.processClusterBatch(b1, state, 1L)
+    fs.delete(labels, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, saved, fs, labels, false, true,
+      spark.sparkContext.hadoopConfiguration)
+    // the torn state is observable exactly as documented: partials
+    // carry batch 1, served labels still answer the pre-batch view
+    assert(served(state) === preCrash)
+    // the replay (same batch, same id — what the streaming checkpoint
+    // re-drives after the crash) self-heals: self-pairs are filtered,
+    // duplicate edges are harmless to min-label, and the overwrite
+    // lands the batch's labels idempotently
+    ClusterStream.processClusterBatch(b1, state, 1L)
+    assert(served(state) === recompute(b0, b1))
+  }
+
   test("streaming labels: a later batch merges components across batches") {
     // A (batch 0) and B (batch 1) share too little to pair with each
     // other (jaccard 40/56 < 0.8) but C (batch 2) pairs with BOTH
