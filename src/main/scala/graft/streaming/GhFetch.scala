@@ -54,12 +54,12 @@ object GhFetch {
     resp.body()
   }
 
-  /** One events-API poll → one NDJSON file in `outDir`. Returns the
-    * landed path. The filename carries a nanotime suffix so repeated
-    * polls never collide; the ingest stream's file source picks up each
-    * new file exactly once (its own checkpointed file log is the dedup). */
-  def pollEvents(outDir: String, apiUrl: String = DefaultApiUrl,
-                 token: Option[String] = sys.env.get("GITHUB_TOKEN")): Path = {
+  /** One events-API poll → the returned JSON array as NDJSON lines
+    * (one event per line) — the shared protocol core behind both the
+    * file-drop landing (`pollEvents`) and the `ghevents` DSv2
+    * streaming source. */
+  def pollLines(apiUrl: String = DefaultApiUrl,
+                token: Option[String] = sys.env.get("GITHUB_TOKEN")): Seq[String] = {
     val headers = Seq(
       "Accept" -> "application/vnd.github+json",
       "User-Agent" -> "graft-ingest") ++
@@ -70,14 +70,24 @@ object GhFetch {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val arr = om.readTree(body)
     require(arr.isArray, s"expected a JSON array from $apiUrl")
-    val sb = new StringBuilder
-    arr.forEach { n => sb.append(om.writeValueAsString(n)); sb.append('\n') }
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    arr.forEach { n => out += om.writeValueAsString(n) }
+    out.toSeq
+  }
+
+  /** One events-API poll → one NDJSON file in `outDir`. Returns the
+    * landed path. The filename carries a nanotime suffix so repeated
+    * polls never collide; the ingest stream's file source picks up each
+    * new file exactly once (its own checkpointed file log is the dedup). */
+  def pollEvents(outDir: String, apiUrl: String = DefaultApiUrl,
+                 token: Option[String] = sys.env.get("GITHUB_TOKEN")): Path = {
+    val lines = pollLines(apiUrl, token)
     Files.createDirectories(Paths.get(outDir))
     val out = Paths.get(outDir, s"events-${System.nanoTime()}.ndjson")
     // write-then-rename so the streaming file source can never observe
     // a half-written file
     val tmp = Paths.get(outDir, s".events-${System.nanoTime()}.tmp")
-    Files.write(tmp, sb.toString.getBytes("UTF-8"))
+    Files.write(tmp, lines.map(_ + "\n").mkString.getBytes("UTF-8"))
     Files.move(tmp, out, StandardCopyOption.ATOMIC_MOVE)
     out
   }

@@ -177,6 +177,21 @@ object GhIngest {
       .dropDuplicatesWithinWatermark(Seq("id"))
   }
 
+  /** `streamClean` for a LINE-shaped streaming relation (the
+    * `ghevents` DSv2 poll source's `line` column): the SAME
+    * schema-on-read (PERMISSIVE quarantine via from_json's corrupt
+    * column), bot filter, watermark, and id dedup as the file-drop
+    * path — one definition of clean, so the two ingest fronts cannot
+    * drift (parity spec-pinned). */
+  def streamCleanLines(lines: DataFrame): DataFrame =
+    cleanEvents(lines
+        .select(from_json(col("line"), ghEventSchema,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("e"))
+        .select(col("e.*")))
+      .withWatermark("created_at", DedupWatermark)
+      .dropDuplicatesWithinWatermark(Seq("id"))
+
   /** Bronze append sink, partitioned by event date+hour — the analogue
     * of the XADD stream + its retention (drop old partitions instead of
     * MAXLEN-trimming rows). `AvailableNow` backfills all pending files
