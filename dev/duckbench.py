@@ -42,13 +42,13 @@ def main(oracle_json, sfdir, reps=3):
             rep_times.append(time.perf_counter() - t0)
         if rep_times:
             times[name] = min(rep_times)
-            # symmetric with the Spark bench's estimator: steady-state
-            # reps (all post-warm here), single worst rep trimmed, so
-            # one scheduler hiccup doesn't flag a stable query
-            steady = sorted(rep_times)
-            trimmed = steady[:-1] if len(steady) >= 3 else steady
-            if trimmed and trimmed[0] > 0:
-                spread = (trimmed[-1] - trimmed[0]) / trimmed[0]
+            # symmetric with the Spark bench's estimator: the reported
+            # statistic is the min, so the flag is the agreement of the
+            # two best reps — if even they disagree >30%, the number is
+            # soft; single mid-rep outliers (GC, scheduler) are not
+            s = sorted(rep_times)
+            if len(s) >= 2 and s[0] > 0:
+                spread = (s[1] - s[0]) / s[0]
                 if spread > 0.3:
                     unstable[name] = round(spread, 2)
     total = sum(times.values())
