@@ -75,6 +75,17 @@ private[graft] object ArtifactBuild {
             path + s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
           build(staging)
           if (!fs.rename(staging, destPath)) fs.delete(staging, true)
+          else {
+            // The committer can legitimately skip _SUCCESS (dynamic
+            // partitionOverwriteMode leaves it in the commit staging
+            // dir; marksuccessfuljobs=false drops it entirely). A
+            // renamed-in artifact IS complete — rename is the atomic
+            // commit point — so place the marker ourselves rather than
+            // let a conf choice turn every later ensure into a
+            // destructive rebuild against pinned listings.
+            val marker = new Path(path, markerRel)
+            if (!fs.exists(marker)) fs.create(marker).close()
+          }
         }
       }
     path

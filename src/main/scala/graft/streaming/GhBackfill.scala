@@ -69,9 +69,15 @@ object GhBackfill {
     * (score_date, score_hour) partitions present in `events`. */
   def writeHourlyScores(spark: SparkSession, events: DataFrame,
                         outDir: String): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // dynamic overwrite as a WRITER option, not session conf: a
+    // session-global set leaks into every later partitioned overwrite
+    // on the shared session — under dynamic mode the commit protocol
+    // leaves _SUCCESS in its staging dir, which silently stripped the
+    // completion marker from ensure-built artifacts (the r7 phrase-
+    // index FAILED_READ_FILE flake).
     hourlyScoresPartitioned(events)
       .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("score_date", "score_hour")
       .parquet(outDir)
   }
@@ -201,12 +207,13 @@ object GhBackfill {
             "left_anti")
           .unionByName(u)
       }
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     // The merge reads the table it overwrites: materialize first
     // (eager localCheckpoint severs the lineage to the source files).
     // A production deployment would use a transactional table format;
     // plain parquet + checkpoint keeps the same semantics here.
+    // (dynamic overwrite as a writer option — see writeHourlyScores.)
     merged.localCheckpoint(true).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("score_date", "score_hour")
       .parquet(hourlyDir)
   }

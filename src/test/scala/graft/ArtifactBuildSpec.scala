@@ -52,4 +52,43 @@ class ArtifactBuildSpec extends AnyFunSuite with SparkTestSession {
       .map(_.getPath.getName).toSet === files,
       "re-ensure must leave the pinned file listing untouched")
   }
+
+  test("ensure is marker-complete under session-global dynamic partition overwrite") {
+    // Under partitionOverwriteMode=dynamic the commit protocol leaves
+    // _SUCCESS in its commit-staging dir, not the destination — which
+    // used to strip the completion marker from any partitionBy-written
+    // artifact piece and turn EVERY later ensure into a destructive
+    // rebuild against pinned listings (the r7/r8 phrase-index
+    // FAILED_READ_FILE flake, triggered by suite order). ensure now
+    // places the marker itself after the atomic rename.
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft-ensure-dyn")
+      val path = s"$root/artifact"
+      val fs = new Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+      def ensureOnce(): String = ArtifactBuild.ensure(
+        spark, path, "part/_SUCCESS") { staging =>
+        builds.incrementAndGet()
+        spark.range(10).selectExpr("id", "id % 2 AS p")
+          .write.mode("overwrite").partitionBy("p")
+          .parquet(new Path(staging, "part").toString)
+      }
+      ensureOnce()
+      assert(fs.exists(new Path(path, "part/_SUCCESS")),
+        "marker must exist even when the committer skips _SUCCESS")
+      val files = fs.listStatus(new Path(path, "part"))
+        .map(_.getPath.getName).toSet
+      ensureOnce()
+      assert(builds.get() === 1, "re-ensure must not rebuild")
+      assert(fs.listStatus(new Path(path, "part"))
+        .map(_.getPath.getName).toSet === files,
+        "the pinned file listing must survive re-ensure")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 }
