@@ -468,6 +468,43 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
+  /** x77 — CANONICAL-REPRESENTATIVE retention (the keep-one dedup
+    * policy): per x17 near-dup cluster, keep the single best member by
+    * the x70 quality score, tie-broken by doc_id — the
+    * RefinedWeb/FineWeb discipline (Penedo et al.) where dedup does
+    * not just FLAG duplicate clusters but picks which copy survives
+    * into training. Choosing the highest-quality copy (not an
+    * arbitrary one) matters precisely when near-dups differ: a clean
+    * article and its boilerplate-wrapped mirror are one cluster, and
+    * the gate should keep the clean one. Emits one row per cluster:
+    * the survivor, its cluster rep, its quality, and the cluster size
+    * (`n_members` — 1 for singletons, so `sum(n_members)` replays the
+    * corpus count and `count(*)` is the post-dedup corpus).
+    *
+    * Scale shape: rides the MATERIALIZED x17 label artifact (no
+    * propagation at serve — the x76 discipline); one narrow quality
+    * pass over the corpus, one join onto the label relation (broadcast
+    * at fixture scale, doc-keyed shuffle at corpus scale), and one
+    * window over rep — a single exchange on rep whose per-group state
+    * is bounded by cluster size, the same key the label family already
+    * shuffles on. No global sort beyond the bounded presentation
+    * order. */
+  def clusterCanonical(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val labels = ArtifactBuild
+      .readCached(s, s"${ensureClusterIndex(s, d)}/labels")
+      .select($"doc_id", $"rep")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"rep")
+    TextOps.scoredDocs(s, d).select($"doc_id", $"q_micro")
+      .join(labels, "doc_id")
+      .withColumn("rn",
+        row_number().over(w.orderBy($"q_micro".desc, $"doc_id")))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"rep", $"q_micro", $"n_members")
+      .orderBy($"doc_id")
+  }
+
   /** Takedown-list membership for x57 — stands in for the external
     * opt-out / copyright-removal feed (every 43rd doc id — chosen so the list intersects real near-dup clusters and the sweep path is exercised, not vacuous). The oracle
     * SQL mirrors the same predicate. */
@@ -997,6 +1034,46 @@ object DedupOps {
       .select(element_at(names, ($"i" + 1).cast("int")).as("source"), $"n")
   }
 
+  /** x78 — NOVEL n-gram fraction per document: what share of a doc's
+    * distinct word-3-gram shingles appears NOWHERE else in the corpus.
+    * The dedup-era contribution metric (the per-document inverse of
+    * x71's between-source view): a doc at novelty 0 is fully covered
+    * by the rest of the corpus even if no single near-dup pair crosses
+    * the x02 threshold — the long tail exact/near-dup dedup leaves
+    * behind — while a doc at 1.0 is all-new content. Emitted in the
+    * repo's integer-micro idiom (`novelty_micro` = ⌊1e6·novel/total⌋,
+    * exact BIGINT arithmetic in both engines) plus the raw counts.
+    *
+    * Scale shape: the checkpointed canonical shingle pass runs ONCE
+    * (8-byte hash rows, the x71 economics); a shingle that is novel
+    * has exactly ONE owner, so ownership folds into the same
+    * per-shingle hash aggregate that counts occurrences — no
+    * corpus×corpus join on the shingle relation. The novel counts
+    * (≤ one row per doc) come back over a doc-keyed aggregate and one
+    * doc-keyed left join (broadcast at fixture scale, the corpus's
+    * standard doc-key shuffle at 100 TB). Skews safely: a shingle
+    * repeated a billion times is ONE reducer key carrying a count,
+    * never a pair expansion. */
+  def noveltyScores(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sets = shingleSetsOf(Tables.documents(s, d)
+        .select($"doc_id", $"text"))
+      .localCheckpoint(false)
+    val novel = sets.select($"doc_id", explode($"s").as("sh"))
+      .groupBy($"sh")
+      .agg(count(lit(1)).as("nd"), min($"doc_id").as("owner"))
+      .filter($"nd" === 1)
+      .groupBy($"owner").agg(count(lit(1)).as("n_novel"))
+      .select($"owner".as("doc_id"), $"n_novel")
+    sets.select($"doc_id", size($"s").cast("long").as("n_shingles"))
+      .join(novel, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_shingles",
+        coalesce($"n_novel", lit(0L)).as("n_novel"))
+      .withColumn("novelty_micro",
+        expr("(n_novel * 1000000) div n_shingles"))
+      .orderBy($"doc_id")
+  }
+
   /** x73's presentation: matrix counts normalized by the broadcast
     * per-source sizes. Shared by the artifact-served and inline
     * forms so the two cannot drift. */
@@ -1202,6 +1279,8 @@ object DedupOps {
     "x71_source_overlap"      -> sourceOverlapMatrix _,
     "x73_source_similarity"   -> sourceSimilarity _,
     "x76_cluster_split"       -> clusterSplit _,
+    "x77_cluster_canonical"   -> clusterCanonical _,
+    "x78_novelty_scores"      -> noveltyScores _,
   )
 
   /** x02's oracle is the EXACT all-pairs Jaccard — valid because the
@@ -1327,6 +1406,39 @@ object DedupOps {
         |  ELSE 'test' END AS split
         |FROM lab l JOIN cd ON cd.rep = l.rep
         |ORDER BY l.doc_id""".stripMargin,
+    // x77: the x17 closure + the shared q_micro CTE; the survivor is
+    // row_number() over (rep, q_micro DESC, doc_id) = 1 — exact BIGINT
+    // ordering, so the pick cannot disagree across engines.
+    "x77_cluster_canonical" ->
+      s"""WITH RECURSIVE
+        |$ShingleBaseCtes,
+        |$AllPairsCte,
+        |$ClusterCtes,
+        |${TextOps.QMicroCtes},
+        |m AS (SELECT q.doc_id, q.q_micro, l.rep
+        |      FROM q JOIN lab l USING (doc_id)),
+        |r AS (SELECT doc_id, rep, q_micro,
+        |        row_number() OVER (PARTITION BY rep
+        |                           ORDER BY q_micro DESC, doc_id) AS rn,
+        |        CAST(count(*) OVER (PARTITION BY rep) AS BIGINT) AS n_members
+        |      FROM m)
+        |SELECT doc_id, rep, q_micro, n_members FROM r
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // x78: shingle STRINGS via the shared base CTEs (the x71
+    // hash-identity assumption); a novel shingle has exactly one
+    // owner, so ownership folds into the occurrence count aggregate.
+    "x78_novelty_scores" ->
+      s"""WITH $ShingleBaseCtes,
+        |own AS (SELECT sh, count(*) AS nd, min(doc_id) AS owner
+        |        FROM sh GROUP BY 1),
+        |nov AS (SELECT owner AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+        |        FROM own WHERE nd = 1 GROUP BY 1)
+        |SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_shingles,
+        |       COALESCE(nov.n_novel, 0) AS n_novel,
+        |       CAST((COALESCE(nov.n_novel, 0) * 1000000) // s.n AS BIGINT)
+        |         AS novelty_micro
+        |FROM sizes s LEFT JOIN nov USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
     // x57: the closure is x17's lab relation; a doc is removed iff its
     // rep appears among the listed docs' reps.
     "x57_removal_propagation" ->

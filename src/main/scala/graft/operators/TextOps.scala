@@ -1550,6 +1550,23 @@ object TextOps {
        |                 THEN 1 ELSE 0 END) END AS alloc
        |  FROM g)""".stripMargin
 
+  /** Shared DuckDB CTE fragment yielding `q(doc_id, source, q_micro)`
+    * — the x08/x70 quality double (same IEEE term order as Spark's
+    * qMicroCol) rounded once to integer micro-units. One definition so
+    * every oracle that gates or RANKS on quality (x70 here, x77's
+    * canonical pick in DedupOps) scores identically. */
+  private[operators] val QMicroCtes: String =
+    s"""c AS (SELECT doc_id, source,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+       |  CAST(len(regexp_extract_all(lower(text), '$stopEn')) AS BIGINT) AS n_stop,
+       |  length(text) AS n_chars FROM documents),
+       |q AS (SELECT doc_id, source,
+       |  CAST(ROUND(((least(n_tokens, 100) / 100.0) * 0.4
+       |      + least((n_stop / n_tokens) * 5.0, 1.0) * 0.4
+       |      + (1.0 - least((n_punct / n_chars) * 10.0, 1.0)) * 0.2)
+       |    * 1000000.0, 0) AS BIGINT) AS q_micro FROM c)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // x49: the quality weight is verbatim the x08/x37 q4 fragment; the
     // priority is ln(u)/w in integer nano-units, u = 52-bit md5 prefix.
@@ -1836,16 +1853,7 @@ object TextOps {
     // per-source threshold is quantile_cont = Spark's linear-
     // interpolation percentile over exact BIGINTs (the q25 pairing).
     "x70_quality_gate" ->
-      s"""WITH c AS (SELECT doc_id, source,
-         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
-         |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
-         |  CAST(len(regexp_extract_all(lower(text), '$stopEn')) AS BIGINT) AS n_stop,
-         |  length(text) AS n_chars FROM documents),
-         |q AS (SELECT doc_id, source,
-         |  CAST(ROUND(((least(n_tokens, 100) / 100.0) * 0.4
-         |      + least((n_stop / n_tokens) * 5.0, 1.0) * 0.4
-         |      + (1.0 - least((n_punct / n_chars) * 10.0, 1.0)) * 0.2)
-         |    * 1000000.0, 0) AS BIGINT) AS q_micro FROM c),
+      s"""WITH $QMicroCtes,
          |th AS (SELECT source, quantile_cont(q_micro, $QualityGateP) AS q_th
          |       FROM q GROUP BY source)
          |SELECT q.doc_id, q.source, q.q_micro

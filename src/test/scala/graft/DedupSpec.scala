@@ -398,4 +398,53 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       .values.flatten.map(_._1).toSet
     assert(diverging.forall(r => multi(r._1)))
   }
+
+  test("x77 canonical pick: one survivor per cluster, best quality, exact sizes") {
+    val labels = DedupOps.dedupClustersServed(spark, sf)
+      .as[(Long, Long)].collect().toMap                 // doc -> rep
+    val quality = graft.operators.TextOps.scoredDocs(spark, sf)
+      .select($"doc_id", $"q_micro").as[(Long, Long)].collect().toMap
+    val got = DedupOps.clusterCanonical(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+    val clusters = labels.groupBy(_._2)                 // rep -> members
+    assert(got.size === clusters.size, "exactly one survivor per cluster")
+    got.foreach { case (id, rep, q, n) =>
+      val members = clusters(rep).keys.toSeq
+      assert(members.contains(id))
+      assert(n === members.size.toLong, s"cluster $rep size")
+      assert(q === quality(id))
+      // the survivor is the (max quality, min doc_id) member
+      val best = members.map(m => (quality(m), m))
+        .sortBy { case (qm, m) => (-qm, m) }.head._2
+      assert(id === best, s"cluster $rep kept $id, expected $best")
+    }
+    // the property bites: some multi-member cluster drops a member
+    assert(clusters.exists(_._2.size > 1))
+    assert(got.map(_._4).sum === labels.size.toLong,
+      "sum of n_members replays the corpus count")
+  }
+
+  test("x78 novelty equals a string-shingle driver recompute") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+    val sets = docs.map { case (id, t) =>
+        (id, t.split("\\s+").toSeq) }
+      .filter(_._2.size >= 3)
+      .map { case (id, w) =>
+        (id, w.sliding(3).map(_.mkString(" ")).toSet) }
+    val owners = scala.collection.mutable.Map.empty[String, Long]
+    sets.foreach { case (_, s) => s.foreach(sh =>
+      owners(sh) = owners.getOrElse(sh, 0L) + 1L) }
+    val expected = sets.map { case (id, s) =>
+      val novel = s.count(owners(_) == 1L).toLong
+      (id, s.size.toLong, novel, novel * 1000000L / s.size) }.toSet
+
+    val got = DedupOps.noveltyScores(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    // the metric discriminates on the fixture: both ends populated
+    assert(got.exists(_._4 === 0L) || got.exists(r => r._4 < 500000L))
+    assert(got.exists(_._4 > 500000L))
+  }
 }

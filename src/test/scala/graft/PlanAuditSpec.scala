@@ -591,4 +591,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
       "must read the converged labels, not re-run the component loop")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("x77: label artifact + one window on rep — no propagation, no shingles") {
+    val p = plan("x77_cluster_canonical")
+    assert(p.contains("graft-cc-index"),
+      "must read the converged labels, not re-run the component loop")
+    assert(!p.contains("graft_shingle_hashes"),
+      "no shingle pass at serve time")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("x78: one checkpointed shingle pass, no corpus×corpus join") {
+    val df = SparkEntry.queries("x78_novelty_scores")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the shingle relation must come from the checkpoint, not be
+    // re-derived per consumer: zero shingle expressions survive in the
+    // executed plan (both consumers scan the checkpointed RDD)
+    assert(!p.contains("graft_shingle_hashes"),
+      "shingle pass must run once into the checkpoint")
+    assert(p.contains("ExistingRDD") || p.contains("Scan"),
+      "consumers read the checkpointed shingle relation")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }
