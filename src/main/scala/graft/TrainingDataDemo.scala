@@ -111,15 +111,22 @@ object TrainingDataDemo {
 
     // 3. near-dup components (MinHash LSH pairs → connected-component
     // labels): keep ONE doc per component, re-picked AMONG the gate
-    // survivors (min doc_id of the surviving members). Filtering to the
-    // corpus-global representative would silently drop a whole cluster
-    // whenever its min-id member had already failed a gate — the
-    // surviving near-dups would be discarded for not being the rep of a
-    // doc that was itself already gone.
+    // survivors by x77's canonical policy — highest x70 quality, then
+    // min doc_id (a clean article should outlive its boilerplate-
+    // wrapped mirror, not lose to a smaller id). Picking among
+    // SURVIVORS matters: filtering to the corpus-global representative
+    // would silently drop a whole cluster whenever its canonical
+    // member had already failed a gate — the surviving near-dups would
+    // be discarded for not being the rep of a doc that was itself
+    // already gone. The (q, −id) struct max keeps the pick one
+    // map-combined aggregate, no window.
     val labels = operators.DedupOps.dedupClusters(spark, sfDir)
-    val deduped = selected.join(labels, "doc_id")
-      .groupBy($"rep").agg(min($"doc_id").as("doc_id"))
-      .select($"doc_id")
+    val scored = operators.TextOps.scoredDocs(spark, sfDir)
+      .select($"doc_id", $"q_micro")
+    val deduped = selected.join(labels, "doc_id").join(scored, "doc_id")
+      .groupBy($"rep")
+      .agg(max(struct($"q_micro", (-$"doc_id").as("nid"))).as("m"))
+      .select((-$"m.nid").as("doc_id"))
     report += ("after_near_dup_clustering" -> deduped.count())
 
     // 4. decontamination: drop every training doc the leaked-prefix

@@ -71,10 +71,17 @@ class DemoSpec extends AnyFunSuite with SparkTestSession {
     assert(counts("after_near_dup_clustering") === nSurvivingClusters)
 
     // x24 — decontamination: the drop equals exactly the implicated
-    // survivors, no more, no fewer
-    val survivors = gated.join(labels, "doc_id")
-      .groupBy($"rep").agg(min($"doc_id").as("doc_id"))
-      .select($"doc_id")
+    // survivors, no more, no fewer. The survivor set mirrors the
+    // demo's x77 canonical policy (max quality, min doc_id) recomputed
+    // driver-side from the audited quality scores.
+    val qm = operators.TextOps.scoredDocs(spark, sf)
+      .select($"doc_id", $"q_micro").as[(Long, Long)].collect().toMap
+    val survivorIds = gated.join(labels, "doc_id")
+      .select($"doc_id", $"rep").as[(Long, Long)].collect()
+      .groupBy(_._2).values
+      .map(ms => ms.map(_._1).minBy(id => (-qm(id), id))).toSet
+    val survivors = gated.sparkSession
+      .createDataset(survivorIds.toSeq).toDF("doc_id")
     val dirty = operators.DedupOps.contaminationEval(spark, sf)
       .select($"train_id".as("doc_id")).distinct()
     val removed = survivors.join(dirty, "doc_id").count()
