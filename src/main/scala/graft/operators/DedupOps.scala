@@ -1054,18 +1054,31 @@ object DedupOps {
     * standard doc-key shuffle at 100 TB). Skews safely: a shingle
     * repeated a billion times is ONE reducer key carrying a count,
     * never a pair expansion. */
-  def noveltyScores(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val sets = shingleSetsOf(Tables.documents(s, d)
-        .select($"doc_id", $"text"))
-      .localCheckpoint(false)
-    val novel = sets.select($"doc_id", explode($"s").as("sh"))
+  def noveltyScores(s: SparkSession, d: String): DataFrame =
+    noveltyScoresOf(Tables.documents(s, d)
+      .select(col("doc_id"), col("text")))
+
+  /** The same scoring for an arbitrary (doc_id, text) frame —
+    * NoveltyStream's spec comparator. */
+  def noveltyScoresOf(docs0: DataFrame): DataFrame = {
+    import docs0.sparkSession.implicits._
+    noveltyFromPairs(shingleSetsOf(docs0)
+      .select($"doc_id", explode($"s").as("sh"))
+      .localCheckpoint(false))
+  }
+
+  /** x78's counting core over a DISTINCT (doc_id, sh) pair relation —
+    * ONE definition shared by the one-shot form and NoveltyStream's
+    * serve, so the streamed scores cannot drift from the query's. */
+  private[graft] def noveltyFromPairs(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val novel = pairs
       .groupBy($"sh")
       .agg(count(lit(1)).as("nd"), min($"doc_id").as("owner"))
       .filter($"nd" === 1)
       .groupBy($"owner").agg(count(lit(1)).as("n_novel"))
       .select($"owner".as("doc_id"), $"n_novel")
-    sets.select($"doc_id", size($"s").cast("long").as("n_shingles"))
+    pairs.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
       .join(novel, Seq("doc_id"), "left")
       .select($"doc_id", $"n_shingles",
         coalesce($"n_novel", lit(0L)).as("n_novel"))
