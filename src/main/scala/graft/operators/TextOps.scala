@@ -144,6 +144,42 @@ object TextOps {
       least(stopRatioCol(t) * 5.0, lit(1.0)) * 0.4 +
       (lit(1.0) - least(punctRatioCol(t) * 10.0, lit(1.0))) * 0.2
 
+  /** x79 flag thresholds in micro-nats: natural language sits
+    * ~2.5–3.5 nats of code-point entropy; below [[LowEntropyMicro]]
+    * is repeated-character junk (generation loops, padding), above
+    * [[HighEntropyMicro]] is near-uniform noise (base64/hex blobs,
+    * minified or binary-ish payloads — random base64 is ~4.16 nats). */
+  val LowEntropyMicro = 1500000L
+  val HighEntropyMicro = 4000000L
+
+  /** x79 — character-entropy quality signal: code-point Shannon
+    * entropy per document in integer micro-nats, plus the two gate
+    * flags the filtering literature uses it for (both entropy TAILS
+    * are junk — repetition on the left, compressed/encoded blobs on
+    * the right — and neither is visible to the token-level heuristics
+    * x08 scores or the n-gram signals x21/x51 trip on, because a
+    * base64 wall IS one long "word" with zero repeated 5-grams).
+    *
+    * Exactness: the per-char terms are rounded to integer micro-nats
+    * independently and composed in BIGINT arithmetic (the x48
+    * integer-log discipline), so both engines land on the identical
+    * integer regardless of their summation order, and the flags are
+    * integer comparisons on top. Scale shape: ONE codegen expression
+    * pass, no shuffle, no explode — the oracle's per-char unnest is
+    * the FORMULATION; the operator never materializes a row per
+    * character. */
+  def charEntropy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.plans.GraftExpressions.register(s)
+    docs(s, d)
+      .select($"doc_id", length($"text").cast("long").as("n_chars"),
+        call_function(graft.plans.GraftExpressions.EntropyFn, $"text")
+          .as("entropy_micro"))
+      .withColumn("low_entropy", $"entropy_micro" < LowEntropyMicro)
+      .withColumn("high_entropy", $"entropy_micro" > HighEntropyMicro)
+      .orderBy($"doc_id")
+  }
+
   def textQuality(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val t = $"text"
@@ -1451,6 +1487,7 @@ object TextOps {
     "x07_text_langid"      -> textLangId _,
     "x68_mixed_language"   -> mixedLanguage _,
     "x08_text_quality"     -> textQuality _,
+    "x79_char_entropy"     -> charEntropy _,
     "x70_quality_gate"     -> qualityGate _,
     "x70b_quality_gate_sketch" -> qualityGateSketch _,
     "x74_snapshot_diff"    -> snapshotDiff _,
@@ -1848,6 +1885,27 @@ object TextOps {
          |      + least((n_stop / n_tokens) * 5.0, 1.0) * 0.4
          |      + (1.0 - least((n_punct / n_chars) * 10.0, 1.0)) * 0.2, 4) AS quality
          |FROM c ORDER BY doc_id""".stripMargin,
+    // x79: the per-char unnest is the oracle FORMULATION of the
+    // one-pass codegen expression — per-term micro-nat rounding makes
+    // the BIGINT composition order-invariant, so DuckDB's group order
+    // cannot matter; substring/len count code points exactly like the
+    // expression's codePointAt walk. Both engines truncate the final
+    // division toward zero.
+    "x79_char_entropy" ->
+      s"""WITH ch AS (SELECT doc_id, substring(text, CAST(i + 1 AS INT), 1) AS c
+         |           FROM documents, unnest(range(len(text))) AS t(i)),
+         |cnt AS (SELECT doc_id, c, count(*) AS n_c FROM ch GROUP BY 1, 2),
+         |e AS (SELECT doc_id,
+         |        SUM(CAST(ROUND(n_c * ln(n_c) * 1000000.0, 0) AS BIGINT)) AS st,
+         |        SUM(n_c) AS n FROM cnt GROUP BY 1)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+         |  CAST((CAST(ROUND(ln(n) * 1000000.0, 0) AS BIGINT) * n - st) // n
+         |    AS BIGINT) AS entropy_micro,
+         |  (CAST(ROUND(ln(n) * 1000000.0, 0) AS BIGINT) * n - st) // n
+         |    < $LowEntropyMicro AS low_entropy,
+         |  (CAST(ROUND(ln(n) * 1000000.0, 0) AS BIGINT) * n - st) // n
+         |    > $HighEntropyMicro AS high_entropy
+         |FROM e ORDER BY doc_id""".stripMargin,
     // x70: the identical quality double as x08 (same term order →
     // bitwise-equal IEEE arithmetic), scaled to micro-units; the
     // per-source threshold is quantile_cont = Spark's linear-

@@ -37,6 +37,7 @@ object GraftExpressions {
   val BloomAggFn = "graft_bloom_agg"
   val BloomProbeFn = "graft_bloom_might_contain"
   val PhrasePosFn = "graft_phrase_positions"
+  val EntropyFn = "graft_entropy_micro"
 
   /** Shared guard for the two set-count builders: the set argument must
     * be a constant string (it compiles into the expression). */
@@ -163,6 +164,9 @@ object GraftExpressions {
       "1-based start positions where a constant phrase matches adjacently",
       es => { arity(PhrasePosFn, es, 2)
         PhrasePositions(es(0), foldableString(es(1), PhrasePosFn)) }),
+    (EntropyFn,
+      "code-point Shannon entropy of a string in integer micro-nats",
+      es => { arity(EntropyFn, es, 1); CharEntropyMicro(es.head) }),
   )
 
   /** Idempotent per-session registration. */
@@ -315,6 +319,100 @@ case class CharSetCount(child: Expression, chars: String)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** Code-point Shannon entropy of a string in integer MICRO-NATS — the
+  * x79 quality signal (low = repeated-char junk, high = base64/random
+  * blobs; natural language sits ~2.5–3.5 nats). Exactness across
+  * engines follows the x48 integer-log discipline: each distinct
+  * character's term n_c·ln(n_c) is ROUNDed to micro-nats
+  * independently, the per-doc value is the all-BIGINT composition
+  * (round(ln(n)·1e6)·n − Σ terms) / n — order-invariant, so a SQL
+  * engine summing groups in any order lands on the identical integer.
+  * Counts are Unicode CODE POINTS (astral chars count once), matching
+  * DuckDB's len()/substring() semantics. One pass per row, no shuffle:
+  * the counting runs over a sorted code-point array (Janino-safe —
+  * no generics in the generated code). */
+case class CharEntropyMicro(child: Expression)
+    extends UnaryExpression {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = GraftExpressions.EntropyFn
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string input, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    CharEntropyMicro.entropyMicro(v.asInstanceOf[UTF8String].toString)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s"); val len = ctx.freshName("len")
+      val cps = ctx.freshName("cps"); val n = ctx.freshName("n")
+      val i = ctx.freshName("i"); val cp = ctx.freshName("cp")
+      val sum = ctx.freshName("sum"); val j = ctx.freshName("j")
+      val k = ctx.freshName("k"); val nc = ctx.freshName("nc")
+      s"""
+         |String $s = $c.toString();
+         |int $len = $s.length();
+         |int[] $cps = new int[$len];
+         |int $n = 0;
+         |for (int $i = 0; $i < $len; ) {
+         |  int $cp = $s.codePointAt($i);
+         |  $cps[$n++] = $cp;
+         |  $i += Character.charCount($cp);
+         |}
+         |java.util.Arrays.sort($cps, 0, $n);
+         |long $sum = 0L;
+         |int $j = 0;
+         |while ($j < $n) {
+         |  int $k = $j;
+         |  while ($k < $n && $cps[$k] == $cps[$j]) $k++;
+         |  long $nc = $k - $j;
+         |  $sum += Math.round($nc * Math.log((double) $nc) * 1.0E6D);
+         |  $j = $k;
+         |}
+         |${ev.value} = $n == 0 ? 0L
+         |  : (Math.round(Math.log((double) $n) * 1.0E6D) * $n - $sum) / $n;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object CharEntropyMicro {
+  /** The interpreted twin of the generated loop — byte-identical
+    * arithmetic (same sort-and-run counting, same per-term rounding). */
+  def entropyMicro(s: String): Long = {
+    val len = s.length
+    val cps = new Array[Int](len)
+    var n = 0
+    var i = 0
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      cps(n) = cp; n += 1
+      i += Character.charCount(cp)
+    }
+    if (n == 0) return 0L
+    java.util.Arrays.sort(cps, 0, n)
+    var sum = 0L
+    var j = 0
+    while (j < n) {
+      var k = j
+      while (k < n && cps(k) == cps(j)) k += 1
+      val nc = (k - j).toLong
+      sum += Math.round(nc * Math.log(nc.toDouble) * 1e6)
+      j = k
+    }
+    (Math.round(Math.log(n.toDouble) * 1e6) * n - sum) / n
+  }
 }
 
 /** Distinct word-k-gram shingles from a token array, first-occurrence

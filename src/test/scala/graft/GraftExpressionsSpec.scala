@@ -293,4 +293,39 @@ class GraftExpressionsSpec extends AnyFunSuite with SparkTestSession {
       $"toks", lit(phrase.mkString(",")))).as[Seq[Int]].collect().toSeq
     assert(got === Seq(Seq(), Seq(1), Seq(2), Seq(1, 4)))
   }
+
+  test("CharEntropyMicro ≡ interpreted helper on the corpus; known values") {
+    GraftExpressions.register(spark)
+    // corpus sweep: the codegen path (whole-stage over the parquet
+    // scan) must equal the interpreted helper applied driver-side
+    val got = Tables.documents(spark, sf)
+      .select($"doc_id", $"text",
+        call_function(GraftExpressions.EntropyFn, $"text").as("e"))
+      .as[(Long, String, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, text, e) =>
+      assert(e === graft.plans.CharEntropyMicro.entropyMicro(text), s"doc $id")
+    }
+    // known values: empty → 0; single repeated char → ~0 (within the
+    // per-term rounding ulp); all-distinct → round(ln n · 1e6) exactly;
+    // astral chars count ONCE (code points, not UTF-16 units)
+    val known = Seq("", "aaaa", "abcd", "🙂🙃")
+      .toDF("t").select(call_function(GraftExpressions.EntropyFn, $"t"))
+      .as[Long].collect().toSeq
+    assert(known(0) === 0L)
+    assert(math.abs(known(1)) <= 1L)
+    assert(known(2) === math.round(math.log(4) * 1e6))
+    assert(known(3) === math.round(math.log(2) * 1e6),
+      "two distinct emoji = ln(2), counting code points")
+    // the signal separates the tails on constructed docs
+    val tails = Seq("the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+      "QmFzZTY0IGJsb2JzIGFyZSBoaWdoIGVudHJvcHkhISEhIQ==0123456789zyxwvu")
+      .toDF("t").select(call_function(GraftExpressions.EntropyFn, $"t"))
+      .as[Long].collect().toSeq
+    assert(tails(1) < graft.operators.TextOps.LowEntropyMicro)
+    assert(tails(0) > graft.operators.TextOps.LowEntropyMicro &&
+      tails(0) < graft.operators.TextOps.HighEntropyMicro)
+    assert(tails(2) > tails(0), "encoded blob reads higher than prose")
+  }
 }
