@@ -184,6 +184,16 @@ object TrainingDataDemo {
         % 1000000L < $"rate_ppm")
     report += ("train_after_mixture_budget" -> mixed.count())
 
+    // 6a2-audit. entropy-tail audit (x79): how many TRAIN survivors
+    // sit in either junk tail (repeated-char padding / encoded blobs)
+    // — content the token-level gates above cannot see (a base64 wall
+    // is one long word with zero repeated 5-grams). Audit only, like
+    // the PII count: a deployment decides whether to gate on it.
+    val entropyFlagged = operators.TextOps.charEntropy(spark, sfDir)
+      .filter($"low_entropy" || $"high_entropy").select($"doc_id")
+      .join(train.select($"doc_id"), "doc_id").count()
+    report += ("train_in_entropy_tails" -> entropyFlagged)
+
     // 6b-audit. source-overlap panel (x73): the highest cross-source
     // n-gram Jaccard in the corpus — the "are any two sources
     // near-copies" number a dataset card leads with (a high value

@@ -151,6 +151,16 @@ class DemoSpec extends AnyFunSuite with SparkTestSession {
       .count(id => q(id) < gth)
     assert(counts("saved_by_per_source_quality_gate") === saved.toLong)
 
+    // x79 — entropy-tail audit: the reported count recomputes from
+    // the operator's flags intersected with the returned train split
+    val trainIds = corpus.filter($"split" === "train")
+      .select($"doc_id").as[Long].collect().toSet
+    val flagged = operators.TextOps.charEntropy(spark, sf)
+      .filter($"low_entropy" || $"high_entropy")
+      .select($"doc_id").as[Long].collect()
+      .count(trainIds)
+    assert(counts("train_in_entropy_tails") === flagged.toLong)
+
     // x73 — overlap panel: the reported max Jaccard is the operator's
     assert(counts("max_source_jaccard_ppm") ===
       operators.DedupOps.sourceSimilarity(spark, sf)
