@@ -43,23 +43,59 @@ private[graft] object ArtifactBuild {
     * the marker missing, and the slower one's crash-recovery `delete`
     * destroys the artifact the faster one just completed — which
     * `readCached` then pins as missing files for the session's
-    * lifetime. Cross-JVM the window is NARROWED, not closed: two
-    * processes can both observe the marker missing, and the slower
-    * one's delete can transiently destroy the artifact the faster one
-    * just renamed into place (its own rebuild re-lands it; readers in
-    * that window see the pinned-listing failure). Closing it fully
-    * needs a filesystem-level mutex (atomic lock-file create with
-    * stale-lock recovery) — deliberate non-goal while single-process
-    * builds are the deployment shape; the marker re-check sits
-    * immediately before the destructive delete to keep the window at
-    * its minimum. (The map never evicts: one Object per distinct
+    * lifetime. (The map never evicts: one Object per distinct
     * artifact path ever ensured in-process — bounded and byte-sized,
     * unlike the relation caches above.) */
   private val buildLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** A lock held longer than this is presumed crashed and is broken.
+    * Must exceed the longest plausible artifact build; a legitimate
+    * build running past it re-opens the narrowed race (documented in
+    * `ensure`). Overridable per process for corpora whose index
+    * builds run long. */
+  private def staleLockMs: Long =
+    sys.props.getOrElse("graft.artifact.lock.staleMs", "600000").toLong
+
+  private val LockPollMs = 250L
+
+  /** CROSS-JVM mutual exclusion around the destructive rebuild: an
+    * atomic create of `<path>.lock` (HDFS create-no-overwrite is
+    * atomic; the local FS check-then-create is not perfectly so, but
+    * shrinks the unprotected window from the whole build to one
+    * syscall pair). Returns once this process owns the lock. A lock
+    * whose mtime is older than [[staleLockMs]] belonged to a crashed
+    * builder and is broken; losers poll rather than fail so that two
+    * driver processes cold-starting the same index serialize instead
+    * of destroying each other's rename (the failure mode the r8
+    * marker bug made session-lifetime via pinned listings). */
+  private def acquireCrossJvmLock(fs: org.apache.hadoop.fs.FileSystem,
+                                  lock: Path): Unit = {
+    while (true) {
+      try { fs.create(lock, false).close(); return }
+      catch { case _: java.io.IOException =>
+        val stale = try {
+          fs.getFileStatus(lock).getModificationTime <
+            System.currentTimeMillis() - staleLockMs
+        } catch { case _: java.io.FileNotFoundException => false }
+        if (stale) fs.delete(lock, false)   // break it; retry the create
+        else Thread.sleep(LockPollMs)
+      }
+    }
+  }
+
   /** Ensure the artifact at `path` exists and is complete; build it
-    * via `build(stagingDir)` if not. Returns `path`. */
+    * via `build(stagingDir)` if not. Returns `path`.
+    *
+    * Concurrency: in-process ensures serialize on [[buildLocks]];
+    * cross-JVM ensures serialize on the `<path>.lock` file (stale
+    * locks broken after [[staleLockMs]]). The marker re-check runs
+    * again after each acquisition, so whichever builder loses either
+    * race finds the winner's marker and becomes a no-op instead of
+    * running its crash-recovery delete against a completed artifact.
+    * Remaining exposure: a build legitimately outliving the stale
+    * threshold, and the local FS's non-atomic create — both reduce to
+    * the pre-lockfile narrowed race, never widen it. */
   def ensure(s: SparkSession, path: String, markerRel: String)
             (build: Path => Unit): String = {
     val hconf = s.sparkContext.hadoopConfiguration
@@ -67,25 +103,33 @@ private[graft] object ArtifactBuild {
     val fs = destPath.getFileSystem(hconf)
     if (!fs.exists(new Path(path, markerRel)))
       buildLocks.computeIfAbsent(path, _ => new Object).synchronized {
-        // re-check under the lock: a concurrent ensure may have built
-        // it while this thread waited
+        // re-check under the in-process lock: a concurrent ensure may
+        // have built it while this thread waited
         if (!fs.exists(new Path(path, markerRel))) {
-          if (fs.exists(destPath)) fs.delete(destPath, true)
-          val staging = new Path(
-            path + s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-          build(staging)
-          if (!fs.rename(staging, destPath)) fs.delete(staging, true)
-          else {
-            // The committer can legitimately skip _SUCCESS (dynamic
-            // partitionOverwriteMode leaves it in the commit staging
-            // dir; marksuccessfuljobs=false drops it entirely). A
-            // renamed-in artifact IS complete — rename is the atomic
-            // commit point — so place the marker ourselves rather than
-            // let a conf choice turn every later ensure into a
-            // destructive rebuild against pinned listings.
-            val marker = new Path(path, markerRel)
-            if (!fs.exists(marker)) fs.create(marker).close()
-          }
+          val lock = new Path(path + ".lock")
+          acquireCrossJvmLock(fs, lock)
+          try {
+            // re-check under the cross-JVM lock: another process may
+            // have completed the build while this one waited
+            if (!fs.exists(new Path(path, markerRel))) {
+              if (fs.exists(destPath)) fs.delete(destPath, true)
+              val staging = new Path(
+                path + s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+              build(staging)
+              if (!fs.rename(staging, destPath)) fs.delete(staging, true)
+              else {
+                // The committer can legitimately skip _SUCCESS (dynamic
+                // partitionOverwriteMode leaves it in the commit staging
+                // dir; marksuccessfuljobs=false drops it entirely). A
+                // renamed-in artifact IS complete — rename is the atomic
+                // commit point — so place the marker ourselves rather
+                // than let a conf choice turn every later ensure into a
+                // destructive rebuild against pinned listings.
+                val marker = new Path(path, markerRel)
+                if (!fs.exists(marker)) fs.create(marker).close()
+              }
+            }
+          } finally fs.delete(lock, false)
         }
       }
     path

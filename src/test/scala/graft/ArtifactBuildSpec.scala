@@ -53,6 +53,66 @@ class ArtifactBuildSpec extends AnyFunSuite with SparkTestSession {
       "re-ensure must leave the pinned file listing untouched")
   }
 
+  test("a foreign lock blocks the rebuild; the waiter no-ops on the winner's marker") {
+    // simulates a SECOND JVM holding <path>.lock mid-build: this
+    // process's ensure must wait, and once the "other process" lands
+    // the marker and releases, the waiter must find it complete and
+    // never run its destructive rebuild
+    val root = java.nio.file.Files.createTempDirectory("graft-ensure-xjvm")
+    val path = s"$root/artifact"
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new Path(path + ".lock"), false).close()   // foreign JVM's lock
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val waiter = new Thread(() => {
+      ArtifactBuild.ensure(spark, path, "part/_MARKER") { _ =>
+        builds.incrementAndGet()
+      }
+    })
+    waiter.start()
+    Thread.sleep(600)   // the waiter is polling behind the lock
+    assert(waiter.isAlive, "ensure must wait behind a fresh foreign lock")
+    // the foreign JVM completes the artifact and releases its lock
+    val part = new Path(path, "part")
+    fs.mkdirs(part)
+    fs.create(new Path(part, "data-foreign")).close()
+    fs.create(new Path(part, "_MARKER")).close()
+    fs.delete(new Path(path + ".lock"), false)
+    waiter.join(15000)
+    assert(!waiter.isAlive)
+    assert(builds.get() === 0,
+      "the waiter must no-op on the winner's completed artifact")
+    assert(fs.exists(new Path(part, "data-foreign")),
+      "the winner's files must survive untouched")
+  }
+
+  test("a stale foreign lock is broken and the build proceeds") {
+    val prevStale = sys.props.get("graft.artifact.lock.staleMs")
+    sys.props("graft.artifact.lock.staleMs") = "2000"
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft-ensure-stale")
+      val path = s"$root/artifact"
+      val fs = new Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val lock = new Path(path + ".lock")
+      fs.create(lock, false).close()
+      fs.setTimes(lock, System.currentTimeMillis() - 10000, -1)  // crashed builder
+      val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+      ArtifactBuild.ensure(spark, path, "part/_MARKER") { staging =>
+        builds.incrementAndGet()
+        val part = new Path(staging, "part")
+        fs.mkdirs(part)
+        fs.create(new Path(part, "_MARKER")).close()
+      }
+      assert(builds.get() === 1, "a stale lock must be broken, not waited on")
+      assert(fs.exists(new Path(path, "part/_MARKER")))
+      assert(!fs.exists(lock), "the lock must be released after the build")
+    } finally prevStale match {
+      case Some(v) => sys.props("graft.artifact.lock.staleMs") = v
+      case None => sys.props.remove("graft.artifact.lock.staleMs")
+    }
+  }
+
   test("ensure is marker-complete under session-global dynamic partition overwrite") {
     // Under partitionOverwriteMode=dynamic the commit protocol leaves
     // _SUCCESS in its commit-staging dir, not the destination — which

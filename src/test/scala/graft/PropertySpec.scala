@@ -314,4 +314,26 @@ class PropertySpec extends AnyFunSuite with SparkTestSession {
     assert(!GhArchiveSource.accepts(
       StringContains("line", "PushEvent")))
   }
+
+  test("x79 entropy: permutation-invariant exactly; replication-invariant within rounding") {
+    import graft.plans.CharEntropyMicro.entropyMicro
+    val rng = new scala.util.Random(79)
+    val strGen = Gen.listOfN(200,
+      Gen.frequency(8 -> Gen.alphaChar, 2 -> Gen.oneOf(' ', '.', 'é', '中')))
+      .map(_.mkString)
+    (1 to 50).foreach { _ =>
+      val s = strGen.sample.get
+      // sorted-run counting makes character ORDER irrelevant — exact
+      val shuffled = new String(rng.shuffle(s.toSeq).toArray)
+      assert(entropyMicro(s) === entropyMicro(shuffled))
+      // H(s repeated k) = H(s) mathematically; integer per-term
+      // rounding moves the micro value by at most a few units
+      val rep = s * 3
+      assert(math.abs(entropyMicro(rep) - entropyMicro(s)) <= 3L,
+        s"replication drift on '$s'")
+      // bounds: 0 ≤ H ≤ ln(n) (all-distinct maximum), in micro-nats
+      val e = entropyMicro(s)
+      assert(e >= -1L && e <= math.round(math.log(s.length) * 1e6) + 1L)
+    }
+  }
 }
