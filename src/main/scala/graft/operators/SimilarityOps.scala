@@ -933,12 +933,36 @@ object SimilarityOps {
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("e")))
 
-  /** Frame form over (vec_id, label, e: array<double>). */
+  /** Frame form over (vec_id, label, e: array<double>).
+    *
+    * Scale shape: the quadratic candidate relation is NEVER
+    * materialized or sorted. Each candidate pair fans out to its two
+    * directed (key, dir) rows map-side and flows straight into ONE
+    * bounded-heap graft_topk aggregation (plans/TopKAggregate.scala):
+    * partial heaps combine map-side, so the single shuffle carries at
+    * most BitextK entries per (vector, direction) — O(|A|+|B|) rows —
+    * regardless of how many candidate pairs the bucket join produced.
+    * (The previous form localCheckpointed all candidate pairs — growth
+    * ∝ copies² — and ran two full rank-window sorts over them; at 5×
+    * data that was 20.5× wall. TopKAggregateSpec pins heap ≡ window.)
+    * The per-key neighborhood sums (sa/sb) fall out of the same k-entry
+    * arrays, and the bounded hoods frame — not the pair relation — is
+    * the only thing checkpointed for reuse by both branches. */
   def bitextFrame(s: SparkSession, emb0: DataFrame): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftExpressions.register(s)
     val emb = emb0.withColumn("bucket", lshSignature(s, $"e"))
-    val a = emb.filter($"label" % 2 === 0)
+    // The probe side carries the compute-bound stage (37-mask explode +
+    // per-candidate cosine + partial top-K): its parallelism is the
+    // SOURCE partitioning, and a small corpus read as one parquet split
+    // would run the whole quadratic-ish stage on ONE task. Explicit
+    // repartition (exempt from AQE coalescing) costs one tiny shuffle
+    // of the vector rows and restores full-width execution; on a real
+    // cluster the many-file scan already provides it and the shuffle is
+    // a cheap no-op by comparison with the stage it widens.
+    val par = math.max(s.sessionState.conf.numShufflePartitions,
+      s.sparkContext.defaultParallelism)
+    val a = emb.filter($"label" % 2 === 0).repartition(par, $"vec_id")
     val b = emb.filter($"label" % 2 === 1)
     // multiprobe: A explodes to its hamming-≤r bucket masks, B joins
     // on the bucket key — each (a,b) pair matches at most one mask
@@ -950,24 +974,37 @@ object SimilarityOps {
         $"bucket".as("pb")), "pb")
       .select($"aid", $"bid",
         round(CoreQueries.cosine(s, $"ae", $"be"), 4).as("sim"))
-      // one bucket join feeds both direction's windows — materialize
-      // the candidate pairs instead of re-running the join per branch
-      .localCheckpoint(false)
-    val s4 = (round($"sim" * 1e4, 0)).cast("long")
-    val fk = cands.withColumn("rn", row_number().over(
-        Window.partitionBy($"aid").orderBy($"sim".desc, $"bid")))
-      .filter($"rn" <= BitextK)
-    val bk = cands.withColumn("rn", row_number().over(
-        Window.partitionBy($"bid").orderBy($"sim".desc, $"aid")))
-      .filter($"rn" <= BitextK)
-    val avgA = fk.groupBy($"aid")
-      .agg(sum(s4).as("sa"), count(lit(1)).as("na"))
-    val avgB = bk.groupBy($"bid")
-      .agg(sum(s4).as("sb"), count(lit(1)).as("nb"))
+    // both directions' k-NN neighborhoods from ONE pass over the
+    // candidates: tag each pair (key=aid,dir=0,other=bid) and
+    // (key=bid,dir=1,other=aid), bounded-heap top-K per (key, dir).
+    // Heap order (score DESC, id ASC) ≡ the window's (sim DESC, id).
+    val tagged = cands.select(explode(array(
+        struct($"aid".as("key"), lit(0).as("dir"),
+          $"bid".as("oid"), $"sim"),
+        struct($"bid".as("key"), lit(1).as("dir"),
+          $"aid".as("oid"), $"sim"))).as("r"))
+      .select($"r.key", $"r.dir", $"r.oid", $"r.sim")
+    val hoods = tagged.groupBy($"key", $"dir")
+      .agg(call_function(graft.plans.GraftExpressions.TopKFn,
+        $"sim", $"oid", lit(BitextK)).as("top"))
+      // neighborhood normalizer: 1e4-scaled integer sum over ≤k
+      // entries, bitwise-reproducible in any accumulation order
+      .withColumn("ssum", expr(
+        "aggregate(top, 0L, (acc, x) -> " +
+        "acc + CAST(round(x.score * 10000.0, 0) AS BIGINT))"))
+      .withColumn("n", size($"top").cast("long"))
+      .localCheckpoint(false)   // bounded: ≤ (|A|+|B|) rows × k entries
+    val fwd = hoods.filter($"dir" === 0)
+    val bwd = hoods.filter($"dir" === 1)
+      .select($"key".as("bid"), $"ssum".as("sb"), $"n".as("nb"))
+    val pairs = fwd.select($"key".as("aid"), $"ssum".as("sa"),
+        $"n".as("na"), explode($"top").as("t"))
+      .select($"aid", $"t.id".as("bid"), $"t.score".as("sim"),
+        $"sa", $"na")
     // every bid in a forward pair has a backward neighborhood (the
     // candidate relation is symmetric: x probes y ⟺ y probes x), so
-    // the inner joins lose no pairs
-    fk.join(avgA, "aid").join(avgB, "bid")
+    // the inner join loses no pairs
+    pairs.join(bwd, "bid")
       .select($"aid".as("src_id"), $"bid".as("tgt_id"), $"sim",
         round($"sim" /
           ($"sa" / (lit(2.0) * $"na" * lit(1e4)) +

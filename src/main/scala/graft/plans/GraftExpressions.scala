@@ -99,8 +99,16 @@ object GraftExpressions {
       throw new IllegalArgumentException(
         s"$TopKFn: k must be a constant integer, got non-foldable ${kExpr.sql}")
     kExpr.eval() match {
-      case n: Number => TopKPairs(es(0), es(1), n.intValue())
-        .toAggregateExpression()
+      case n: Number =>
+        val k = n.intValue()
+        // small k rides the codegen DeclarativeAggregate (flat buffer →
+        // HashAggregateExec, no ObjectHashAggregate sort fallback);
+        // larger k keeps the bounded heap. k <= 0 routes to TopKPairs
+        // for its build-time require message.
+        val fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction =
+          if (k >= 1 && k <= TopKSmallPairs.MaxK) TopKSmallPairs(es(0), es(1), k)
+          else TopKPairs(es(0), es(1), k)
+        fn.toAggregateExpression()
       case other => throw new IllegalArgumentException(
         s"$TopKFn: k must be a constant integer, got $other")
     }
