@@ -1104,9 +1104,9 @@ object SimilarityOps {
     * false negatives by construction — the standard failure mode of
     * in-batch negative sampling that mined triplets exist to fix.
     *
-    * Scale shape: the positive relation is the x05 blocked join
-    * (bounded output, materialized once and reused for both
-    * directions); the anchor set it induces is bounded by that
+    * Scale shape: the positive relation is the x05 bucketed
+    * candidates-then-verify join (bounded output, materialized once
+    * and reused for both directions); the anchor set it induces is bounded by that
     * output, so the mining core's broadcasts stay small; the final
     * positives × negatives join is a broadcast fan-out of bounded
     * frames. Total work (and output) is proportional to the
@@ -1173,24 +1173,29 @@ object SimilarityOps {
     * planes, quantized coords, integer dots, signature. ONE definition
     * feeding both the x06 and x22 oracles (same anti-drift convention
     * as DedupOps.ShingleBaseCtes and ivfIterCtes below). */
-  private[operators] def sigCtes: String =
-    s"""planes AS (
+  private[operators] def sigCtes: String = sigCtesNamed("")
+
+  /** Suffixed variant for oracles that must combine the signature chain
+    * with ivfTrainCtes in one WITH (both define a `qv`): every CTE name
+    * gets the suffix, the final one being `sig$sfx`. */
+  private[operators] def sigCtesNamed(sfx: String): String =
+    s"""planes$sfx AS (
        |  SELECT p.range AS p, i.range AS i,
        |    ('0x' || substr(md5('p_' || p.range || '_' || i.range), 1, 8))::BIGINT
        |      % 1001 - 500 AS w
        |  FROM range($NumPlanes) p, range($Dim) i),
-       |qv AS (
+       |qv$sfx AS (
        |  SELECT vec_id, i.range AS i,
        |    CAST(round(embedding[i.range + 1]::DOUBLE * $QuantL, 0) AS BIGINT) AS q
        |  FROM embeddings, range($Dim) i),
-       |dots AS (
+       |dots$sfx AS (
        |  SELECT vec_id, p, sum(q * w) AS dot
-       |  FROM qv JOIN planes USING (i) GROUP BY 1, 2),
-       |sig AS (
+       |  FROM qv$sfx JOIN planes$sfx USING (i) GROUP BY 1, 2),
+       |sig$sfx AS (
        |  SELECT vec_id,
        |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
        |      AS bucket
-       |  FROM dots GROUP BY 1)""".stripMargin
+       |  FROM dots$sfx GROUP BY 1)""".stripMargin
 
   /** ALL ANN queries have FULL oracles: every index-construction step
     * (md5-derived planes, 1e6 quantization, integer dots, floor-mean
@@ -1376,20 +1381,25 @@ object SimilarityOps {
         |  FROM sims WHERE sim < $HardNegCap)
         |WHERE rn <= $HardNegK
         |ORDER BY qid, rn""".stripMargin,
-    // x72: x05's pair SQL (verbatim formula) provides positives and
-    // the anchor set; the negative legs are the x69 chain restricted
-    // to those anchors; the final join is pure composition.
+    // x72: x05's bucketed pair SQL (sig chain suffixed "_s" to coexist
+    // with ivfTrainCtes' qv) provides positives and the anchor set; the
+    // negative legs are the x69 chain restricted to those anchors; the
+    // final join is pure composition.
     "x72_contrastive_triplets" ->
       s"""WITH $ivfTrainCtes,
+        |${sigCtesNamed("_s")},
+        |vsig AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS ve, s.bucket
+        |         FROM embeddings e JOIN sig_s s USING (vec_id)),
         |prs AS (SELECT a.vec_id AS va, b.vec_id AS vb,
-        |  ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS sim
-        |  FROM embeddings a JOIN embeddings b
-        |    ON a.label = b.label AND a.vec_id < b.vec_id
-        |  WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-        |    (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-        |     sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.4),
+        |  ROUND(list_dot_product(a.ve, b.ve) /
+        |    (sqrt(list_dot_product(a.ve, a.ve)) *
+        |     sqrt(list_dot_product(b.ve, b.ve))), 4) AS sim
+        |  FROM vsig a JOIN vsig b
+        |    ON a.vec_id < b.vec_id
+        |    AND bit_count(xor(a.bucket, b.bucket)) <= $ProbeRadius
+        |  WHERE ROUND(list_dot_product(a.ve, b.ve) /
+        |    (sqrt(list_dot_product(a.ve, a.ve)) *
+        |     sqrt(list_dot_product(b.ve, b.ve))), 4) >= ${DedupOps.CosineThreshold}),
         |pos AS (SELECT va AS qid, vb AS pos_id, sim AS sim_pos FROM prs
         |        UNION ALL SELECT vb, va, sim FROM prs),
         |qs AS (SELECT vec_id AS qid, e AS qe, q AS qq FROM qv

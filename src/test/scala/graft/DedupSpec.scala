@@ -425,6 +425,70 @@ class DedupSpec extends AnyFunSuite with SparkTestSession {
       "sum of n_members replays the corpus count")
   }
 
+  test("x05 bucketed pairs ≡ brute-force (hamming ≤ radius ∧ sim ≥ τ)") {
+    // the multiprobe mask-explode equi-join must implement EXACTLY its
+    // declared candidate rule: all pairs within signature-hamming
+    // ProbeRadius, exact-cosine verified — computed here by brute force
+    // over all N² pairs with the SAME signature expression
+    import graft.operators.{SimilarityOps, CoreQueries}
+    val emb = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      .withColumn("bucket", SimilarityOps.lshSignature(spark, $"e"))
+    val a = emb.select($"vec_id".as("va"), $"e".as("ea"), $"bucket".as("ba"))
+    val b = emb.select($"vec_id".as("vb"), $"e".as("eb"), $"bucket".as("bb"))
+    val brute = a.crossJoin(b)
+      .filter($"va" < $"vb")
+      .filter(bit_count($"ba".bitwiseXOR($"bb")) <= SimilarityOps.ProbeRadius)
+      .select($"va", $"vb",
+        round(CoreQueries.cosine(spark, $"ea", $"eb"), 4).as("sim"))
+      .filter($"sim" >= DedupOps.CosineThreshold)
+      .as[(Long, Long, Double)].collect().toSet
+    val bucketed = DedupOps.dedupEmbedding(spark, sf)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(bucketed === brute)
+    assert(bucketed.nonEmpty, "fixture should contain bucketed near-dups")
+  }
+
+  test("x05 coverage: crafted near-dup pairs at cosine ≈ 1 are ALL caught") {
+    // Non-vacuous completeness pin: at HIGH similarity the bucket rule
+    // is effectively complete (hamming concentrates near 0), which is
+    // the regime real dup clusters (verbatim + trivially-edited copies)
+    // live in. τ-marginal pairs (sim ≈ 0.4, 66°) are NOT coverable by
+    // any sub-quadratic blocking — measured on the sf0.01 fixture the
+    // 59 all-pairs matches spread over hamming 0–6 — which is why x05's
+    // declared semantics is candidates-then-verify, not all-pairs.
+    val n = 40
+    val dim = graft.plans.HyperplaneSignature.Dim
+    def base(i: Int): Array[Double] =
+      Array.tabulate(dim)(j =>
+        (((i * 1315423911L + j * 2654435761L) % 1000L) - 500L) / 500.0)
+    val rows =
+      (0 until n).map { i => (i.toLong, base(i).toSeq) } ++
+      (0 until n).map { i =>
+        val v = base(i); v(i % dim) += 1e-4; (i + 1000L, v.toSeq) }
+    val emb0 = rows.toDF("vec_id", "e")
+      .select($"vec_id", $"e".cast("array<double>").as("e"))
+    val got = DedupOps.dedupEmbeddingFrame(spark, emb0)
+      .select($"va", $"vb").as[(Long, Long)].collect().toSet
+    val want = (0 until n).map(i => (i.toLong, i + 1000L)).toSet
+    assert(want.subsetOf(got),
+      s"missed crafted near-dup pairs: ${(want -- got).toSeq.sorted}")
+  }
+
+  test("x80 blocked witness agrees with x05 on shared pairs") {
+    // the exact label-blocked twin and the bucketed default compute the
+    // same cosine for any pair both report (same rounding, same order)
+    val blocked = DedupOps.dedupEmbeddingBlocked(spark, sf)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    val bucketed = DedupOps.dedupEmbedding(spark, sf)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    val shared = blocked.keySet intersect bucketed.keySet
+    shared.foreach { k => assert(blocked(k) === bucketed(k)) }
+    assert(blocked.nonEmpty, "fixture should have same-label near-dups")
+  }
+
   test("x78 novelty equals a string-shingle driver recompute") {
     val docs = Tables.documents(spark, sf)
       .select($"doc_id", lower($"text")).as[(Long, String)].collect()
