@@ -58,30 +58,155 @@ private[graft] object ArtifactBuild {
     sys.props.getOrElse("graft.artifact.lock.staleMs", "600000").toLong
 
   private val LockPollMs = 250L
+  /** Non-contention create failures tolerated before surfacing: a
+    * create that fails while the lock file does NOT exist is a real FS
+    * error (permissions, quota, bad path), not contention — retried a
+    * few times for transient blips, then thrown instead of looping
+    * forever indistinguishably from "lock held". */
+  private val LockCreateFailLimit = 8
+  /** Waiting-on-lock log cadence. */
+  private val LockLogEveryMs = 30000L
 
   /** CROSS-JVM mutual exclusion around the destructive rebuild: an
     * atomic create of `<path>.lock` (HDFS create-no-overwrite is
     * atomic; the local FS check-then-create is not perfectly so, but
     * shrinks the unprotected window from the whole build to one
-    * syscall pair). Returns once this process owns the lock. A lock
-    * whose mtime is older than [[staleLockMs]] belonged to a crashed
-    * builder and is broken; losers poll rather than fail so that two
-    * driver processes cold-starting the same index serialize instead
-    * of destroying each other's rename (the failure mode the r8
-    * marker bug made session-lifetime via pinned listings). */
+    * syscall pair). Returns an OWNER TOKEN once this process holds the
+    * lock; the token is written into the lock file so release (and
+    * only release-by-owner) can verify the lock is still ours — a
+    * build that outlives [[staleLockMs]] and has its lock broken by a
+    * peer must NOT then delete the peer's fresh lock from its
+    * `finally`. A lock whose mtime is older than [[staleLockMs]]
+    * belonged to a crashed builder and is broken by RENAME to a
+    * breaker-unique name (exactly one concurrent breaker's rename
+    * wins, closing the break-break race), with a post-rename mtime
+    * re-check that restores a lock that turned out to be fresh.
+    * Losers poll rather than fail so that two driver processes
+    * cold-starting the same index serialize instead of destroying
+    * each other's rename. */
   private def acquireCrossJvmLock(fs: org.apache.hadoop.fs.FileSystem,
-                                  lock: Path): Unit = {
+                                  lock: Path): String = {
+    val token =
+      s"${ProcessHandle.current().pid()}-${java.util.UUID.randomUUID()}"
+    var createFails = 0
+    var lastLog = System.currentTimeMillis()
     while (true) {
-      try { fs.create(lock, false).close(); return }
-      catch { case _: java.io.IOException =>
-        val stale = try {
-          fs.getFileStatus(lock).getModificationTime <
-            System.currentTimeMillis() - staleLockMs
-        } catch { case _: java.io.FileNotFoundException => false }
-        if (stale) fs.delete(lock, false)   // break it; retry the create
-        else Thread.sleep(LockPollMs)
+      try {
+        val out = fs.create(lock, false)
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        return token
+      } catch { case e: java.io.IOException =>
+        val exists =
+          try fs.exists(lock) catch { case _: java.io.IOException => false }
+        if (!exists) {
+          // not contention — a persistent FS failure must surface
+          createFails += 1
+          if (createFails >= LockCreateFailLimit)
+            throw new java.io.IOException(
+              s"artifact lock create keeps failing without contention: $lock", e)
+        } else {
+          createFails = 0
+          val now = System.currentTimeMillis()
+          val stale = try {
+            fs.getFileStatus(lock).getModificationTime < now - staleLockMs
+          } catch { case _: java.io.FileNotFoundException => false }
+          if (stale) {
+            // break by rename: only one breaker can win the rename
+            val broken = new Path(
+              lock.toString + s".broken-$token")
+            val won =
+              try fs.rename(lock, broken)
+              catch { case _: java.io.IOException => false }
+            if (won) {
+              // re-check on the captured file: if the lock was in fact
+              // refreshed between the staleness read and the rename,
+              // give it back instead of orphaning a live holder
+              val freshAfterAll = try {
+                fs.getFileStatus(broken).getModificationTime >=
+                  now - staleLockMs
+              } catch { case _: java.io.FileNotFoundException => false }
+              if (freshAfterAll && !fs.rename(broken, lock)) fs.delete(broken, false)
+              else if (!freshAfterAll) fs.delete(broken, false)
+            }
+          } else if (now - lastLog >= LockLogEveryMs) {
+            lastLog = now
+            System.err.println(
+              s"[graft] waiting on artifact lock $lock (held by a peer " +
+              s"builder; broken as stale after ${staleLockMs / 1000}s)")
+          }
+          if (!stale) Thread.sleep(LockPollMs)
+        }
       }
     }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Release only if the lock still carries our token — if a peer broke
+    * our (overlong) hold and acquired its own lock, leave it alone. */
+  private def releaseCrossJvmLock(fs: org.apache.hadoop.fs.FileSystem,
+                                  lock: Path, token: String): Unit = {
+    val mine = try {
+      val in = fs.open(lock)
+      try {
+        val buf = new Array[Byte](token.getBytes("UTF-8").length + 1)
+        val n = in.read(buf)
+        n > 0 && new String(buf, 0, n, "UTF-8") == token
+      } finally in.close()
+    } catch { case _: java.io.IOException => false }
+    if (mine) fs.delete(lock, false)
+  }
+
+  /** Name of the artifact metadata file recording the source-file
+    * listing (the content-key parts, one per line) the artifact was
+    * built from. Written by incremental-capable builders so a LATER
+    * build of the same (kind, corpus, version) family can recognize
+    * this artifact as an append-base: if its parts are a strict
+    * subset of the new listing, the corpus grew by exactly the
+    * missing files and the builder may MERGE the delta into this
+    * artifact's state instead of re-scanning the whole corpus. */
+  val ListingRel = "_listing"
+
+  def writeListing(fs: org.apache.hadoop.fs.FileSystem, staging: Path,
+                   parts: Seq[String]): Unit = {
+    val out = fs.create(new Path(staging, ListingRel))
+    try out.write(parts.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Find the best append-base among completed sibling artifacts:
+    * scan `indexRoot` for `prefix*` directories carrying the
+    * completion marker and a `_listing` that is a non-empty STRICT
+    * subset of `currentParts` (parts are `name:len:mtime` — a file
+    * modified in place changes its part and disqualifies subset-ness,
+    * so only true appends match). Returns the base with the largest
+    * covered listing. Cost: one directory listing + one tiny metadata
+    * read per candidate — never a data read. */
+  def findAppendBase(s: SparkSession, indexRoot: String, prefix: String,
+                     currentParts: Seq[String], markerRel: String)
+      : Option[(String, Set[String])] = {
+    val rootPath = new Path(indexRoot)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val cur = currentParts.toSet
+    val cands =
+      try fs.listStatus(rootPath).filter(st =>
+        st.isDirectory && st.getPath.getName.startsWith(prefix))
+      catch { case _: java.io.IOException =>
+        Array.empty[org.apache.hadoop.fs.FileStatus] }
+    cands.toSeq.flatMap { st =>
+      val p = st.getPath
+      try {
+        if (!fs.exists(new Path(p, markerRel))) None
+        else {
+          val in = fs.open(new Path(p, ListingRel))
+          val txt =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          val parts = txt.split("\n").filter(_.nonEmpty).toSet
+          if (parts.nonEmpty && parts != cur && parts.subsetOf(cur))
+            Some((p.toString, parts))
+          else None
+        }
+      } catch { case _: java.io.IOException => None }
+    }.sortBy(-_._2.size).headOption
   }
 
   /** Ensure the artifact at `path` exists and is complete; build it
@@ -94,8 +219,12 @@ private[graft] object ArtifactBuild {
     * race finds the winner's marker and becomes a no-op instead of
     * running its crash-recovery delete against a completed artifact.
     * Remaining exposure: a build legitimately outliving the stale
-    * threshold, and the local FS's non-atomic create — both reduce to
-    * the pre-lockfile narrowed race, never widen it. */
+    * threshold (its lock is broken and a peer may start a second
+    * build — but the owner token keeps the overlong build's release
+    * from deleting the peer's lock, and the rename-break keeps two
+    * breakers from both "winning"), and the local FS's non-atomic
+    * create — both reduce to the pre-lockfile narrowed race, never
+    * widen it. */
   def ensure(s: SparkSession, path: String, markerRel: String)
             (build: Path => Unit): String = {
     val hconf = s.sparkContext.hadoopConfiguration
@@ -107,7 +236,7 @@ private[graft] object ArtifactBuild {
         // have built it while this thread waited
         if (!fs.exists(new Path(path, markerRel))) {
           val lock = new Path(path + ".lock")
-          acquireCrossJvmLock(fs, lock)
+          val token = acquireCrossJvmLock(fs, lock)
           try {
             // re-check under the cross-JVM lock: another process may
             // have completed the build while this one waited
@@ -129,7 +258,7 @@ private[graft] object ArtifactBuild {
                 if (!fs.exists(marker)) fs.create(marker).close()
               }
             }
-          } finally fs.delete(lock, false)
+          } finally releaseCrossJvmLock(fs, lock, token)
         }
       }
     path

@@ -534,13 +534,92 @@ object DedupOps {
     * re-convergence — the propagation loop runs ONCE at build and
     * every subsequent removal request is a probe. */
   def ensureClusterIndex(s: SparkSession, d: String,
-                         indexRoot: String = sys.props("java.io.tmpdir")): String =
-    ArtifactBuild.ensure(s, SimilarityOps.indexPath(
-        s, d, "documents.parquet", "cc", "v1", indexRoot),
-        "labels/_SUCCESS") { staging =>
-      dedupClusters(s, d).write.mode("overwrite")
-        .parquet(new org.apache.hadoop.fs.Path(staging, "labels").toString)
+                         indexRoot: String = sys.props("java.io.tmpdir")): String = {
+    import s.implicits._
+    val listing = SimilarityOps.listingOf(s, d, Seq("documents.parquet"))
+    val parts = listing.map(_._1)
+    val path = new org.apache.hadoop.fs.Path(indexRoot,
+      SimilarityOps.indexDirName(d, "cc", "v2",
+        SimilarityOps.sigOf(parts))).toString
+    ArtifactBuild.ensure(s, path, "labels/_SUCCESS") { staging =>
+      val st = staging.toString
+      val fs = staging.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // v2 layout persists the dedup partials (`sets/`, `bands/`) next
+      // to the converged labels, so an append-only delta refreshes by
+      // REP CONTRACTION — ClusterStream's algebra applied to the batch
+      // artifact: delta partials probe the persisted band index for
+      // cross edges (the x56 ingest-gate join), old endpoints contract
+      // to their reps, and the min-label loop converges a graph
+      // bounded by the delta's edges — O(delta + state), no corpus
+      // re-shingling. Min-label survives contraction exactly (an old
+      // rep IS its component's min), so the served labels are
+      // bit-for-bit the one-shot rebuild's (EnsureIncrementalSpec).
+      val base = ArtifactBuild.findAppendBase(s, indexRoot,
+        SimilarityOps.indexPrefix(d, "cc", "v2"), parts, "labels/_SUCCESS")
+      val labelsOut = base match {
+        case Some((bpath, bparts)) =>
+          val deltaPaths = listing.collect {
+            case (part, full) if !bparts.contains(part) => full }
+          val deltaDocs = s.read.parquet(deltaPaths: _*)
+            .select($"doc_id", $"text")
+          val bSets = shingleSetsOf(deltaDocs).localCheckpoint(false)
+          val bBands = bandKeys(minhashSignatures(bSets))
+            .localCheckpoint(false)
+          val cSets = s.read.parquet(s"$bpath/sets").select($"doc_id", $"s")
+          val cBands = s.read.parquet(s"$bpath/bands")
+            .select($"doc_id".as("cdoc"), $"band", $"key")
+          val cand = bBands.join(cBands, Seq("band", "key"))
+            .filter($"doc_id" =!= $"cdoc")
+            .select($"doc_id".as("da"), $"cdoc".as("db")).distinct()
+          val cross = verifyJaccard(cand, cSets.unionAll(bSets),
+              JaccardThreshold).select($"da", $"db")
+          val within = verifyJaccard(
+              candidatesFromBands(bBands.select($"doc_id", $"band", $"key")),
+              bSets, JaccardThreshold)
+            .select($"da", $"db")
+          val oldLabels = s.read.parquet(s"$bpath/labels")
+            .select($"doc_id", $"rep")
+          val crossC = cross
+            .join(oldLabels.select($"doc_id".as("db"), $"rep".as("brep")),
+              Seq("db"))
+            .select($"da", $"brep".as("db"))
+          val comp = ccLabelsOf(within.unionAll(crossC))
+          cSets.unionAll(bSets).write.mode("overwrite").parquet(s"$st/sets")
+          s.read.parquet(s"$bpath/bands").select($"doc_id", $"band", $"key")
+            .unionAll(bBands.select($"doc_id", $"band", $"key"))
+            .write.mode("overwrite").parquet(s"$st/bands")
+          val oldFinal = oldLabels
+            .join(broadcast(comp.select($"doc_id".as("rep"),
+              $"rep".as("nrep"))), Seq("rep"), "left")
+            .select($"doc_id", coalesce($"nrep", $"rep").as("rep"))
+          val deltaFinal = deltaDocs.select($"doc_id")
+            .join(broadcast(comp.select($"doc_id", $"rep".as("nrep"))),
+              Seq("doc_id"), "left")
+            .select($"doc_id", coalesce($"nrep", $"doc_id").as("rep"))
+          oldFinal.unionAll(deltaFinal)
+        case None =>
+          val docsAll = Tables.documents(s, d).select($"doc_id", $"text")
+          val sets = shingleSetsOf(docsAll).localCheckpoint(false)
+          sets.write.mode("overwrite").parquet(s"$st/sets")
+          bandKeys(minhashSignatures(sets))
+            .write.mode("overwrite").parquet(s"$st/bands")
+          // derive edges/labels from the WRITTEN state so the shingle
+          // pass runs once across all three pieces
+          val setsW = s.read.parquet(s"$st/sets")
+          val edges = verifyJaccard(
+              candidatesFromBands(s.read.parquet(s"$st/bands")),
+              setsW, JaccardThreshold)
+            .select($"da", $"db")
+          val cc = ccLabelsOf(edges)
+          docsAll.select($"doc_id")
+            .join(broadcast(cc.select($"doc_id", $"rep".as("erep"))),
+              Seq("doc_id"), "left")
+            .select($"doc_id", coalesce($"erep", $"doc_id").as("rep"))
+      }
+      ArtifactBuild.writeListing(fs, staging, parts)
+      labelsOut.write.mode("overwrite").parquet(s"$st/labels")
     }
+  }
 
   def removalPropagation(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -864,31 +943,102 @@ object DedupOps {
     * `sizes/`. No shingle work, no corpus scan, no corpus-scale
     * shuffle on any serve path (plan-pinned). */
   def ensureOverlapIndex(s: SparkSession, d: String,
-                         indexRoot: String = sys.props("java.io.tmpdir")): String =
-    ArtifactBuild.ensure(s, SimilarityOps.indexPathMulti(
-        s, d, Seq("documents.parquet"), "overlap", "v1", indexRoot),
-        "matrix/_SUCCESS") { staging =>
-      val docs0 = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("text"))
-      val srcs = sortedSourcesOf(docs0.select(col("source")))
-      val ss = sourcePairsOf(docs0)
+                         indexRoot: String = sys.props("java.io.tmpdir")): String = {
+    val listing = SimilarityOps.listingOf(s, d, Seq("documents.parquet"))
+    val parts = listing.map(_._1)
+    val path = new org.apache.hadoop.fs.Path(indexRoot,
+      SimilarityOps.indexDirName(d, "overlap", "v2",
+        SimilarityOps.sigOf(parts))).toString
+    ArtifactBuild.ensure(s, path, "matrix/_SUCCESS") { staging =>
       val st = staging.toString
-      // land the mergeable state FIRST and read it back, so the
-      // corpus shingle pass runs exactly once across matrix and sizes
-      val (matrix, sizes) =
+      val fs = staging.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // INCREMENTAL refresh: if a completed sibling artifact covers a
+      // strict subset of this corpus listing (a true append — any
+      // in-place file change breaks the part match), merge ITS
+      // mergeable state with the DELTA files' partial instead of
+      // re-shingling the whole corpus. The merge is the same algebra
+      // OverlapStream folds per batch: BIT_OR over (sh, mask) at ≤ 64
+      // sources, distinct-union over (source, sh) beyond. Cost is
+      // O(delta text + state), never O(corpus text) — the old files
+      // are not read at all.
+      val base = ArtifactBuild.findAppendBase(s, indexRoot,
+        SimilarityOps.indexPrefix(d, "overlap", "v2"), parts,
+        "matrix/_SUCCESS")
+      val incremental = base.flatMap { case (bpath, bparts) =>
+        val deltaPaths = listing.collect {
+          case (part, full) if !bparts.contains(part) => full }
+        val deltaDocs = s.read.parquet(deltaPaths: _*)
+          .select(col("doc_id"), col("source"), col("text"))
+        val prevSrcs = s.read.parquet(s"$bpath/sources")
+          .collect().map(_.getString(0)).sorted
+        val deltaSrcs = sortedSourcesOf(deltaDocs.select(col("source")))
+        val newSrcs = (prevSrcs ++ deltaSrcs).distinct.sorted
+        if (prevSrcs.nonEmpty && prevSrcs.length <= 64 && newSrcs.length <= 64) {
+          val prevMasks = s.read.parquet(s"$bpath/masks")
+          val remapped =
+            if (newSrcs.sameElements(prevSrcs)) prevMasks
+            else remapMasks(prevMasks, prevSrcs, newSrcs)
+          remapped.unionAll(sourceMasks(sourcePairsOf(deltaDocs), newSrcs))
+            .groupBy(col("sh")).agg(bit_or(col("mask")).as("mask"))
+            .write.mode("overwrite").parquet(s"$st/masks")
+          val masks = s.read.parquet(s"$st/masks")
+          Some((newSrcs,
+            matrixFromMasks(masks, newSrcs), sizesFromMasks(masks, newSrcs)))
+        } else if (prevSrcs.length > 64) {
+          s.read.parquet(s"$bpath/pairs")
+            .unionAll(sourcePairsOf(deltaDocs).distinct())
+            .distinct()
+            .write.mode("overwrite").parquet(s"$st/pairs")
+          val pairs = s.read.parquet(s"$st/pairs")
+          Some((newSrcs, overlapMatrixFrom(pairs),
+            pairs.groupBy(col("source")).agg(count(lit(1)).as("n"))))
+        } else None   // masks-state base crossing 64 sources: rebuild
+      }
+      val (srcsOut, matrix, sizes) = incremental.getOrElse {
+        val docs0 = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"))
+        val srcs = sortedSourcesOf(docs0.select(col("source")))
+        val ss = sourcePairsOf(docs0)
+        // land the mergeable state FIRST and read it back, so the
+        // corpus shingle pass runs exactly once across matrix and sizes
         if (srcs.nonEmpty && srcs.length <= 64) {
           sourceMasks(ss, srcs).write.mode("overwrite").parquet(s"$st/masks")
           val masks = s.read.parquet(s"$st/masks")
-          (matrixFromMasks(masks, srcs), sizesFromMasks(masks, srcs))
+          (srcs, matrixFromMasks(masks, srcs), sizesFromMasks(masks, srcs))
         } else {
           ss.distinct().write.mode("overwrite").parquet(s"$st/pairs")
           val pairs = s.read.parquet(s"$st/pairs")
-          (overlapMatrixFrom(pairs),
+          (srcs, overlapMatrixFrom(pairs),
             pairs.groupBy(col("source")).agg(count(lit(1)).as("n")))
         }
+      }
+      import s.implicits._
+      srcsOut.toSeq.toDF("source").coalesce(1)
+        .write.mode("overwrite").parquet(s"$st/sources")
+      ArtifactBuild.writeListing(fs, staging, parts)
       sizes.write.mode("overwrite").parquet(s"$st/sizes")
       matrix.write.mode("overwrite").parquet(s"$st/matrix")
     }
+  }
+
+  /** Re-express a BIT_OR mask state over a GROWN source list: bit b of
+    * the old ordering moves to position newIdx(b) — an in-row HOF over
+    * each 64-bit mask, no shuffle. (Appends can only grow the source
+    * list, so old ⊆ new and every old bit has a new home.) */
+  private def remapMasks(prevMasks: DataFrame, oldSrcs: Array[String],
+                         newSrcs: Array[String]): DataFrame = {
+    import prevMasks.sparkSession.implicits._
+    val newIdx = array(oldSrcs.map(o => lit(newSrcs.indexOf(o))): _*)
+    prevMasks.select($"sh",
+      aggregate(
+        filter(sequence(lit(0), lit(oldSrcs.length - 1)),
+          b => call_function("shiftright", $"mask", b)
+            .bitwiseAND(lit(1L)) === lit(1L)),
+        lit(0L),
+        (acc, b) => acc + call_function("shiftleft", lit(1L),
+          element_at(newIdx, (b + 1).cast("int")))
+      ).as("mask"))
+  }
 
   /** x71 — SERVED from the materialized overlap artifact: the plan is
     * one FileScan of the ≤ C(|sources|, 2)-row matrix plus the bounded

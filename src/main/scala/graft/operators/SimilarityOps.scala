@@ -104,28 +104,51 @@ object SimilarityOps {
   /** Multi-table variant: an index derived from a JOIN (e.g. the
     * PageRank edge relation over lineitem ⋈ orders) keys on every
     * source table's listing, so regenerating ANY input invalidates. */
+  /** The content-key listing: one `(part, fullPath)` per source file,
+    * part = `table/name:len:mtime`, sorted by part. The part strings
+    * feed the artifact signature AND the `_listing` metadata an
+    * incremental refresh uses to recognize an append-base; the full
+    * paths let the delta builder read EXACTLY the new files. */
+  private[operators] def listingOf(s: SparkSession, d: String,
+                                   tables: Seq[String]): Seq[(String, String)] = {
+    val hconf = s.sparkContext.hadoopConfiguration
+    tables.flatMap { table =>
+      val srcPath = new org.apache.hadoop.fs.Path(s"$d/$table")
+      val srcFs = srcPath.getFileSystem(hconf)
+      srcFs.listStatus(srcPath).map(st =>
+        (s"$table/${st.getPath.getName}:${st.getLen}:${st.getModificationTime}",
+          st.getPath.toString))
+    }.sortBy(_._1)
+  }
+
+  private[operators] def indexDirName(d: String, kind: String,
+                                      version: String, sig: String): String = {
+    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"graft-$kind-index-$safe-$version-$sig"
+  }
+
+  /** Sibling-scan prefix for findAppendBase: every artifact of this
+    * (kind, corpus, version) family, any content signature. */
+  private[operators] def indexPrefix(d: String, kind: String,
+                                     version: String): String =
+    indexDirName(d, kind, version, "")
+
+  private[operators] def sigOf(parts: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(parts.mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
   private[operators] def indexPathMulti(s: SparkSession, d: String,
                                         tables: Seq[String], kind: String,
                                         version: String,
                                         indexRoot: String): String = {
-    val hconf = s.sparkContext.hadoopConfiguration
-    val sig = {
-      val parts = tables.flatMap { table =>
-        val srcPath = new org.apache.hadoop.fs.Path(s"$d/$table")
-        val srcFs = srcPath.getFileSystem(hconf)
-        srcFs.listStatus(srcPath).map(st =>
-          s"$table/${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      }.sorted
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.digest(parts.mkString("|").getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.take(16)
-    }
-    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val sig = sigOf(listingOf(s, d, tables).map(_._1))
     // indexRoot defaults to the local tmpdir for single-node runs; a
     // cluster deploy passes a shared filesystem path (e.g. an object-
     // store prefix) so executors and later sessions see the same index.
     new org.apache.hadoop.fs.Path(
-      indexRoot, s"graft-$kind-index-$safe-$version-$sig").toString
+      indexRoot, indexDirName(d, kind, version, sig)).toString
   }
 
   def ensureAnnIndex(s: SparkSession, d: String,

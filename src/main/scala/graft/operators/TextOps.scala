@@ -648,18 +648,44 @@ object TextOps {
     * the vocabulary from the (model-sized) distinct-bigram relation,
     * never re-aggregating the corpus: c1(w1) is c12's row-sum, and in
     * a ≥2-word doc every position is some bigram's w1 or w2, so
-    * distinct(w1 ∪ w2) is exactly the corpus word set. */
+    * distinct(w1 ∪ w2) is exactly the corpus word set. The artifact
+    * also persists the raw counts so an append-only corpus delta
+    * refreshes incrementally (EnsureIncrementalSpec). */
   def ensureLmModel(s: SparkSession, d: String,
                     indexRoot: String = sys.props("java.io.tmpdir")): String = {
     import s.implicits._
-    ArtifactBuild.ensure(s,
-        SimilarityOps.indexPath(s, d, "documents.parquet", "lm", "v1",
-          indexRoot),
-        "model/_SUCCESS") { staging =>
-      lmModelFromCounts(bigramsOf(s, d)
-          .groupBy($"w1", $"w2").agg(count("*").as("c12")))
-        .write.mode("overwrite")
-        .parquet(new org.apache.hadoop.fs.Path(staging, "model").toString)
+    val listing = SimilarityOps.listingOf(s, d, Seq("documents.parquet"))
+    val parts = listing.map(_._1)
+    val path = new org.apache.hadoop.fs.Path(indexRoot,
+      SimilarityOps.indexDirName(d, "lm", "v2",
+        SimilarityOps.sigOf(parts))).toString
+    ArtifactBuild.ensure(s, path, "model/_SUCCESS") { staging =>
+      val st = staging.toString
+      val fs = staging.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // v2 layout persists the MERGEABLE counts (w1, w2, c12) next to
+      // the derived model, so an append-only corpus delta refreshes by
+      // summing the previous counts with the delta's bigram pass —
+      // O(delta text + counts state), no full-corpus re-scan (the
+      // LmStream batch-partial algebra, applied to the batch artifact).
+      val base = ArtifactBuild.findAppendBase(s, indexRoot,
+        SimilarityOps.indexPrefix(d, "lm", "v2"), parts, "model/_SUCCESS")
+      val counts = base match {
+        case Some((bpath, bparts)) =>
+          val deltaPaths = listing.collect {
+            case (part, full) if !bparts.contains(part) => full }
+          val deltaDocs = s.read.parquet(deltaPaths: _*)
+            .select($"doc_id", $"text")
+          s.read.parquet(s"$bpath/counts")
+            .unionAll(bigramsOfFrame(deltaDocs)
+              .groupBy($"w1", $"w2").agg(count("*").as("c12")))
+            .groupBy($"w1", $"w2").agg(sum($"c12").as("c12"))
+        case None =>
+          bigramsOf(s, d).groupBy($"w1", $"w2").agg(count("*").as("c12"))
+      }
+      counts.write.mode("overwrite").parquet(s"$st/counts")
+      ArtifactBuild.writeListing(fs, staging, parts)
+      lmModelFromCounts(s.read.parquet(s"$st/counts"))
+        .write.mode("overwrite").parquet(s"$st/model")
     }
   }
 
@@ -1890,7 +1916,11 @@ object TextOps {
     // the BIGINT composition order-invariant, so DuckDB's group order
     // cannot matter; substring/len count code points exactly like the
     // expression's codePointAt walk. Both engines truncate the final
-    // division toward zero.
+    // division toward zero. The final SELECT drives from `documents`
+    // with a LEFT JOIN so the oracle stays TOTAL over docs: an
+    // empty-text doc has no unnested chars (absent from `e`) but the
+    // Spark expression still emits its row — COALESCE reproduces the
+    // (0, 0, true, false) verdict for it.
     "x79_char_entropy" ->
       s"""WITH ch AS (SELECT doc_id, substring(text, CAST(i + 1 AS INT), 1) AS c
          |           FROM documents, unnest(range(len(text))) AS t(i)),
@@ -1898,14 +1928,14 @@ object TextOps {
          |e AS (SELECT doc_id,
          |        SUM(CAST(ROUND(n_c * ln(n_c) * 1000000.0, 0) AS BIGINT)) AS st,
          |        SUM(n_c) AS n FROM cnt GROUP BY 1)
-         |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
-         |  CAST((CAST(ROUND(ln(n) * 1000000.0, 0) AS BIGINT) * n - st) // n
-         |    AS BIGINT) AS entropy_micro,
-         |  (CAST(ROUND(ln(n) * 1000000.0, 0) AS BIGINT) * n - st) // n
+         |SELECT d.doc_id, COALESCE(CAST(e.n AS BIGINT), 0) AS n_chars,
+         |  COALESCE(CAST((CAST(ROUND(ln(e.n) * 1000000.0, 0) AS BIGINT) * e.n - e.st) // e.n
+         |    AS BIGINT), 0) AS entropy_micro,
+         |  COALESCE((CAST(ROUND(ln(e.n) * 1000000.0, 0) AS BIGINT) * e.n - e.st) // e.n, 0)
          |    < $LowEntropyMicro AS low_entropy,
-         |  (CAST(ROUND(ln(n) * 1000000.0, 0) AS BIGINT) * n - st) // n
+         |  COALESCE((CAST(ROUND(ln(e.n) * 1000000.0, 0) AS BIGINT) * e.n - e.st) // e.n, 0)
          |    > $HighEntropyMicro AS high_entropy
-         |FROM e ORDER BY doc_id""".stripMargin,
+         |FROM documents d LEFT JOIN e USING (doc_id) ORDER BY doc_id""".stripMargin,
     // x70: the identical quality double as x08 (same term order →
     // bitwise-equal IEEE arithmetic), scaled to micro-units; the
     // per-source threshold is quantile_cont = Spark's linear-

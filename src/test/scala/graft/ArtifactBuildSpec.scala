@@ -113,6 +113,34 @@ class ArtifactBuildSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("release is by-owner: a usurped lock is never deleted by the old holder") {
+    // simulates the overlong-build scenario: while this process's
+    // build runs, a peer breaks the (presumed-stale) lock and creates
+    // its own. The old holder's finally-release must verify ownership
+    // and leave the peer's lock in place — deleting it would let a
+    // THIRD builder start concurrently with the peer's build.
+    val root = java.nio.file.Files.createTempDirectory("graft-ensure-own")
+    val path = s"$root/artifact"
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new Path(path + ".lock")
+    ArtifactBuild.ensure(spark, path, "part/_MARKER") { staging =>
+      // a peer "breaks" our lock mid-build and installs its own
+      fs.delete(lock, false)
+      val out = fs.create(lock, false)
+      out.write("peer-FFFF".getBytes("UTF-8")); out.close()
+      val part = new Path(staging, "part")
+      fs.mkdirs(part)
+      fs.create(new Path(part, "_MARKER")).close()
+    }
+    assert(fs.exists(lock),
+      "the peer's lock must survive the old holder's release")
+    val in = fs.open(lock)
+    val buf = new Array[Byte](64); val n = in.read(buf); in.close()
+    assert(new String(buf, 0, n, "UTF-8") === "peer-FFFF")
+    fs.delete(lock, false)
+  }
+
   test("ensure is marker-complete under session-global dynamic partition overwrite") {
     // Under partitionOverwriteMode=dynamic the commit protocol leaves
     // _SUCCESS in its commit-staging dir, not the destination — which
