@@ -30,18 +30,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * keyed by poll id; an UNCOMMITTED batch replayed within the run is
   * served verbatim from the buffer; `commit` releases everything at or
   * below the committed offset, so driver memory holds only in-flight
-  * polls (≤ per_page events each). Across a DRIVER restart an
-  * uncommitted poll's rows are gone — the API cannot re-serve the
-  * past, the socket-source caveat. Deployments that need replayable
-  * raw history keep the reference's land-to-disk shape (`pollEvents` →
-  * file drop): the archive of record is files; this source is the
-  * low-latency tail. The id-keyed watermark dedup downstream absorbs
-  * the overlap between consecutive polls (the reference's ZADD-NX).
+  * polls (≤ per_page events each).
+  *
+  * DURABLE LANDING (`archiveDir`): with the option set, every poll is
+  * written to `<archiveDir>/poll-NNNNNN.ndjson` (temp + atomic rename)
+  * BEFORE it is exposed to an offset — the reference's land-before-
+  * Redis discipline (`insert-events.js:41-63`). A driver restart then
+  * loses NOTHING: an uncommitted batch's poll replays from the archive
+  * (planInputPartitions falls back to the landed file when the poll
+  * predates this driver's buffer), and the archive doubles as the
+  * file-drop-shaped record of raw history (same NDJSON layout
+  * `pollEvents` lands, so the file-drop ingest can consume it).
+  * Without `archiveDir` the original TextSocket caveat applies: an
+  * uncommitted poll is gone across restart and the batch completes
+  * empty with a warning. The id-keyed watermark dedup downstream
+  * absorbs the overlap between consecutive polls (the reference's
+  * ZADD-NX).
   *
   * Options: `apiUrl` (stub-able), `token` (else GITHUB_TOKEN),
   * `maxPolls` — a bounded-run cap; without it every trigger polls
-  * again, the reference's endless loop. AvailableNow = ONE poll, then
-  * drain. */
+  * again, the reference's endless loop; `archiveDir` — durable
+  * land-before-expose. AvailableNow = ONE poll, then drain. */
 class GhEventsSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "ghevents"
 
@@ -72,12 +81,14 @@ private[sources] class GhEventsTable(props: Map[String, String])
     new GhEventsScanBuilder(
       props.getOrElse("apiurl", graft.streaming.GhFetch.DefaultApiUrl),
       props.get("token").orElse(sys.env.get("GITHUB_TOKEN")),
-      props.get("maxpolls").map(_.toLong))
+      props.get("maxpolls").map(_.toLong),
+      props.get("archivedir"))
 }
 
 private[sources] class GhEventsScanBuilder(apiUrl: String,
                                            token: Option[String],
-                                           maxPolls: Option[Long])
+                                           maxPolls: Option[Long],
+                                           archiveDir: Option[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = GhEventsSource.Schema
 
@@ -87,7 +98,8 @@ private[sources] class GhEventsScanBuilder(apiUrl: String,
   override def build(): Scan = new Scan {
     override def readSchema(): StructType = required
     override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-      new GhEventsMicroBatch(apiUrl, token, maxPolls, required.fieldNames)
+      new GhEventsMicroBatch(apiUrl, token, maxPolls, archiveDir,
+        required.fieldNames)
   }
 }
 
@@ -99,6 +111,7 @@ private[sources] case class GhPollOffset(n: Long) extends Offset {
 private[sources] class GhEventsMicroBatch(apiUrl: String,
                                           token: Option[String],
                                           maxPolls: Option[Long],
+                                          archiveDir: Option[String],
                                           fields: Array[String])
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   // poll id → that poll's NDJSON lines; retained until committed so an
@@ -116,8 +129,54 @@ private[sources] class GhEventsMicroBatch(apiUrl: String,
   private def canPoll: Boolean =
     maxPolls.forall(polls < _) && pollBudget.forall(_ > 0)
 
+  private def hadoopConf =
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+
+  private def archiveFile(id: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(archiveDir.get, f"poll-$id%06d.ndjson")
+
+  /** Land the poll durably BEFORE it can enter an offset: temp file +
+    * atomic rename, the reference's land-before-process discipline. A
+    * leftover file for the same id (a crashed driver's poll that never
+    * reached an offset) is superseded — the archive always equals what
+    * the offsets serve. A landing failure fails the poll, so the
+    * offset never advances past data that isn't on disk. */
+  private def landPoll(id: Long, lines: Array[String]): Unit =
+    archiveDir.foreach { dir =>
+      val dest = archiveFile(id)
+      val fs = dest.getFileSystem(hadoopConf)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+      val tmp = new org.apache.hadoop.fs.Path(
+        dir, f".poll-$id%06d-${System.nanoTime()}.tmp")
+      val out = fs.create(tmp, true)
+      try lines.foreach { l =>
+        out.write(l.getBytes("UTF-8")); out.write('\n') }
+      finally out.close()
+      if (fs.exists(dest)) fs.delete(dest, false)
+      if (!fs.rename(tmp, dest)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(s"could not land poll $id at $dest")
+      }
+    }
+
+  private def archivedLines(id: Long): Option[Array[String]] =
+    archiveDir.flatMap { dir =>
+      val p = archiveFile(id)
+      val fs = p.getFileSystem(hadoopConf)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        Some(txt.split("\n").filter(_.nonEmpty))
+      }
+    }
+
   private def pollOnce(): Unit = {
-    buffer(polls) = graft.streaming.GhFetch.pollLines(apiUrl, token).toArray
+    val lines = graft.streaming.GhFetch.pollLines(apiUrl, token).toArray
+    landPoll(polls, lines)
+    buffer(polls) = lines
     polls += 1
     pollBudget = pollBudget.map(_ - 1)
   }
@@ -147,14 +206,17 @@ private[sources] class GhEventsMicroBatch(apiUrl: String,
     (startOff.asInstanceOf[GhPollOffset].n until
         endOff.asInstanceOf[GhPollOffset].n).map { id =>
       // a poll missing from the buffer is an uncommitted batch from a
-      // PREVIOUS driver — its rows are unrecoverable (class doc); the
+      // PREVIOUS driver: with durable landing it replays from the
+      // archive (nothing committed OR landed is ever lost); without
+      // an archive its rows are unrecoverable (class doc) and the
       // batch completes empty with a note rather than failing the
       // restart forever
-      val lines = buffer.getOrElse(id, {
+      val lines = buffer.get(id).orElse(archivedLines(id)).getOrElse {
         System.err.println(s"[ghevents] poll $id predates this driver — " +
-          "rows lost (poll API is not replayable); emitting empty batch")
+          "rows lost (no archiveDir; poll API is not replayable); " +
+          "emitting empty batch")
         Array.empty[String]
-      })
+      }
       GhPollPartition(id, lines, fields): InputPartition
     }.toArray
 

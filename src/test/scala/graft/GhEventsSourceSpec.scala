@@ -87,6 +87,64 @@ class GhEventsSourceSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("durable landing: an uncommitted poll replays from the archive across restart") {
+    withStub { (api, hits) =>
+      val root = Files.createTempDirectory("graft-ghe-dur")
+      val (ckpt, arch) = (s"$root/ckpt", s"$root/archive")
+      val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, String)]()
+      val failBatch1Once = new java.util.concurrent.atomic.AtomicBoolean(true)
+      def run(expectFail: Boolean): Unit = {
+        val q = spark.readStream.format("ghevents")
+          .option("apiUrl", api).option("archiveDir", arch)
+          .load()
+          .writeStream
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+            // batch 1 "crashes the driver" after its offset is WAL'd
+            // but before it commits — the exact window the archive
+            // exists to cover
+            if (bid == 1L && failBatch1Once.getAndSet(false))
+              throw new RuntimeException("simulated driver crash")
+            df.collect().foreach(r =>
+              seen += ((bid, r.getLong(0), r.getString(1))))
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        if (expectFail)
+          intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+            q.awaitTermination(120000); q.stop()
+            throw new AssertionError("batch 1 must fail this run")
+          }
+        else assert(q.awaitTermination(120000))
+      }
+      run(expectFail = false)   // batch 0 = poll 0, committed
+      run(expectFail = true)    // poll 1 fetched+landed, batch 1 dies
+      run(expectFail = false)   // fresh "driver": batch 1 REPLAYS, then poll 2
+      assert(hits() === 3, "the replayed batch must come from the " +
+        "archive, not a fresh poll")
+
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      def norm(s: String) = om.writeValueAsString(om.readTree(s))
+      val wantLines = fixtureLines.take(5).map(norm).sorted
+      // the crashed poll's rows arrive intact in the replayed batch
+      val replayed = seen.filter(_._1 == 1L)
+      assert(replayed.map(_._2).distinct === Seq(1L))
+      assert(replayed.map(_._3).sorted === wantLines)
+      assert(seen.filter(_._1 == 0L).size === 5)
+      assert(seen.filter(_._1 == 2L).map(_._2).distinct === Seq(2L))
+
+      // archive ≡ the file-drop landing shape: one NDJSON file per
+      // poll, lines verbatim — consumable by the file-drop ingest
+      val files = new java.io.File(arch).listFiles()
+        .filter(_.getName.endsWith(".ndjson")).map(_.getName).sorted
+      assert(files.toSeq === Seq("poll-000000.ndjson",
+        "poll-000001.ndjson", "poll-000002.ndjson"))
+      val landed = scala.io.Source.fromFile(s"$arch/poll-000001.ndjson", "UTF-8")
+      val got = try landed.getLines().toList finally landed.close()
+      assert(got.sorted === wantLines)
+    }
+  }
+
   test("cleaning parity: ghevents → streamCleanLines ≡ file-drop → streamClean") {
     withStub { (api, _) =>
       // leg 1: the DSv2 poll source through the line-shaped cleaner
