@@ -29,28 +29,47 @@ def main(oracle_json, sfdir, reps=3):
             con.execute(sql).fetchall()
         except Exception as e:
             print(f"WARM-FAIL {name}: {e}", file=sys.stderr)
-    times = {}
-    unstable = {}
-    for name, sql in sqls.items():
+    def measure(sql, n):
         rep_times = []
-        for _ in range(reps):
+        for _ in range(n):
             t0 = time.perf_counter()
             try:
                 con.execute(sql).fetchall()
             except Exception:
                 break
             rep_times.append(time.perf_counter() - t0)
-        if rep_times:
-            times[name] = min(rep_times)
-            # symmetric with the Spark bench's estimator: the reported
-            # statistic is the min, so the flag is the agreement of the
-            # two best reps — if even they disagree >30%, the number is
-            # soft; single mid-rep outliers (GC, scheduler) are not
-            s = sorted(rep_times)
-            if len(s) >= 2 and s[0] > 0:
-                spread = (s[1] - s[0]) / s[0]
+        if not rep_times:
+            return None, 0.0
+        # symmetric with the Spark bench's estimator: the reported
+        # statistic is the min, so the flag is the agreement of the
+        # two best reps — if even they disagree >30%, the number is
+        # soft; single mid-rep outliers (GC, scheduler) are not
+        s = sorted(rep_times)
+        spread = (s[1] - s[0]) / s[0] if len(s) >= 2 and s[0] > 0 else 0.0
+        return min(rep_times), spread
+
+    times = {}
+    unstable = {}
+    for name, sql in sqls.items():
+        t, spread = measure(sql, reps)
+        if t is not None:
+            times[name] = t
+            if spread > 0.3:
+                unstable[name] = round(spread, 2)
+    # adaptive retry, symmetric with the Spark bench: flagged queries
+    # get their own reps doubled (up to two rounds); the min merges,
+    # the flag is re-judged on the larger retry sample
+    for rnd in (1, 2):
+        if not unstable:
+            break
+        for name in list(unstable):
+            t, spread = measure(sqls[name], reps * (2 ** rnd))
+            if t is not None:
+                times[name] = min(times[name], t)
                 if spread > 0.3:
                     unstable[name] = round(spread, 2)
+                else:
+                    del unstable[name]
     total = sum(times.values())
     print(json.dumps({"metric": "duckdb_total", "value": total,
                       "unit": "sec", "n_queries": len(times),

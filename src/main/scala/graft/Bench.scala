@@ -126,36 +126,57 @@ object Bench {
     // jittered sample; extra reps cost seconds and buy the flag its
     // signal.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "7").toInt.max(1)
-    val results = selected.toSeq.map { case (name, fn) =>
+    // The reported statistic is the MIN, so the instability flag
+    // measures the reliability of exactly that: the agreement of the
+    // two BEST steady reps ((2nd-best − best)/best over all reps but
+    // rep 1). Rep 1 always carries the query's one-time planning/
+    // codegen/listing cost (at small SF that alone exceeds 30% of a
+    // tiny runtime — measured 97/102 flagged when rep 1 was
+    // included); and a GC pause or scheduler hiccup on a shared host
+    // lands on single mid reps of a 40 ms query as 3× outliers that
+    // say nothing about whether the reported minimum reproduces. If
+    // even the two fastest runs disagree >30%, the per-query claim
+    // is genuinely soft — that is what the flag marks.
+    def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                n: Int): (Double, Boolean, Double) = {
       // GC hygiene between queries (JMH's between-iteration discipline):
       // without it, the previous query's garbage collects DURING this
-      // one's 40 ms reps and lands as phantom 2–5× outliers
+      // one's reps and lands as phantom 2–5× outliers
       System.gc()
-      val times = (1 to reps).map { _ =>
+      val times = (1 to n).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { run(fn, sfDir); true } catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val okTimes = times.filter(_._2).map(_._1)
-      // The reported statistic is the MIN, so the instability flag
-      // measures the reliability of exactly that: the agreement of the
-      // two BEST steady reps ((2nd-best − best)/best over all reps but
-      // rep 1). Rep 1 always carries the query's one-time planning/
-      // codegen/listing cost (at small SF that alone exceeds 30% of a
-      // tiny runtime — measured 97/102 flagged when rep 1 was
-      // included); and a GC pause or scheduler hiccup on a shared host
-      // lands on single mid reps of a 40 ms query as 3× outliers that
-      // say nothing about whether the reported minimum reproduces. If
-      // even the two fastest runs disagree >30%, the per-query claim
-      // is genuinely soft — that is what the flag marks. Full rep
-      // detail stays inspectable via the duckbench-symmetric estimator
-      // on the other engine; the min estimate itself uses every rep.
       val steady = times.drop(1).filter(_._2).map(_._1).sorted
       val spread = if (steady.size >= 2 && steady.head > 0)
         (steady(1) - steady.head) / steady.head else 0.0
-      (name, okTimes.minOption.getOrElse(0.0), times.exists(_._2), spread)
+      (okTimes.minOption.getOrElse(0.0), times.exists(_._2), spread)
     }
-    val good = results.filter(_._3)
+    var results = selected.toSeq.map { case (name, fn) =>
+      val (t, ok, sp) = measure(fn, reps)
+      (name, t, ok, sp, fn)
+    }
+    // ADAPTIVE retry: a flagged query gets its OWN reps doubled (up to
+    // two rounds) instead of the whole suite paying a global bump —
+    // the min merges across rounds, the spread is re-judged on the
+    // larger retry sample. A query still flagged after 4× reps is
+    // genuinely soft on this host and stays flagged.
+    var adaptiveRounds = 0
+    while (adaptiveRounds < 2 && results.exists(r => r._3 && r._4 > 0.3)) {
+      adaptiveRounds += 1
+      val factor = 1 << adaptiveRounds
+      results = results.map {
+        case (name, t, ok, sp, fn) if ok && sp > 0.3 =>
+          val (t2, ok2, sp2) = measure(fn, reps * factor)
+          if (ok2) (name, math.min(t, t2), true, sp2, fn)
+          else (name, t, ok, sp, fn)
+        case r => r
+      }
+    }
+    val good = results.map { case (n, t, ok, sp, _) => (n, t, ok, sp) }
+      .filter(_._3)
     val failed = results.filterNot(_._3).map(_._1)
     val qs = good.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1088,7 +1088,20 @@ object SimilarityOps {
     val assigned = ArtifactBuild.readCached(s, s"$root/assign")
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
-    val anchors = emb.join(broadcast(anchorIds.select($"qid")),
+    // Every EQUI-joined relation on the anchor side GROWS with the
+    // anchor batch (and `candidates` with anchors × probed-list size),
+    // so each of those hints rides the x72 escape hatch: disabling
+    // auto-broadcast (spark.sql.autoBroadcastJoinThreshold=-1) drops
+    // them and the joins shuffle on their keys — a conf flip, not a
+    // rewrite (equality under both plans is spec-pinned). The one
+    // CROSS join (per-anchor centroid ranking) keeps its hint
+    // unconditionally: a cross join has no shuffle alternative, and
+    // dropping the hint under a disabled threshold degrades it to
+    // CartesianProduct — strictly worse than broadcasting the batch.
+    val hinted = (df: DataFrame) =>
+      if (s.sessionState.conf.autoBroadcastJoinThreshold <= 0) df
+      else broadcast(df)
+    val anchors = emb.join(hinted(anchorIds.select($"qid")),
         emb("vec_id") === col("qid"))
       .select($"qid", $"e".as("qe"), quantize($"e").as("qq"))
     // per-anchor probed cells: integer-dot rank of the trained table
@@ -1099,11 +1112,11 @@ object SimilarityOps {
       .filter($"rn" <= NProbe)
       .select($"qid", $"cid".cast("int").as("cid"))
     val candidates = assigned
-      .join(broadcast(probeCids), "cid")
+      .join(hinted(probeCids), "cid")
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id")
-    emb.join(broadcast(candidates), "vec_id")
-      .join(broadcast(anchors.select($"qid", $"qe")), "qid")
+    emb.join(hinted(candidates), "vec_id")
+      .join(hinted(anchors.select($"qid", $"qe")), "qid")
       .select($"qid", $"vec_id",
         round(CoreQueries.cosine(s, $"e", $"qe"), 4).as("sim"))
       .filter($"sim" < HardNegCap)

@@ -411,4 +411,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
         "with the threshold disabled the qid join must shuffle")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
+
+  test("x69/x22/x06 broadcast→shuffle fallback: conf flips plans, not rows") {
+    // the same escape-hatch discipline extended to the probe family:
+    // every growing broadcast in the x69 mining core is gated on the
+    // standard threshold conf, and the x22/x06 bucket joins survive
+    // the flip — bitwise-equal output, no cartesian anywhere
+    val queries = Seq("x69_hard_negatives", "x22_knn_join", "x06_ann_lsh")
+    val defaults = queries.map { q =>
+      q -> SparkEntry.queries(q)(spark, sf).collect().map(_.toSeq).toSeq
+    }.toMap
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      queries.foreach { q =>
+        val df = SparkEntry.queries(q)(spark, sf)
+        assert(df.collect().map(_.toSeq).toSeq === defaults(q),
+          s"$q must be bitwise-stable under the conf flip")
+        val p = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        assert(!p.contains("CartesianProduct"),
+          s"$q must not degrade to a cartesian under the conf flip")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }
