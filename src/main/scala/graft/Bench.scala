@@ -51,6 +51,16 @@ object Bench {
       // count, which AQE never coalesces.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "false")
+      // ObjectHashAggregateExec (TypedImperativeAggregate hosts: the
+      // graft_topk heap, percentile, collect_*) falls back to
+      // SORT-BASED aggregation after this many distinct keys per
+      // partition — default 128, which silently re-introduces a full
+      // per-partition sort for any grouped sketch/top-K over more than
+      // a few groups. Heap state is ~(k+1)·16 bytes per group, so a
+      // million in-memory groups cost tens of MB; deployments size
+      // this to executor heap like any other aggregate buffer knob.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "1000000"))
       .config("spark.ui.enabled", "false")
     // Extra session confs for A/B experiments:
     // SPARK_GRAFT_CONF="spark.x=1;spark.y=2".

@@ -1115,15 +1115,27 @@ object SimilarityOps {
       .join(hinted(probeCids), "cid")
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id")
+    // per-anchor top-K via the bounded graft_topk aggregate instead of
+    // a rank window: the window SORTS every candidate row per anchor
+    // partition, while the aggregate keeps k entries per anchor with
+    // map-side partial merge — at x72's anchor counts (every dup-pair
+    // endpoint) the candidate relation is millions of rows and the
+    // sort was the dominant cost. Heap order (score DESC, id ASC)
+    // ≡ the window's (sim DESC, vec_id) — equivalence pinned in
+    // TopKAggregateSpec; x72's k=3 rides the codegen declarative
+    // route, x69's k=5 the bounded heap.
+    graft.plans.GraftExpressions.register(s)
     emb.join(hinted(candidates), "vec_id")
       .join(hinted(anchors.select($"qid", $"qe")), "qid")
       .select($"qid", $"vec_id",
         round(CoreQueries.cosine(s, $"e", $"qe"), 4).as("sim"))
       .filter($"sim" < HardNegCap)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")))
-      .filter($"rn" <= k)
-      .select($"qid", $"rn".cast("long").as("rn"), $"vec_id", $"sim")
+      .groupBy($"qid")
+      .agg(call_function(graft.plans.GraftExpressions.TopKFn,
+        $"sim", $"vec_id", lit(k)).as("top"))
+      .select($"qid", posexplode($"top"))
+      .select($"qid", ($"pos" + 1).cast("long").as("rn"),
+        $"col.id".as("vec_id"), $"col.score".as("sim"))
   }
 
   /** Negatives per triplet anchor (each anchor fans out to its
