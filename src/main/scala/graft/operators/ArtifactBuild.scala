@@ -209,6 +209,47 @@ private[graft] object ArtifactBuild {
     }.sortBy(-_._2.size).headOption
   }
 
+  /** Byte-level carry-over of a completed artifact piece into a new
+    * build's staging dir: the base piece's files copy as-is — no
+    * decode, no shuffle, no re-encode — so an incremental refresh of
+    * a union-mergeable piece (postings, bucketed signatures) pays
+    * pure copy IO for the base (server-side copy on object stores)
+    * plus real compute only for the delta. */
+  def copyPiece(s: SparkSession, from: Path, to: Path): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = from.getFileSystem(conf)
+    if (!org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, to, false, conf))
+      throw new java.io.IOException(s"artifact piece copy failed: $from -> $to")
+  }
+
+  /** Layer a delta's partitioned write into a carried-over piece: each
+    * `key=value` directory's data files MOVE from the delta's temp dir
+    * into the matching directory under `dest` (created if the delta
+    * introduces a new partition), renamed with a delta prefix so a
+    * base file of the same name can never be clobbered. Union
+    * semantics only — correct for pieces whose relation is a bag the
+    * serve path aggregates (postings, bucket membership), never for
+    * keyed state that must merge by key. */
+  def layerPartitioned(fs: org.apache.hadoop.fs.FileSystem,
+                       deltaTmp: Path, dest: Path, tag: String): Unit = {
+    fs.listStatus(deltaTmp).filter(_.isDirectory).foreach { pd =>
+      val target = new Path(dest, pd.getPath.getName)
+      fs.mkdirs(target)
+      fs.listStatus(pd.getPath)
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .foreach { f =>
+          if (!fs.rename(f.getPath,
+              new Path(target, s"$tag-${f.getPath.getName}")))
+            throw new java.io.IOException(
+              s"delta layer rename failed: ${f.getPath} -> $target")
+        }
+    }
+    fs.delete(deltaTmp, true)
+  }
+
   /** Ensure the artifact at `path` exists and is complete; build it
     * via `build(stagingDir)` if not. Returns `path`.
     *

@@ -207,22 +207,63 @@ object SearchOps {
     * The build pays one corpus tokenize + one (doc_id, term) shuffle —
     * the standard index-construction cost, amortized over every
     * subsequent query (repeated-query serving is the production mode
-    * for decontamination triage / eval-slice assembly). */
+    * for decontamination triage / eval-slice assembly).
+    *
+    * INCREMENTAL refresh (the ensureOverlapIndex discipline): when a
+    * completed sibling artifact covers a strict subset of this corpus
+    * listing — a true append — the new artifact merges instead of
+    * re-tokenizing the corpus. Both pieces are merge-EXACT: postings
+    * rows are per-document (base and delta doc_ids are disjoint, so
+    * the merged relation is the bag union — base partition files
+    * carry over byte-for-byte, delta files layer in), and stats is a
+    * two-long sum. Cost is O(delta text + base-index copy IO), never
+    * O(corpus text); the old corpus files are not read at all. */
   def ensureBm25Index(s: SparkSession, d: String,
-                      indexRoot: String = sys.props("java.io.tmpdir")): String =
-    ArtifactBuild.ensure(s, SimilarityOps.indexPath(
-        s, d, "documents.parquet", "bm25", "v1", indexRoot),
-        "postings/_SUCCESS") { staging =>
-      val docs = tokenizedOf(Tables.rebalance(Tables.documents(s, d)))
-        .localCheckpoint(false)
-      // stats FIRST (tiny), postings LAST — postings/_SUCCESS is the
-      // completion marker, so a crash between the writes re-builds
-      statsOf(docs).write.mode("overwrite")
-        .parquet(new org.apache.hadoop.fs.Path(staging, "stats").toString)
-      postingsOf(docs)
-        .write.mode("overwrite").partitionBy("tb")
-        .parquet(new org.apache.hadoop.fs.Path(staging, "postings").toString)
+                      indexRoot: String = sys.props("java.io.tmpdir")): String = {
+    import s.implicits._
+    val listing = SimilarityOps.listingOf(s, d, Seq("documents.parquet"))
+    val parts = listing.map(_._1)
+    val path = new org.apache.hadoop.fs.Path(indexRoot,
+      SimilarityOps.indexDirName(d, "bm25", "v2",
+        SimilarityOps.sigOf(parts))).toString
+    ArtifactBuild.ensure(s, path, "postings/_SUCCESS") { staging =>
+      val st = staging.toString
+      val fs = staging.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val base = ArtifactBuild.findAppendBase(s, indexRoot,
+        SimilarityOps.indexPrefix(d, "bm25", "v2"), parts,
+        "postings/_SUCCESS")
+      val merged = base.isDefined && {
+        val (bpath, bparts) = base.get
+        val deltaPaths = listing.collect {
+          case (part, full) if !bparts.contains(part) => full }
+        val delta = tokenizedOf(Tables.rebalance(
+          s.read.parquet(deltaPaths: _*))).localCheckpoint(false)
+        s.read.parquet(s"$bpath/stats").unionAll(statsOf(delta))
+          .agg(sum($"n_docs").as("n_docs"), sum($"sum_dl").as("sum_dl"))
+          .write.mode("overwrite").parquet(s"$st/stats")
+        ArtifactBuild.copyPiece(s, new org.apache.hadoop.fs.Path(bpath, "postings"),
+          new org.apache.hadoop.fs.Path(staging, "postings"))
+        val deltaTmp = new org.apache.hadoop.fs.Path(st + "-delta")
+        postingsOf(delta).write.mode("overwrite").partitionBy("tb")
+          .parquet(deltaTmp.toString)
+        ArtifactBuild.layerPartitioned(fs, deltaTmp,
+          new org.apache.hadoop.fs.Path(staging, "postings"), "delta")
+        true
+      }
+      if (!merged) {
+        val docs = tokenizedOf(Tables.rebalance(Tables.documents(s, d)))
+          .localCheckpoint(false)
+        // stats FIRST (tiny), postings LAST — postings/_SUCCESS is the
+        // completion marker, so a crash between the writes re-builds
+        statsOf(docs).write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(staging, "stats").toString)
+        postingsOf(docs)
+          .write.mode("overwrite").partitionBy("tb")
+          .parquet(new org.apache.hadoop.fs.Path(staging, "postings").toString)
+      }
+      ArtifactBuild.writeListing(fs, staging, parts)
     }
+  }
 
   /** x33b — BM25 served from the materialized index: the query's terms
     * become bucket LITERALS (static partition pruning — only the
@@ -298,23 +339,55 @@ object SearchOps {
     * as a SEPARATE artifact so the BM25 postings stay lean (most
     * queries never need positions; shipping them in every postings row
     * would tax the common case). Build cost is one corpus tokenize +
-    * one (doc_id, term) shuffle. */
+    * one (doc_id, term) shuffle.
+    *
+    * Incremental refresh mirrors ensureBm25Index exactly: positions
+    * rows are per-document, so an append merges as bag union — base
+    * partition files carry over byte-for-byte, only the delta is
+    * tokenized. */
   def ensurePhraseIndex(s: SparkSession, d: String,
-                        indexRoot: String = sys.props("java.io.tmpdir")): String =
-    ArtifactBuild.ensure(s, SimilarityOps.indexPath(
-        s, d, "documents.parquet", "phrase", "v1", indexRoot),
-        "positions/_SUCCESS") { staging =>
-      import s.implicits._
-      tokenizedOf(Tables.rebalance(Tables.documents(s, d)))
+                        indexRoot: String = sys.props("java.io.tmpdir")): String = {
+    import s.implicits._
+    val listing = SimilarityOps.listingOf(s, d, Seq("documents.parquet"))
+    val parts = listing.map(_._1)
+    val path = new org.apache.hadoop.fs.Path(indexRoot,
+      SimilarityOps.indexDirName(d, "phrase", "v2",
+        SimilarityOps.sigOf(parts))).toString
+    def positionsOf(docsFrame: org.apache.spark.sql.DataFrame) =
+      tokenizedOf(docsFrame)
         .select($"doc_id", posexplode($"toks"))
         .toDF("doc_id", "pos", "term")
         .groupBy($"doc_id", $"term")
         // 1-based positions, sorted so element_at(·, 1) is the first hit
         .agg(sort_array(collect_list($"pos" + 1)).as("positions"))
         .withColumn("tb", termBucketCol($"term"))
-        .write.mode("overwrite").partitionBy("tb")
-        .parquet(new org.apache.hadoop.fs.Path(staging, "positions").toString)
+    ArtifactBuild.ensure(s, path, "positions/_SUCCESS") { staging =>
+      val st = staging.toString
+      val fs = staging.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val base = ArtifactBuild.findAppendBase(s, indexRoot,
+        SimilarityOps.indexPrefix(d, "phrase", "v2"), parts,
+        "positions/_SUCCESS")
+      val merged = base.isDefined && {
+        val (bpath, bparts) = base.get
+        val deltaPaths = listing.collect {
+          case (part, full) if !bparts.contains(part) => full }
+        ArtifactBuild.copyPiece(s,
+          new org.apache.hadoop.fs.Path(bpath, "positions"),
+          new org.apache.hadoop.fs.Path(staging, "positions"))
+        val deltaTmp = new org.apache.hadoop.fs.Path(st + "-delta")
+        positionsOf(Tables.rebalance(s.read.parquet(deltaPaths: _*)))
+          .write.mode("overwrite").partitionBy("tb").parquet(deltaTmp.toString)
+        ArtifactBuild.layerPartitioned(fs, deltaTmp,
+          new org.apache.hadoop.fs.Path(staging, "positions"), "delta")
+        true
+      }
+      if (!merged)
+        positionsOf(Tables.rebalance(Tables.documents(s, d)))
+          .write.mode("overwrite").partitionBy("tb")
+          .parquet(new org.apache.hadoop.fs.Path(staging, "positions").toString)
+      ArtifactBuild.writeListing(fs, staging, parts)
     }
+  }
 
   /** x67b — phrase search served from the positional index: the
     * phrase's terms become bucket literals (partition pruning), each

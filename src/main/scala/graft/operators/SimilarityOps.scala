@@ -151,16 +151,45 @@ object SimilarityOps {
       indexRoot, indexDirName(d, kind, version, sig)).toString
   }
 
+  /** Incremental refresh (the ensureBm25Index discipline): the bucket
+    * of a vector is a pure function of the vector and the FIXED
+    * md5-derived planes — no trained state — so an append merges as
+    * bag union: base bucket partition files carry over byte-for-byte,
+    * only the delta vectors are hashed. (Contrast ensureIvfIndex,
+    * which documents why IT must rebuild.) */
   def ensureAnnIndex(s: SparkSession, d: String,
                      indexRoot: String = sys.props("java.io.tmpdir")): String = {
     import s.implicits._
-    ArtifactBuild.ensure(s,
-        indexPath(s, d, "embeddings.parquet", "ann", "v1", indexRoot),
-        "_SUCCESS") { staging =>
-      Tables.embeddings(s, d)
-        .select($"vec_id", $"embedding".cast("array<double>").as("e"))
-        .withColumn("bucket", lshSignature(s, $"e").cast("int"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+    val listing = listingOf(s, d, Seq("embeddings.parquet"))
+    val parts = listing.map(_._1)
+    val path = new org.apache.hadoop.fs.Path(indexRoot,
+      indexDirName(d, "ann", "v2", sigOf(parts))).toString
+    def signed(emb: DataFrame) = emb
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      .withColumn("bucket", lshSignature(s, $"e").cast("int"))
+    ArtifactBuild.ensure(s, path, "_SUCCESS") { staging =>
+      val fs = staging.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val base = ArtifactBuild.findAppendBase(s, indexRoot,
+        indexPrefix(d, "ann", "v2"), parts, "_SUCCESS")
+      val merged = base.isDefined && {
+        val (bpath, bparts) = base.get
+        val deltaPaths = listing.collect {
+          case (part, full) if !bparts.contains(part) => full }
+        ArtifactBuild.copyPiece(s, new org.apache.hadoop.fs.Path(bpath), staging)
+        val deltaTmp = new org.apache.hadoop.fs.Path(staging.toString + "-delta")
+        signed(s.read.parquet(deltaPaths: _*))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(deltaTmp.toString)
+        ArtifactBuild.layerPartitioned(fs, deltaTmp, staging, "delta")
+        true
+      }
+      if (!merged)
+        signed(Tables.embeddings(s, d))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(staging.toString)
+      // (re)write the listing LAST: the carry-over copies the base's
+      // _listing, which must not survive as this artifact's metadata
+      ArtifactBuild.writeListing(fs, staging, parts)
     }
   }
 
@@ -330,7 +359,22 @@ object SimilarityOps {
     *    cids partition-prunes to just those list directories.
     * Same staged-rename concurrency discipline as ensureAnnIndex:
     * private staging dir, exactly one rename wins, `assign/_SUCCESS`
-    * is the completion marker (it is the LAST artifact written). */
+    * is the completion marker (it is the LAST artifact written).
+    *
+    * Deliberately NOT incremental (unlike ann/bm25/phrase/dsir/
+    * overlap/lm/cc): the trained centroids are a GLOBAL fixed point of
+    * Lloyd iterations over the whole corpus — appending vectors moves
+    * every centroid, so no merge of the old state reproduces the
+    * full-corpus build bit-for-bit, and bit-equality with the one-shot
+    * rebuild is this repo's incremental contract. The public
+    * alternative (assign new vectors against the FROZEN quantizer —
+    * how FAISS `add` after `train` behaves) is O(delta) but trades
+    * recall drift for it and breaks the unrolled-Lloyd oracle; a
+    * deploy that wants it can run `assign` over the frozen centroids
+    * table and append to `assign/` itself. Periodic retrain is the
+    * standard posture. (ensureIvfPqIndex and ensureRankIndex rebuild
+    * for the same reason: PQ codebooks and PageRank's power iteration
+    * are corpus-global.) */
   def ensureIvfIndex(s: SparkSession, d: String,
                      indexRoot: String = sys.props("java.io.tmpdir")): String = {
     import s.implicits._

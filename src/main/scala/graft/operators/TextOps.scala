@@ -880,17 +880,43 @@ object TextOps {
 
   /** The FITTED ratio table for a corpus dir, built once (the
     * ensureLmModel discipline — content-keyed path, staged rename):
-    * `model/` holds (b, lr6), ≤ [[DsirBuckets]] rows. */
+    * `model/` holds (b, lr6), ≤ [[DsirBuckets]] rows; `counts/` holds
+    * the MERGEABLE per-bucket (ct_r, ct_t) state the model derives
+    * from — persisted so an append-only corpus delta refreshes by
+    * SUMMING the delta's bucket counts into the previous state
+    * (DsirStream's exact batch algebra) and refitting the ≤ Buckets-
+    * row model, never re-tokenizing the corpus. */
   def ensureDsirModel(s: SparkSession, d: String,
                       indexRoot: String = sys.props("java.io.tmpdir")): String = {
     import s.implicits._
-    ArtifactBuild.ensure(s,
-        SimilarityOps.indexPath(s, d, "documents.parquet", "dsir", "v1",
-          indexRoot),
-        "model/_SUCCESS") { staging =>
-      dsirRatiosFromCounts(dsirToksOf(docs(s, d))
-          .groupBy($"b")
-          .agg(count(lit(1)).as("ct_r"), count_if($"is_t").as("ct_t")))
+    val listing = SimilarityOps.listingOf(s, d, Seq("documents.parquet"))
+    val parts = listing.map(_._1)
+    val path = new org.apache.hadoop.fs.Path(indexRoot,
+      SimilarityOps.indexDirName(d, "dsir", "v2",
+        SimilarityOps.sigOf(parts))).toString
+    def countsOf(df: org.apache.spark.sql.DataFrame) =
+      dsirToksOf(df).groupBy($"b")
+        .agg(count(lit(1)).as("ct_r"), count_if($"is_t").as("ct_t"))
+    ArtifactBuild.ensure(s, path, "model/_SUCCESS") { staging =>
+      val st = staging.toString
+      val fs = staging.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val base = ArtifactBuild.findAppendBase(s, indexRoot,
+        SimilarityOps.indexPrefix(d, "dsir", "v2"), parts,
+        "model/_SUCCESS")
+      val counts = base match {
+        case Some((bpath, bparts)) =>
+          val deltaPaths = listing.collect {
+            case (part, full) if !bparts.contains(part) => full }
+          s.read.parquet(s"$bpath/counts")
+            .unionAll(countsOf(Tables.rebalance(
+              s.read.parquet(deltaPaths: _*))))
+            .groupBy($"b")
+            .agg(sum($"ct_r").as("ct_r"), sum($"ct_t").as("ct_t"))
+        case None => countsOf(docs(s, d))
+      }
+      counts.write.mode("overwrite").parquet(s"$st/counts")
+      ArtifactBuild.writeListing(fs, staging, parts)
+      dsirRatiosFromCounts(s.read.parquet(s"$st/counts"))
         .write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(staging, "model").toString)
     }

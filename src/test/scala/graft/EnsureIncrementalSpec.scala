@@ -201,6 +201,159 @@ class EnsureIncrementalSpec extends AnyFunSuite with SparkTestSession {
     assert(got(12L) === 12L && got(13L) === 13L)
   }
 
+  /** Garble the pre-append original parquet file in place, preserving
+    * name:len:mtime — after this, any code path that opens it dies on
+    * corrupt parquet, so a passing refresh PROVES the old file was
+    * never read. */
+  private def garbleOriginal(docsDir: String): Unit = {
+    val orig = new java.io.File(docsDir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("append-")).head
+    val len = orig.length(); val mtime = orig.lastModified()
+    java.nio.file.Files.write(orig.toPath, Array.fill[Byte](len.toInt)(0x5A))
+    assert(orig.setLastModified(mtime)); assert(orig.length() === len)
+  }
+
+  private def appendBatch(rows: Seq[(Long, String, String)], docsDir: String,
+                          tag: String): Unit = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory(s"graft-inc-$tag").toString + "/out"
+    writeDocs(rows, tmp)
+    moveParts(tmp, docsDir, tag)
+  }
+
+  // search-family fixture: query terms (spark/window/merge/vector) and
+  // the exact phrase "window fast query" occur in BOTH batches with
+  // different frequencies, so merged df/tf/positions differ from either
+  // batch's alone
+  private val sBatch1 = Seq(
+    (1L, "spark window fast query merge vector engine", "src-a"),
+    (2L, "the window fast query path uses spark merge", "src-a"),
+    (3L, "nothing relevant appears here at all today", "src-b"))
+  private val sBatch2 = Seq(
+    (11L, "vector spark spark window fast query merge merge", "src-b"),
+    (12L, "window fast query window fast query repeated twice", "src-a"))
+
+  private def searchDF(rows: Seq[(Long, String, String)]) =
+    rows.toDF("doc_id", "text", "source").select($"doc_id", $"text")
+
+  test("BM25 index append refresh: carried postings + summed stats ≡ rebuild") {
+    import graft.operators.SearchOps
+    val root = java.nio.file.Files.createTempDirectory("graft-inc-bm")
+    val d = root.toString
+    val docsDir = s"$d/documents.parquet"
+    writeDocs(sBatch1, docsDir)
+    // default indexRoot: the serve path re-ensures there, and with the
+    // original file garbaged only an append-base hit can succeed
+    val basePath = SearchOps.ensureBm25Index(spark, d)
+    appendBatch(sBatch2, docsDir, "bm-b2")
+    garbleOriginal(docsDir)
+
+    val got = SearchOps.bm25SearchIndexed(spark, d)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(SearchOps.ensureBm25Index(spark, d) !== basePath)
+    val want = SearchOps.bm25SearchOf(searchDF(sBatch1 ++ sBatch2))
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got === want,
+      "index served after merge must equal the one-shot scan bit-for-bit")
+    assert(got.size >= 4, "both batches' docs must rank")
+    // stats piece merged by sum, not recomputed from the corpus
+    val stats = spark.read.parquet(
+      s"${SearchOps.ensureBm25Index(spark, d)}/stats")
+      .as[(Long, Long)].collect().head
+    val wantStats = (sBatch1 ++ sBatch2).map(_._2.split("\\s+").length)
+    assert(stats === ((wantStats.size.toLong, wantStats.sum.toLong)))
+  }
+
+  test("phrase index append refresh: carried positions ≡ rebuild") {
+    import graft.operators.SearchOps
+    val root = java.nio.file.Files.createTempDirectory("graft-inc-ph")
+    val d = root.toString
+    val docsDir = s"$d/documents.parquet"
+    writeDocs(sBatch1, docsDir)
+    val basePath = SearchOps.ensurePhraseIndex(spark, d)
+    appendBatch(sBatch2, docsDir, "ph-b2")
+    garbleOriginal(docsDir)
+
+    val got = SearchOps.phraseSearchIndexed(spark, d)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(SearchOps.ensurePhraseIndex(spark, d) !== basePath)
+    val want = SearchOps.phraseSearchOf(searchDF(sBatch1 ++ sBatch2))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === want)
+    // doc 12 carries the phrase twice — a delta-only fact; doc 1/2 are
+    // base-only facts served from carried-over files
+    assert(got.exists { case (id, n, _) => id == 12L && n == 2L })
+    assert(got.exists(_._1 == 1L) && got.exists(_._1 == 2L))
+  }
+
+  test("ANN LSH index append refresh: carried buckets ≡ rebuild") {
+    import graft.operators.SimilarityOps
+    val rnd = new scala.util.Random(7)
+    def vecs(ids: Range): Seq[(Long, Seq[Float], Int)] =
+      ids.map(i => (i.toLong,
+        Seq.fill(SimilarityOps.Dim)(rnd.nextFloat() * 2f - 1f), i % 3))
+    val b1 = vecs(0 until 12); val b2 = vecs(20 until 28)
+    def writeEmb(rows: Seq[(Long, Seq[Float], Int)], dir: String): Unit =
+      rows.toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val root = java.nio.file.Files.createTempDirectory("graft-inc-ann")
+    val d = root.toString
+    val embDir = s"$d/embeddings.parquet"
+    writeEmb(b1, embDir)
+    val basePath = SimilarityOps.ensureAnnIndex(spark, d)
+    // append + garble (same protocol, embeddings table)
+    val tmp2 = java.nio.file.Files
+      .createTempDirectory("graft-inc-ann-b2").toString + "/out"
+    writeEmb(b2, tmp2)
+    moveParts(tmp2, embDir, "b2")
+    val orig = new java.io.File(embDir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("append-")).head
+    val len = orig.length(); val mtime = orig.lastModified()
+    java.nio.file.Files.write(orig.toPath, Array.fill[Byte](len.toInt)(0x5A))
+    assert(orig.setLastModified(mtime)); assert(orig.length() === len)
+
+    val incPath = SimilarityOps.ensureAnnIndex(spark, d)
+    assert(incPath !== basePath)
+    val got = spark.read.parquet(incPath)
+      .select($"vec_id", $"bucket".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val want = (b1 ++ b2).toDF("vec_id", "embedding", "label")
+      .select($"vec_id", SimilarityOps.lshSignature(spark,
+        $"embedding".cast("array<double>")).as("bucket"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === want,
+      "merged bucket index must place every vector exactly as a rebuild")
+    assert(got.size === b1.size + b2.size)
+  }
+
+  test("DSIR model append refresh: summed bucket counts ≡ rebuild") {
+    import graft.operators.TextOps
+    val root = java.nio.file.Files.createTempDirectory("graft-inc-ds")
+    val d = root.toString
+    val docsDir = s"$d/documents.parquet"
+    writeDocs(batch1, docsDir)
+    val basePath = TextOps.ensureDsirModel(spark, d)
+    appendBatch(batch2, docsDir, "ds-b2")
+    garbleOriginal(docsDir)
+
+    val incPath = TextOps.ensureDsirModel(spark, d)
+    assert(incPath !== basePath)
+    val got = spark.read.parquet(s"$incPath/model")
+      .as[(Long, Long)].collect().toSet
+    val union = (batch1 ++ batch2).toDF("doc_id", "text", "source")
+      .select($"doc_id", $"text", lit("en").as("lang"))
+    val want = TextOps.dsirRatiosFromCounts(TextOps.dsirToksOf(union)
+        .groupBy($"b")
+        .agg(count(lit(1)).as("ct_r"), count_if($"is_t").as("ct_t")))
+      .as[(Long, Long)].collect().toSet
+    assert(got === want,
+      "merged counts must refit bit-for-bit the one-shot model")
+    assert(got.nonEmpty)
+  }
+
   test("an in-place file change disqualifies the append-base") {
     // corpora are immutable by contract (content-keyed paths), so the
     // append-base detection must treat ANY in-place mutation — here a
