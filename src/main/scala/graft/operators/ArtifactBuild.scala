@@ -222,6 +222,18 @@ private[graft] object ArtifactBuild {
       throw new java.io.IOException(s"artifact piece copy failed: $from -> $to")
   }
 
+  /** Partition-dir file-count bound for [[layerPartitioned]]: every
+    * refresh layers up to a task's worth of delta files into each
+    * partition, so a nightly append cadence accretes hundreds of
+    * small files per directory over months — the classic small-files
+    * problem (every probe pays per-file open + footer overheads).
+    * Directories that cross the bound are COMPACTED during the staged
+    * build (reading only THOSE partitions), which amortizes to
+    * O(delta)-ish per refresh while keeping any partition's file
+    * count bounded for readers. */
+  private def compactMaxFiles: Int =
+    sys.props.getOrElse("graft.artifact.compact.maxFiles", "32").toInt
+
   /** Layer a delta's partitioned write into a carried-over piece: each
     * `key=value` directory's data files MOVE from the delta's temp dir
     * into the matching directory under `dest` (created if the delta
@@ -229,23 +241,47 @@ private[graft] object ArtifactBuild {
     * base file of the same name can never be clobbered. Union
     * semantics only — correct for pieces whose relation is a bag the
     * serve path aggregates (postings, bucket membership), never for
-    * keyed state that must merge by key. */
-  def layerPartitioned(fs: org.apache.hadoop.fs.FileSystem,
-                       deltaTmp: Path, dest: Path, tag: String): Unit = {
+    * keyed state that must merge by key.
+    *
+    * Partitions whose file count exceeds [[compactMaxFiles]] after
+    * layering are rewritten compacted — safe because `dest` is still
+    * the private staging dir (no reader can observe the rewrite; a
+    * crash abandons staging wholesale). Only oversized partitions are
+    * decoded; the rest stay byte-carried. */
+  def layerPartitioned(s: SparkSession, deltaTmp: Path, dest: Path,
+                       tag: String): Unit = {
+    val fs = dest.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def dataFiles(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dir).toSeq.filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
     fs.listStatus(deltaTmp).filter(_.isDirectory).foreach { pd =>
       val target = new Path(dest, pd.getPath.getName)
       fs.mkdirs(target)
-      fs.listStatus(pd.getPath)
-        .filter { st =>
-          val n = st.getPath.getName
-          st.isFile && !n.startsWith("_") && !n.startsWith(".")
-        }
-        .foreach { f =>
+      dataFiles(pd.getPath).foreach { f =>
+        if (!fs.rename(f.getPath,
+            new Path(target, s"$tag-${f.getPath.getName}")))
+          throw new java.io.IOException(
+            s"delta layer rename failed: ${f.getPath} -> $target")
+      }
+      val files = dataFiles(target)
+      if (files.size > compactMaxFiles) {
+        // leaf-dir read: rows only, the partition value lives in the
+        // dir name and is reattached by the name staying the same
+        val rows = s.read.parquet(target.toString)
+          .coalesce(math.max(1, files.size / compactMaxFiles))
+        val tmp = new Path(dest, s".compact-${pd.getPath.getName}")
+        rows.write.mode("overwrite").parquet(tmp.toString)
+        files.foreach(f => fs.delete(f.getPath, false))
+        dataFiles(tmp).foreach { f =>
           if (!fs.rename(f.getPath,
-              new Path(target, s"$tag-${f.getPath.getName}")))
+              new Path(target, s"compact-${f.getPath.getName}")))
             throw new java.io.IOException(
-              s"delta layer rename failed: ${f.getPath} -> $target")
+              s"compaction rename failed: ${f.getPath} -> $target")
         }
+        fs.delete(tmp, true)
+      }
     }
     fs.delete(deltaTmp, true)
   }

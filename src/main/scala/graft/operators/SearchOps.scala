@@ -246,7 +246,7 @@ object SearchOps {
         val deltaTmp = new org.apache.hadoop.fs.Path(st + "-delta")
         postingsOf(delta).write.mode("overwrite").partitionBy("tb")
           .parquet(deltaTmp.toString)
-        ArtifactBuild.layerPartitioned(fs, deltaTmp,
+        ArtifactBuild.layerPartitioned(s, deltaTmp,
           new org.apache.hadoop.fs.Path(staging, "postings"), "delta")
         true
       }
@@ -377,7 +377,7 @@ object SearchOps {
         val deltaTmp = new org.apache.hadoop.fs.Path(st + "-delta")
         positionsOf(Tables.rebalance(s.read.parquet(deltaPaths: _*)))
           .write.mode("overwrite").partitionBy("tb").parquet(deltaTmp.toString)
-        ArtifactBuild.layerPartitioned(fs, deltaTmp,
+        ArtifactBuild.layerPartitioned(s, deltaTmp,
           new org.apache.hadoop.fs.Path(staging, "positions"), "delta")
         true
       }

@@ -180,7 +180,7 @@ object SimilarityOps {
         signed(s.read.parquet(deltaPaths: _*))
           .write.mode("overwrite").partitionBy("bucket")
           .parquet(deltaTmp.toString)
-        ArtifactBuild.layerPartitioned(fs, deltaTmp, staging, "delta")
+        ArtifactBuild.layerPartitioned(s, deltaTmp, staging, "delta")
         true
       }
       if (!merged)

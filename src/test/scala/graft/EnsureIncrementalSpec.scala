@@ -354,6 +354,56 @@ class EnsureIncrementalSpec extends AnyFunSuite with SparkTestSession {
     assert(got.nonEmpty)
   }
 
+  test("repeated appends compact oversized partitions, still ≡ rebuild") {
+    import graft.operators.SearchOps
+    val sBatch3 = Seq(
+      (21L, "spark vector merge window fast query third batch", "src-c"),
+      (22L, "merge vector spark window appears once more here", "src-c"))
+    val prop = "graft.artifact.compact.maxFiles"
+    val old = sys.props.get(prop)
+    sys.props(prop) = "2"
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft-inc-cp")
+      val d = root.toString
+      val docsDir = s"$d/documents.parquet"
+      writeDocs(sBatch1, docsDir)
+      SearchOps.ensureBm25Index(spark, d)
+      appendBatch(sBatch2, docsDir, "cp-b2")
+      garbleOriginal(docsDir)
+      SearchOps.ensureBm25Index(spark, d)     // refresh 1 (layers)
+      // garble the b2 append too: refresh 2 may only read b3
+      val b2file = new java.io.File(docsDir).listFiles()
+        .filter(_.getName.startsWith("append-cp-b2")).head
+      val len = b2file.length(); val mtime = b2file.lastModified()
+      java.nio.file.Files.write(b2file.toPath,
+        Array.fill[Byte](len.toInt)(0x5A))
+      assert(b2file.setLastModified(mtime))
+      appendBatch(sBatch3, docsDir, "cp-b3")
+      val finalPath = SearchOps.ensureBm25Index(spark, d)  // refresh 2
+
+      // every postings partition stays within the file bound
+      val parts = new java.io.File(s"$finalPath/postings").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("tb="))
+      assert(parts.nonEmpty)
+      parts.foreach { pd =>
+        val n = pd.listFiles().count { f =>
+          f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith(".") }
+        assert(n <= 2, s"${pd.getName} holds $n data files after compaction")
+      }
+      val got = SearchOps.bm25SearchIndexed(spark, d)
+        .as[(Long, Double, Long)].collect().toSeq
+      val want = SearchOps.bm25SearchOf(
+          searchDF(sBatch1 ++ sBatch2 ++ sBatch3))
+        .as[(Long, Double, Long)].collect().toSeq
+      assert(got === want,
+        "compacted twice-refreshed index must serve ≡ one-shot scan")
+    } finally {
+      old match { case Some(v) => sys.props(prop) = v
+                  case None => sys.props.remove(prop) }
+    }
+  }
+
   test("an in-place file change disqualifies the append-base") {
     // corpora are immutable by contract (content-keyed paths), so the
     // append-base detection must treat ANY in-place mutation — here a
