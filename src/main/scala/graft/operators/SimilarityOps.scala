@@ -375,6 +375,17 @@ object SimilarityOps {
     * standard posture. (ensureIvfPqIndex and ensureRankIndex rebuild
     * for the same reason: PQ codebooks and PageRank's power iteration
     * are corpus-global.) */
+  /** `assign/` with cid normalized to BIGINT regardless of what
+    * partition-type inference produced for this corpus's directory
+    * names (int while every seed id fits 32 bits, long beyond — see
+    * the write-side comment in ensureIvfIndex). Centroids' cid is a
+    * regular long data column and needs no normalization. */
+  private[operators] def ivfAssign(s: SparkSession, root: String): DataFrame = {
+    import s.implicits._
+    ArtifactBuild.readCached(s, s"$root/assign")
+      .select($"vec_id", $"cid".cast("long").as("cid"))
+  }
+
   def ensureIvfIndex(s: SparkSession, d: String,
                      indexRoot: String = sys.props("java.io.tmpdir")): String = {
     import s.implicits._
@@ -389,12 +400,17 @@ object SimilarityOps {
       val cents = kmeansCentroids(s, qv, KmeansIters).localCheckpoint(true)
       cents.write.mode("overwrite")
         .parquet(new org.apache.hadoop.fs.Path(staging, "centroids").toString)
-      // cid stored as INT: its domain is the seed vec_ids (small by
-      // construction), and parquet partition-value inference reads the
-      // partition attribute back as int — matching types keep the
-      // probe equi-join on the raw attribute so pruning applies
+      // cid is a seed vec_id, so it inherits the KEY's magnitude — a
+      // 64-bit id space overflows any int cast (the 25× sweep caught
+      // exactly that at copy 24: cid 2400001645 > Int.MaxValue). It is
+      // a partition column, so its read-back type comes from directory
+      // -name inference (int while every value fits, long beyond);
+      // every consumer normalizes to BIGINT via ivfAssign/long casts,
+      // which keeps the probe equi-join type-stable at any scale while
+      // DPP still applies (pruning accepts any join key referencing
+      // only partition columns).
       assign(s, qv, cents)
-        .select($"vec_id", $"cid".cast("int").as("cid"))
+        .select($"vec_id", $"cid")
         .write.mode("overwrite").partitionBy("cid")
         .parquet(new org.apache.hadoop.fs.Path(staging, "assign").toString)
     }
@@ -413,7 +429,7 @@ object SimilarityOps {
     import s.implicits._
     val root = ensureIvfIndex(s, d)
     val cents = ArtifactBuild.readCached(s, s"$root/centroids")
-    val assigned = ArtifactBuild.readCached(s, s"$root/assign")
+    val assigned = ivfAssign(s, root)
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
     val probe = emb.filter($"vec_id" === 0).select($"e".as("qe"))
@@ -422,7 +438,7 @@ object SimilarityOps {
     val probeCids = cents.crossJoin(broadcast(probeQ))
       .select($"cid", longDot(s, $"c", $"qq").as("dot"))
       .orderBy($"dot".desc, $"cid").limit(NProbe)
-      .select($"cid".cast("int").as("cid"))
+      .select($"cid".cast("long").as("cid"))
     val candidates = assigned.filter($"vec_id" =!= 0)
       .join(broadcast(probeCids), "cid")
       .select($"vec_id")
@@ -517,8 +533,8 @@ object SimilarityOps {
         "codes/_SUCCESS") { staging =>
       val ivf = ensureIvfIndex(s, d, indexRoot)
       val cents = ArtifactBuild.readCached(s, s"$ivf/centroids")
-        .select($"cid".cast("int").as("cid"), $"c")
-      val assigned = ArtifactBuild.readCached(s, s"$ivf/assign")
+        .select($"cid", $"c")
+      val assigned = ivfAssign(s, ivf)
       // residuals r = q − c(cid): one corpus scan, feeds the codebook
       // AND the encoder (checkpointed — the x13/x33 shared-base rule)
       val res = Tables.embeddings(s, d)
@@ -570,6 +586,7 @@ object SimilarityOps {
     val cents = ArtifactBuild.readCached(s, s"${ensureIvfIndex(s, d)}/centroids")
     val cb = ArtifactBuild.readCached(s, s"$root/codebook")
     val codes = ArtifactBuild.readCached(s, s"$root/codes")
+      .withColumn("cid", $"cid".cast("long"))
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
     val probe = emb.filter($"vec_id" === 0).select($"e".as("qe"))
@@ -578,9 +595,9 @@ object SimilarityOps {
     val probeCids = cents.crossJoin(broadcast(probeQ))
       .select($"cid", longDot(s, $"c", $"qq").as("dot"))
       .orderBy($"dot".desc, $"cid").limit(NProbe)
-      .select($"cid".cast("int").as("cid"))
+      .select($"cid".cast("long").as("cid"))
     // per-probed-list query residual, then the ADC lookup tables
-    val qres = cents.select($"cid".cast("int").as("cid"), $"c")
+    val qres = cents.select($"cid".cast("long").as("cid"), $"c")
       .join(broadcast(probeCids), "cid").crossJoin(broadcast(probeQ))
       .select($"cid", zip_with($"qq", $"c", (a, b) => a - b).as("qr"))
     val adcTab = qres.crossJoin(broadcast(cb))
@@ -702,8 +719,7 @@ object SimilarityOps {
     import s.implicits._
     val root = ensureIvfIndex(s, d)
     val cents = ArtifactBuild.readCached(s, s"$root/centroids")
-    val assigned = ArtifactBuild.readCached(s, s"$root/assign")
-      .select($"vec_id", $"cid".cast("long").as("cid"))
+    val assigned = ivfAssign(s, root)
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
     val mem = assigned
@@ -758,8 +774,7 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     val root = ensureIvfIndex(s, d)
     val cents = ArtifactBuild.readCached(s, s"$root/centroids")
-    val assigned = ArtifactBuild.readCached(s, s"$root/assign")
-      .select($"vec_id", $"cid".cast("long").as("cid"))
+    val assigned = ivfAssign(s, root)
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
     assigned
@@ -1129,7 +1144,7 @@ object SimilarityOps {
     import org.apache.spark.sql.expressions.Window
     val root = ensureIvfIndex(s, d)
     val cents = ArtifactBuild.readCached(s, s"$root/centroids")
-    val assigned = ArtifactBuild.readCached(s, s"$root/assign")
+    val assigned = ivfAssign(s, root)
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
     // Every EQUI-joined relation on the anchor side GROWS with the
@@ -1154,7 +1169,7 @@ object SimilarityOps {
       .withColumn("rn", row_number().over(
         Window.partitionBy($"qid").orderBy($"dot".desc, $"cid")))
       .filter($"rn" <= NProbe)
-      .select($"qid", $"cid".cast("int").as("cid"))
+      .select($"qid", $"cid".cast("long").as("cid"))
     val candidates = assigned
       .join(hinted(probeCids), "cid")
       .filter($"vec_id" =!= $"qid")

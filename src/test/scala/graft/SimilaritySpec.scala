@@ -435,4 +435,42 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
       }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
+
+  test("IVF family serves a corpus whose vec_ids exceed Int.MaxValue") {
+    // cid is a seed vec_id, so it inherits the key's 64-bit magnitude:
+    // the 25× sweep's key-shifted corpus put seed ids past 2^31 and the
+    // old `cid.cast("int")` in the assign/codes writes threw
+    // CAST_OVERFLOW under ANSI. This corpus plants seeds directly above
+    // Int.MaxValue (multiples of CentroidStep) plus the small
+    // PqSeedStep codebook seeds, and requires both ANN servers to
+    // build, probe, and rank — with partition pruning still in the
+    // plan now that the partition column reads back as BIGINT.
+    val rng = new scala.util.Random(41)
+    val dim = SimilarityOps.Dim
+    def vec(): Seq[Float] = Seq.fill(dim)(rng.nextGaussian().toFloat)
+    val step = SimilarityOps.CentroidStep.toLong
+    val bigSeeds = (0 until 4).map(j => (25_000_000L + j) * step) // > 2^31
+    val members = bigSeeds.flatMap(s => (1L to 6L).map(s + _))
+      .filter(_ % step != 0)
+    val pqSeeds = (1 to 10).map(_ * SimilarityOps.PqSeedStep.toLong)
+    val ids = (0L +: (bigSeeds ++ members ++ pqSeeds)).distinct
+    assert(bigSeeds.forall(_ > Int.MaxValue.toLong))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bigid-").toString
+    ids.map(i => (i, vec(), (i % 2).toInt))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+
+    for ((name, df) <- Seq("x12" -> SimilarityOps.annIvf(spark, dir),
+                           "x38" -> SimilarityOps.annIvfPq(spark, dir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"$name must keep partition pruning with BIGINT cids")
+      val got = df.select($"vec_id").as[Long].collect()
+      assert(got.length === SimilarityOps.TopK, s"$name row count")
+      assert(got.forall(id => ids.contains(id) && id != 0L), s"$name ids")
+      assert(got.exists(_ > Int.MaxValue.toLong),
+        s"$name must be able to return past-2^31 ids")
+    }
+  }
 }
