@@ -49,11 +49,12 @@ private[graft] object ArtifactBuild {
   private val buildLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  /** A lock held longer than this is presumed crashed and is broken.
-    * Must exceed the longest plausible artifact build; a legitimate
-    * build running past it re-opens the narrowed race (documented in
-    * `ensure`). Overridable per process for corpora whose index
-    * builds run long. */
+  /** A lock whose mtime has not advanced for this long is presumed
+    * crashed and is broken. Live holders refresh the mtime every
+    * staleLockMs/3 via [[LockHeartbeat]], so a legitimate build may
+    * run arbitrarily long past this threshold without being usurped;
+    * only a holder that died (no more heartbeats) ever looks stale.
+    * Overridable per process. */
   private def staleLockMs: Long =
     sys.props.getOrElse("graft.artifact.lock.staleMs", "600000").toLong
 
@@ -84,8 +85,8 @@ private[graft] object ArtifactBuild {
     * Losers poll rather than fail so that two driver processes
     * cold-starting the same index serialize instead of destroying
     * each other's rename. */
-  private def acquireCrossJvmLock(fs: org.apache.hadoop.fs.FileSystem,
-                                  lock: Path): String = {
+  private[graft] def acquireCrossJvmLock(fs: org.apache.hadoop.fs.FileSystem,
+                                         lock: Path): String = {
     val token =
       s"${ProcessHandle.current().pid()}-${java.util.UUID.randomUUID()}"
     var createFails = 0
@@ -141,11 +142,10 @@ private[graft] object ArtifactBuild {
     throw new IllegalStateException("unreachable")
   }
 
-  /** Release only if the lock still carries our token — if a peer broke
-    * our (overlong) hold and acquired its own lock, leave it alone. */
-  private def releaseCrossJvmLock(fs: org.apache.hadoop.fs.FileSystem,
-                                  lock: Path, token: String): Unit = {
-    val mine = try {
+  /** True iff the lock file currently carries exactly `token`. */
+  private def holdsToken(fs: org.apache.hadoop.fs.FileSystem,
+                         lock: Path, token: String): Boolean =
+    try {
       val in = fs.open(lock)
       try {
         val buf = new Array[Byte](token.getBytes("UTF-8").length + 1)
@@ -153,7 +153,43 @@ private[graft] object ArtifactBuild {
         n > 0 && new String(buf, 0, n, "UTF-8") == token
       } finally in.close()
     } catch { case _: java.io.IOException => false }
-    if (mine) fs.delete(lock, false)
+
+  /** Release only if the lock still carries our token — if a peer broke
+    * our (overlong) hold and acquired its own lock, leave it alone. */
+  private[graft] def releaseCrossJvmLock(fs: org.apache.hadoop.fs.FileSystem,
+                                         lock: Path, token: String): Unit =
+    if (holdsToken(fs, lock, token)) fs.delete(lock, false)
+
+  /** Holder-side liveness signal: while a build runs, a daemon thread
+    * refreshes the lock file's mtime every [[staleLockMs]]/3, so the
+    * breaker's staleness predicate (`mtime < now - staleLockMs`) can
+    * only ever fire against a CRASHED holder — a legitimate build
+    * running arbitrarily long past the threshold keeps its lock and
+    * is never usurped by a peer's concurrent (destructive) rebuild.
+    * The refresh is guarded by a token re-read: if a peer somehow
+    * broke the lock anyway (extreme clock skew), the heartbeat must
+    * not resurrect or re-stamp the PEER's lock. Refresh failures are
+    * swallowed — a lost heartbeat degrades to the pre-heartbeat
+    * narrowed race, never widens it. */
+  private[graft] final class LockHeartbeat(
+      fs: org.apache.hadoop.fs.FileSystem, lock: Path, token: String) {
+    private val intervalMs = math.max(50L, staleLockMs / 3)
+    @volatile private var stopped = false
+    private val thread = new Thread(() => {
+      while (!stopped) {
+        try Thread.sleep(intervalMs)
+        catch { case _: InterruptedException => }
+        if (!stopped) {
+          try {
+            if (holdsToken(fs, lock, token))
+              fs.setTimes(lock, System.currentTimeMillis(), -1)
+          } catch { case _: java.io.IOException => }
+        }
+      }
+    }, s"graft-artifact-lock-heartbeat")
+    thread.setDaemon(true)
+    def start(): this.type = { thread.start(); this }
+    def stop(): Unit = { stopped = true; thread.interrupt() }
   }
 
   /** Name of the artifact metadata file recording the source-file
@@ -295,13 +331,15 @@ private[graft] object ArtifactBuild {
     * again after each acquisition, so whichever builder loses either
     * race finds the winner's marker and becomes a no-op instead of
     * running its crash-recovery delete against a completed artifact.
-    * Remaining exposure: a build legitimately outliving the stale
-    * threshold (its lock is broken and a peer may start a second
-    * build — but the owner token keeps the overlong build's release
-    * from deleting the peer's lock, and the rename-break keeps two
-    * breakers from both "winning"), and the local FS's non-atomic
-    * create — both reduce to the pre-lockfile narrowed race, never
-    * widen it. */
+    * The holder heartbeats the lock mtime while the build runs, so a
+    * long-running build is never mistaken for a crashed one; only a
+    * dead holder's lock goes stale and is broken. Remaining exposure:
+    * a heartbeat starved longer than staleLockMs (GC pause of minutes,
+    * FS refusing setTimes) reduces to the pre-heartbeat narrowed race
+    * — the owner token keeps the overlong build's release from
+    * deleting the peer's lock, and the rename-break keeps two
+    * breakers from both "winning" — and the local FS's non-atomic
+    * create; neither widens the race. */
   def ensure(s: SparkSession, path: String, markerRel: String)
             (build: Path => Unit): String = {
     val hconf = s.sparkContext.hadoopConfiguration
@@ -314,6 +352,7 @@ private[graft] object ArtifactBuild {
         if (!fs.exists(new Path(path, markerRel))) {
           val lock = new Path(path + ".lock")
           val token = acquireCrossJvmLock(fs, lock)
+          val heartbeat = new LockHeartbeat(fs, lock, token).start()
           try {
             // re-check under the cross-JVM lock: another process may
             // have completed the build while this one waited
@@ -335,7 +374,10 @@ private[graft] object ArtifactBuild {
                 if (!fs.exists(marker)) fs.create(marker).close()
               }
             }
-          } finally releaseCrossJvmLock(fs, lock, token)
+          } finally {
+            heartbeat.stop()
+            releaseCrossJvmLock(fs, lock, token)
+          }
         }
       }
     path
