@@ -392,6 +392,12 @@ object SketchOps {
     * a 0.2% rank window at corpus scale — still a real validation. */
   val QuantDelta = 2.0 / QuantAccuracy + 0.002
 
+  /** Value-range histogram resolution for the exact branch's bucketed
+    * rank search: pass 1 counts per (group, bucket), so pass 2 reads
+    * only the ≤12 buckets that contain a needed rank — each holding
+    * ~n/QuantBuckets rows in expectation instead of the whole group. */
+  val QuantBuckets = 4096
+
   /** x35 — approximate percentiles via Spark's GK quantile summary
     * (percentile_approx: bounded-state, MERGEABLE partials — the only
     * shape that computes percentiles of 100 TB without sorting it;
@@ -401,46 +407,109 @@ object SketchOps {
     * between the exact continuous quantiles at p ± QuantDelta. The
     * hash-compared columns are the exact quantiles (q25 arithmetic);
     * the estimates live only inside the booleans — TRUE in the oracle,
-    * computed here. */
+    * computed here.
+    *
+    * The exact branch is DISTRIBUTED order statistics, never a
+    * per-group buffer (the earlier sort_array(collect_list) form put
+    * a whole group in one aggregation buffer — a single hot group at
+    * 100× OOMs that task):
+    *   pass 1  bucket every value into a QuantBuckets-bin histogram
+    *           of the group's [min,max] span (min/max ride the sketch
+    *           aggregate); cumulative bucket counts locate, for each
+    *           of the 12 needed order-statistic ranks, its bucket and
+    *           rank offset within that bucket;
+    *   pass 2  re-scan ONLY rows in located buckets (broadcast semi
+    *           join), collapse to distinct-value counts, and take the
+    *           rank-r statistic as the smallest value whose running
+    *           count inside its bucket reaches the local rank.
+    * All whole-corpus operations are hash aggregates; the windows run
+    * over per-group bucket frames (≤QuantBuckets rows) and per-bucket
+    * distinct values (~n/QuantBuckets) — bounded either way. The
+    * interpolation arithmetic is bit-identical to the sorted-array
+    * form: lo + (pos − ⌊pos⌋)·(hi − lo) at ranks ⌊pos⌋+1 / ⌈pos⌉+1. */
   def approxQuantiles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(s, d)
       .select($"l_returnflag".as("rf"), $"l_extendedprice".cast("double").as("v"))
 
     // Sketch branch — the production artifact: one grouped aggregate,
-    // GK summaries, bounded mergeable state.
+    // GK summaries, bounded mergeable state. The exact branch's
+    // bucketing bounds (min/max) ride the same pass for free.
     val ap = li.groupBy($"rf")
       .agg(count(lit(1)).as("n"),
         percentile_approx($"v", array(lit(0.5), lit(0.95)),
-          lit(QuantAccuracy)).as("ap"))
+          lit(QuantAccuracy)).as("ap"),
+        min($"v").as("vmin"), max($"v").as("vmax"))
+    val stats = ap.select($"rf", $"n", $"vmin", $"vmax")
 
-    // Exact branch — order statistics from the sorted group array,
-    // not the Percentile aggregate: Percentile builds a value→count
-    // map of the whole group per task and merges the maps (measured
-    // 7.5 s at sf0.1 as six separate calls, ~1.3 s fused into one
-    // buffer; a rank-window formulation still paid WindowExec's
-    // full-partition buffering at ~1.4 s). sort_array(collect_list)
-    // rides the SAME exchange as a grouped aggregate and sorts each
-    // group once; all six quantiles then interpolate from the one
-    // array — the continuous-quantile definition both engines share.
-    // Exactness at ANY scale means materializing the group somewhere
-    // (that is why the sketch is the production path); this form just
-    // refuses to also pay a per-task map merge for it.
-    val exact = li.groupBy($"rf")
-      .agg(sort_array(collect_list($"v")).as("sv"))
-    def q(p: Double): Column = {
-      val pos = lit(p) * (size($"sv") - 1)
-      val lo = element_at($"sv", (floor(pos) + 1).cast("int"))
-      val hi = element_at($"sv", (ceil(pos) + 1).cast("int"))
-      lo + (pos - floor(pos)) * (hi - lo)
-    }
+    // the 6 probed quantiles × 2 neighboring ranks each (1-indexed):
+    // pos = p·(n−1), ranks ⌊pos⌋+1 and ⌈pos⌉+1
+    val ps = Seq(0.5 - QuantDelta, 0.5, 0.5 + QuantDelta,
+                 0.95 - QuantDelta, 0.95, 0.95 + QuantDelta)
+    val pFrame = ps.zipWithIndex.map { case (p, i) => (i, p) }.toDF("pid", "p")
+    val needs = stats.crossJoin(broadcast(pFrame))
+      .withColumn("pos", $"p" * ($"n" - 1).cast("double"))
+      .select($"rf", $"pid", $"pos", explode(array(
+          struct(lit("lo").as("side"),
+            (floor($"pos") + 1).cast("long").as("rank")),
+          struct(lit("hi").as("side"),
+            (ceil($"pos") + 1).cast("long").as("rank")))).as("nd"))
+      .select($"rf", $"pid", $"pos", $"nd.side", $"nd.rank")
+
+    def bucketed(df: DataFrame): DataFrame =
+      df.join(broadcast(stats.select($"rf", $"vmin", $"vmax")), "rf")
+        .withColumn("b", when($"vmax" === $"vmin", lit(0)).otherwise(
+          least(floor(($"v" - $"vmin") / ($"vmax" - $"vmin")
+            * QuantBuckets), lit(QuantBuckets - 1)).cast("int")))
+        .drop("vmin", "vmax")
+
+    // pass 1: per-(group, bucket) counts; running totals over the
+    // ≤QuantBuckets-row per-group histogram locate each rank's bucket
+    val hist = bucketed(li).groupBy($"rf", $"b").agg(count(lit(1)).as("cnt"))
+    val wB = Window.partitionBy($"rf").orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumHist = hist
+      .withColumn("cumBefore", coalesce(sum($"cnt").over(wB), lit(0L)))
+    val located = cumHist.join(broadcast(needs),
+        cumHist("rf") === needs("rf") &&
+          $"rank" > $"cumBefore" && $"rank" <= $"cumBefore" + $"cnt")
+      .select(cumHist("rf"), $"b", $"pid", $"pos", $"side",
+        ($"rank" - $"cumBefore").as("localRank"))
+
+    // pass 2: distinct-value running counts INSIDE located buckets
+    // only; the rank-r statistic is the smallest value whose running
+    // count reaches the local rank
+    val nb = located.select($"rf", $"b").distinct()
+    val dv = bucketed(li).join(broadcast(nb), Seq("rf", "b"), "left_semi")
+      .groupBy($"rf", $"b", $"v").agg(count(lit(1)).as("c"))
+    val wV = Window.partitionBy($"rf", $"b").orderBy($"v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dvc = dv.withColumn("cum", sum($"c").over(wV))
+    val vals = dvc.join(broadcast(located), Seq("rf", "b"))
+      .where($"cum" >= $"localRank")
+      .groupBy($"rf", $"pid", $"side")
+      .agg(min($"v").as("ov"), max($"pos").as("pos"))
+
+    // interpolate — identical arithmetic to the sorted-array form
+    val qs = vals.groupBy($"rf", $"pid")
+      .agg(max(when($"side" === "lo", $"ov")).as("lov"),
+           max(when($"side" === "hi", $"ov")).as("hiv"),
+           max($"pos").as("pos"))
+      .withColumn("q", $"lov" + ($"pos" - floor($"pos")) * ($"hiv" - $"lov"))
+    val exact = qs.groupBy($"rf")
+      .agg(max(when($"pid" === 0, $"q")).as("q50lo"),
+           max(when($"pid" === 1, $"q")).as("q50"),
+           max(when($"pid" === 2, $"q")).as("q50hi"),
+           max(when($"pid" === 3, $"q")).as("q95lo"),
+           max(when($"pid" === 4, $"q")).as("q95"),
+           max(when($"pid" === 5, $"q")).as("q95hi"))
+
     ap.join(broadcast(exact), "rf")
       .select($"rf", $"n",
-        round(q(0.5), 4).as("p50"), round(q(0.95), 4).as("p95"),
-        ($"ap"(0) >= q(0.5 - QuantDelta) && $"ap"(0) <= q(0.5 + QuantDelta))
-          .as("ok50"),
-        ($"ap"(1) >= q(0.95 - QuantDelta) && $"ap"(1) <= q(0.95 + QuantDelta))
-          .as("ok95"))
+        round($"q50", 4).as("p50"), round($"q95", 4).as("p95"),
+        ($"ap"(0) >= $"q50lo" && $"ap"(0) <= $"q50hi").as("ok50"),
+        ($"ap"(1) >= $"q95lo" && $"ap"(1) <= $"q95hi").as("ok95"))
       .smallOrdered($"rf")
   }
 
