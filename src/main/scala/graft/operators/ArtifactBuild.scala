@@ -142,23 +142,50 @@ private[graft] object ArtifactBuild {
     throw new IllegalStateException("unreachable")
   }
 
-  /** True iff the lock file currently carries exactly `token`. */
+  /** True iff the lock file currently carries exactly `token`. The
+    * read LOOPS until the buffer fills or EOF: a legal short read
+    * would otherwise make the holder's own heartbeat and release see
+    * a foreign token — the heartbeat stops refreshing and the lock is
+    * orphaned until staleness expiry. */
   private def holdsToken(fs: org.apache.hadoop.fs.FileSystem,
                          lock: Path, token: String): Boolean =
     try {
       val in = fs.open(lock)
       try {
         val buf = new Array[Byte](token.getBytes("UTF-8").length + 1)
-        val n = in.read(buf)
+        var n = 0
+        var r = 0
+        while (n < buf.length && r >= 0) {
+          r = in.read(buf, n, buf.length - n)
+          if (r > 0) n += r
+        }
         n > 0 && new String(buf, 0, n, "UTF-8") == token
       } finally in.close()
     } catch { case _: java.io.IOException => false }
 
   /** Release only if the lock still carries our token — if a peer broke
-    * our (overlong) hold and acquired its own lock, leave it alone. */
+    * our (overlong) hold and acquired its own lock, leave it alone.
+    * Also reaps any `.broken-*` capture still carrying our token: if a
+    * breaker renamed our (heartbeat-fresh) lock aside in the window
+    * between its staleness read and its rename-back re-check, the
+    * holder releasing RIGHT THEN would see no lock file and no-op,
+    * and the breaker's rename-back would re-install a lock whose
+    * holder is gone — an orphan blocking every acquirer for a full
+    * staleLockMs. Deleting our broken capture here makes the breaker's
+    * rename-back fail instead (it tolerates that), so no orphan. */
   private[graft] def releaseCrossJvmLock(fs: org.apache.hadoop.fs.FileSystem,
-                                         lock: Path, token: String): Unit =
+                                         lock: Path, token: String): Unit = {
     if (holdsToken(fs, lock, token)) fs.delete(lock, false)
+    else {
+      try {
+        val pat = new Path(lock.toString + ".broken-*")
+        val captures = Option(fs.globStatus(pat)).getOrElse(Array.empty)
+        captures.foreach { st =>
+          if (holdsToken(fs, st.getPath, token)) fs.delete(st.getPath, false)
+        }
+      } catch { case scala.util.control.NonFatal(_) => }
+    }
+  }
 
   /** Holder-side liveness signal: while a build runs, a daemon thread
     * refreshes the lock file's mtime every [[staleLockMs]]/3, so the
@@ -168,9 +195,15 @@ private[graft] object ArtifactBuild {
     * is never usurped by a peer's concurrent (destructive) rebuild.
     * The refresh is guarded by a token re-read: if a peer somehow
     * broke the lock anyway (extreme clock skew), the heartbeat must
-    * not resurrect or re-stamp the PEER's lock. Refresh failures are
-    * swallowed — a lost heartbeat degrades to the pre-heartbeat
-    * narrowed race, never widens it. */
+    * not resurrect or re-stamp the PEER's lock. ALL refresh failures
+    * are swallowed (NonFatal, not just IOException — some FileSystem
+    * wrappers throw UnsupportedOperationException or other runtime
+    * errors from setTimes, and an escaping throw would kill the
+    * thread and silently revert to the pre-heartbeat usurpation
+    * race): a lost heartbeat degrades to that narrowed race, never
+    * widens it. A filesystem that does not support setTimes at all is
+    * logged once and the thread exits — every subsequent tick would
+    * fail identically. */
   private[graft] final class LockHeartbeat(
       fs: org.apache.hadoop.fs.FileSystem, lock: Path, token: String) {
     private val intervalMs = math.max(50L, staleLockMs / 3)
@@ -183,7 +216,15 @@ private[graft] object ArtifactBuild {
           try {
             if (holdsToken(fs, lock, token))
               fs.setTimes(lock, System.currentTimeMillis(), -1)
-          } catch { case _: java.io.IOException => }
+          } catch {
+            case _: UnsupportedOperationException =>
+              System.err.println(
+                s"[graft] $fs does not support setTimes — artifact lock " +
+                s"$lock cannot heartbeat; builds longer than " +
+                s"${staleLockMs / 1000}s may be usurped as stale")
+              stopped = true
+            case scala.util.control.NonFatal(_) =>
+          }
         }
       }
     }, s"graft-artifact-lock-heartbeat")

@@ -392,12 +392,6 @@ object SketchOps {
     * a 0.2% rank window at corpus scale — still a real validation. */
   val QuantDelta = 2.0 / QuantAccuracy + 0.002
 
-  /** Value-range histogram resolution for the exact branch's bucketed
-    * rank search: pass 1 counts per (group, bucket), so pass 2 reads
-    * only the ≤12 buckets that contain a needed rank — each holding
-    * ~n/QuantBuckets rows in expectation instead of the whole group. */
-  val QuantBuckets = 4096
-
   /** x35 — approximate percentiles via Spark's GK quantile summary
     * (percentile_approx: bounded-state, MERGEABLE partials — the only
     * shape that computes percentiles of 100 TB without sorting it;
@@ -409,47 +403,61 @@ object SketchOps {
     * the estimates live only inside the booleans — TRUE in the oracle,
     * computed here.
     *
-    * The exact branch is DISTRIBUTED order statistics, never a
-    * per-group buffer (the earlier sort_array(collect_list) form put
-    * a whole group in one aggregation buffer — a single hot group at
-    * 100× OOMs that task):
-    *   pass 1  bucket every value into a QuantBuckets-bin histogram
-    *           of the group's [min,max] span (min/max ride the sketch
-    *           aggregate); cumulative bucket counts locate, for each
-    *           of the 12 needed order-statistic ranks, its bucket and
-    *           rank offset within that bucket;
-    *   pass 2  re-scan ONLY rows in located buckets (broadcast semi
-    *           join), collapse to distinct-value counts, and take the
-    *           rank-r statistic as the smallest value whose running
-    *           count inside its bucket reaches the local rank.
+    * The exact branch is DISTRIBUTED order statistics in exactly TWO
+    * corpus passes, never a per-group buffer (the earlier
+    * sort_array(collect_list) form put a whole group in one
+    * aggregation buffer — a single hot group at 100× OOMs that task):
+    *   pass 1  a graft_hist fixed-grid histogram (IEEE-754 sortable
+    *           buckets: no min/max needed, so it FUSES into the GK
+    *           sketch's own scan as one more grouped aggregate);
+    *           cumulative bucket counts locate, for each of the 12
+    *           needed order-statistic ranks, its bucket and rank
+    *           offset within that bucket;
+    *   pass 2  re-scan ONLY rows in located buckets (graft_dbucket +
+    *           broadcast semi join), collapse to distinct-value
+    *           counts, and take the rank-r statistic as the smallest
+    *           value whose running count inside its bucket reaches
+    *           the local rank.
+    * The fused pass-1 result (≤|groups| rows, each holding a
+    * few-thousand-entry histogram) sits behind a localCheckpoint so
+    * its four consumers (needs, the rank location, and the final
+    * rejoin) reuse ONE materialization — without it each reference
+    * re-derived the full-corpus aggregate (the round-11 5-scan plan).
     * All whole-corpus operations are hash aggregates; the windows run
-    * over per-group bucket frames (≤QuantBuckets rows) and per-bucket
-    * distinct values (~n/QuantBuckets) — bounded either way. The
-    * interpolation arithmetic is bit-identical to the sorted-array
-    * form: lo + (pos − ⌊pos⌋)·(hi − lo) at ranks ⌊pos⌋+1 / ⌈pos⌉+1. */
+    * over per-group histogram frames (≤ distinct buckets present) and
+    * per-bucket distinct values (~n/256 per octave) — bounded either
+    * way. The interpolation arithmetic is bit-identical to the
+    * sorted-array form: lo + (pos − ⌊pos⌋)·(hi − lo) at ranks
+    * ⌊pos⌋+1 / ⌈pos⌉+1. */
   def approxQuantiles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    import graft.plans.GraftExpressions.{DBucketFn, HistFn}
+    graft.plans.GraftExpressions.register(s)
     val li = Tables.lineitem(s, d)
       .select($"l_returnflag".as("rf"), $"l_extendedprice".cast("double").as("v"))
 
-    // Sketch branch — the production artifact: one grouped aggregate,
-    // GK summaries, bounded mergeable state. The exact branch's
-    // bucketing bounds (min/max) ride the same pass for free.
+    // THE corpus aggregate: GK sketch + row count + pass-1 histogram,
+    // one scan, all three mergeable bounded-state partials.
     val ap = li.groupBy($"rf")
       .agg(count(lit(1)).as("n"),
         percentile_approx($"v", array(lit(0.5), lit(0.95)),
           lit(QuantAccuracy)).as("ap"),
-        min($"v").as("vmin"), max($"v").as("vmax"))
-    val stats = ap.select($"rf", $"n", $"vmin", $"vmax")
+        call_function(HistFn, $"v").as("hist"))
+      .localCheckpoint(false)
 
     // the 6 probed quantiles × 2 neighboring ranks each (1-indexed):
-    // pos = p·(n−1), ranks ⌊pos⌋+1 and ⌈pos⌉+1
+    // pos = p·(n−1), ranks ⌊pos⌋+1 and ⌈pos⌉+1. The probe list is a
+    // LITERAL exploded array (not a broadcast crossJoin): a 6-row
+    // constant frame as a broadcast exchange costs a whole extra job
+    // at Spark's scheduling floor.
     val ps = Seq(0.5 - QuantDelta, 0.5, 0.5 + QuantDelta,
                  0.95 - QuantDelta, 0.95, 0.95 + QuantDelta)
-    val pFrame = ps.zipWithIndex.map { case (p, i) => (i, p) }.toDF("pid", "p")
-    val needs = stats.crossJoin(broadcast(pFrame))
-      .withColumn("pos", $"p" * ($"n" - 1).cast("double"))
+    val pArr = array(ps.zipWithIndex.map { case (p, i) =>
+      struct(lit(i).as("pid"), lit(p).as("p")) }: _*)
+    val needs = ap.select($"rf", $"n", explode(pArr).as("pp"))
+      .select($"rf", $"pp.pid".as("pid"),
+        ($"pp.p" * ($"n" - 1).cast("double")).as("pos"))
       .select($"rf", $"pid", $"pos", explode(array(
           struct(lit("lo").as("side"),
             (floor($"pos") + 1).cast("long").as("rank")),
@@ -457,53 +465,54 @@ object SketchOps {
             (ceil($"pos") + 1).cast("long").as("rank")))).as("nd"))
       .select($"rf", $"pid", $"pos", $"nd.side", $"nd.rank")
 
-    def bucketed(df: DataFrame): DataFrame =
-      df.join(broadcast(stats.select($"rf", $"vmin", $"vmax")), "rf")
-        .withColumn("b", when($"vmax" === $"vmin", lit(0)).otherwise(
-          least(floor(($"v" - $"vmin") / ($"vmax" - $"vmin")
-            * QuantBuckets), lit(QuantBuckets - 1)).cast("int")))
-        .drop("vmin", "vmax")
-
-    // pass 1: per-(group, bucket) counts; running totals over the
-    // ≤QuantBuckets-row per-group histogram locate each rank's bucket
-    val hist = bucketed(li).groupBy($"rf", $"b").agg(count(lit(1)).as("cnt"))
+    // rank location: running totals over each group's (already
+    // computed, checkpointed) histogram — tiny frames, no corpus scan
+    val hist = ap.select($"rf", explode($"hist").as("h"))
+      .select($"rf", $"h.b".as("b"), $"h.cnt".as("cnt"))
     val wB = Window.partitionBy($"rf").orderBy($"b")
       .rowsBetween(Window.unboundedPreceding, -1)
     val cumHist = hist
       .withColumn("cumBefore", coalesce(sum($"cnt").over(wB), lit(0L)))
+    // ≤ 12×|groups| rows (each (rf,pid,side) rank lands in exactly
+    // one bucket); lazily checkpointed so its two consumers (nb's
+    // semi-join broadcast and vals' rank-lookup broadcast) share one
+    // computation of the histogram window instead of re-running it
     val located = cumHist.join(broadcast(needs),
         cumHist("rf") === needs("rf") &&
           $"rank" > $"cumBefore" && $"rank" <= $"cumBefore" + $"cnt")
       .select(cumHist("rf"), $"b", $"pid", $"pos", $"side",
         ($"rank" - $"cumBefore").as("localRank"))
+      .localCheckpoint(false)
 
-    // pass 2: distinct-value running counts INSIDE located buckets
-    // only; the rank-r statistic is the smallest value whose running
-    // count reaches the local rank
+    // pass 2: running row ranks INSIDE located buckets only; the
+    // rank-r statistic is the smallest value whose running count
+    // reaches the local rank. row_number over the bucket (≤ a few
+    // thousand rows each — the grid guarantees it) is equivalent to
+    // cumulative distinct-value counts: tied rows share v, so the
+    // min-v pick lands on the same value — and costs ONE shuffle
+    // where a distinct-count aggregate + running-sum window cost two.
     val nb = located.select($"rf", $"b").distinct()
-    val dv = bucketed(li).join(broadcast(nb), Seq("rf", "b"), "left_semi")
-      .groupBy($"rf", $"b", $"v").agg(count(lit(1)).as("c"))
     val wV = Window.partitionBy($"rf", $"b").orderBy($"v")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val dvc = dv.withColumn("cum", sum($"c").over(wV))
-    val vals = dvc.join(broadcast(located), Seq("rf", "b"))
-      .where($"cum" >= $"localRank")
-      .groupBy($"rf", $"pid", $"side")
-      .agg(min($"v").as("ov"), max($"pos").as("pos"))
+    val dvc = li.withColumn("b", call_function(DBucketFn, $"v"))
+      .join(broadcast(nb), Seq("rf", "b"), "left_semi")
+      .withColumn("cum", row_number().over(wV).cast("long"))
 
     // interpolate — identical arithmetic to the sorted-array form
-    val qs = vals.groupBy($"rf", $"pid")
-      .agg(max(when($"side" === "lo", $"ov")).as("lov"),
-           max(when($"side" === "hi", $"ov")).as("hiv"),
-           max($"pos").as("pos"))
-      .withColumn("q", $"lov" + ($"pos" - floor($"pos")) * ($"hiv" - $"lov"))
-    val exact = qs.groupBy($"rf")
-      .agg(max(when($"pid" === 0, $"q")).as("q50lo"),
-           max(when($"pid" === 1, $"q")).as("q50"),
-           max(when($"pid" === 2, $"q")).as("q50hi"),
-           max(when($"pid" === 3, $"q")).as("q95lo"),
-           max(when($"pid" === 4, $"q")).as("q95"),
-           max(when($"pid" === 5, $"q")).as("q95hi"))
+    // (lo + (pos − ⌊pos⌋)·(hi − lo)), pivoted over the 6 probes so
+    // ONE grouped aggregate replaces the (rf,pid,side)→(rf,pid)→(rf)
+    // cascade — two fewer sub-second shuffle stages on the tail
+    val aggs = ps.indices.flatMap { i => Seq(
+      min(when($"pid" === i && $"side" === "lo", $"v")).as(s"lo$i"),
+      min(when($"pid" === i && $"side" === "hi", $"v")).as(s"hi$i"),
+      max(when($"pid" === i, $"pos")).as(s"pos$i")) }
+    def q(i: Int) =
+      col(s"lo$i") +
+        (col(s"pos$i") - floor(col(s"pos$i"))) * (col(s"hi$i") - col(s"lo$i"))
+    val exact = dvc.join(broadcast(located), Seq("rf", "b"))
+      .where($"cum" >= $"localRank")
+      .groupBy($"rf").agg(aggs.head, aggs.tail: _*)
+      .select($"rf", q(0).as("q50lo"), q(1).as("q50"), q(2).as("q50hi"),
+        q(3).as("q95lo"), q(4).as("q95"), q(5).as("q95hi"))
 
     ap.join(broadcast(exact), "rf")
       .select($"rf", $"n",

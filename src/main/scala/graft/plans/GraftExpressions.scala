@@ -38,6 +38,8 @@ object GraftExpressions {
   val BloomProbeFn = "graft_bloom_might_contain"
   val PhrasePosFn = "graft_phrase_positions"
   val EntropyFn = "graft_entropy_micro"
+  val DBucketFn = "graft_dbucket"
+  val HistFn = "graft_hist"
 
   /** Shared guard for the two set-count builders: the set argument must
     * be a constant string (it compiles into the expression). */
@@ -175,6 +177,13 @@ object GraftExpressions {
     (EntropyFn,
       "code-point Shannon entropy of a string in integer micro-nats",
       es => { arity(EntropyFn, es, 1); CharEntropyMicro(es.head) }),
+    (DBucketFn,
+      "fixed-grid IEEE-754 sortable bucket id of a double",
+      es => { arity(DBucketFn, es, 1); DoubleBucketExpr(es.head) }),
+    (HistFn,
+      "per-group fixed-grid value histogram (sorted array<struct<b,cnt>>)",
+      es => { arity(HistFn, es, 1)
+        SortableHist(es.head).toAggregateExpression() }),
   )
 
   /** Idempotent per-session registration. */

@@ -81,6 +81,41 @@ object AnnStream {
       .limit(SimilarityOps.TopK)
   }
 
+  /** The INGEST GATE (x05 served from the index): which vectors of a
+    * candidate batch near-duplicate something already held? The
+    * batch's hyperplane signatures are computed fresh (the vectors
+    * are new — a signature is a pure function of the vector), the
+    * corpus side is the persisted (batch, bucket)-partitioned index,
+    * and the join is the batch's multiprobe keys against the bucket
+    * partition column — cost O(batch), the corpus is never re-paired
+    * against itself. The batch side is broadcast (a micro-batch is
+    * bounded by the trigger), so the bucket equi-join prunes the
+    * state scan to the probed bucket directories, exactly like
+    * [[servedAnnLsh]]. A qualifying pair collides on exactly one mask
+    * (the xor of its two signatures), so no post-join dedup. The
+    * result equals the cross-(batch, corpus) slice of the one-shot
+    * x05 (`DedupOps.dedupEmbeddingFrame`) over (retained ∪ batch) —
+    * the gate an ingest pipeline runs BEFORE admitting the batch,
+    * pinned by AnnRetentionSpec under growth, replay, retention, and
+    * compaction. */
+  def servedIncomingNearDups(spark: SparkSession, stateDir: String,
+                             batch: DataFrame): DataFrame = {
+    val state = StateMaintenance.readOr(spark, stateDir, stateSchema)
+    val probes = batch
+      .select(col("vec_id").as("new_id"),
+        col("embedding").cast("array<double>").as("ne"))
+      .withColumn("qb",
+        SimilarityOps.lshSignature(spark, col("ne")).cast("int"))
+      .select(col("new_id"), col("ne"),
+        explode(array(SimilarityOps.ProbeMasks.map(m =>
+          col("qb").bitwiseXOR(lit(m.toInt))): _*)).as("bucket"))
+    state.join(broadcast(probes), "bucket")
+      .select(col("new_id"), col("vec_id").as("dup_of"),
+        round(CoreQueries.cosine(spark, col("ne"), col("e")), 4).as("sim"))
+      .filter(col("sim") >= graft.operators.DedupOps.CosineThreshold)
+      .orderBy(col("new_id"), col("dup_of"))
+  }
+
   /** Fold a committed prefix of batches into one partition (vector
     * rows are disjoint across batches — identity merge, bucket
     * partitioning preserved). */

@@ -62,6 +62,63 @@ class AnnRetentionSpec extends AnyFunSuite with SparkTestSession {
     assert(served(state) === inMemory(frame(b1, b2)))
   }
 
+  test("streaming ANN ingest gate: served equals the cross slice of one-shot x05") {
+    import graft.operators.DedupOps
+    val root = java.nio.file.Files.createTempDirectory("graft-ann-gate")
+    val state = s"$root/state"
+    val b0 = emb.filter($"vec_id" % 3 === 2)
+    val b1 = emb.filter($"vec_id" % 3 === 0)
+    // the candidate batch: the fixture's third split PLUS exact copies
+    // of three held vectors under new ids — guarantees the gate has
+    // real near-dups to find (cosine 1, hamming 0 — caught by
+    // construction), on top of whatever the fixture slices share
+    val copies = emb.filter($"vec_id".isin(0L, 3L, 6L))
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+    val batch = emb.filter($"vec_id" % 3 === 1).union(copies)
+
+    // expected: one-shot x05 over (held ∪ batch), cross pairs only,
+    // oriented (new_id, dup_of)
+    def frame(dfs: org.apache.spark.sql.DataFrame*) =
+      dfs.reduce(_ union _)
+        .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    def expected(held: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] = {
+      val batchIds = batch.select($"vec_id").as[Long].collect().toSet
+      DedupOps.dedupEmbeddingFrame(spark, frame(held, batch))
+        .as[(Long, Long, Double)].collect()
+        .filter { case (a, b, _) => batchIds(a) ^ batchIds(b) }
+        .map { case (a, b, s) =>
+          if (batchIds(a)) (a, b, s) else (b, a, s) }
+        .toSet
+    }
+    def gate(): Set[(Long, Long, Double)] =
+      AnnStream.servedIncomingNearDups(spark, state, batch)
+        .as[(Long, Long, Double)].collect().toSet
+
+    // empty state answers empty, not a path error
+    assert(gate().isEmpty)
+    AnnStream.processVectorBatch(b0, state, 0L)
+    AnnStream.processVectorBatch(b1, state, 1L)
+    val full = expected(b0.union(b1))
+    assert(full.nonEmpty, "the crafted copies must collide with their originals")
+    assert(gate() === full)
+    // the gate is batch-vs-corpus only: no within-batch pairs leak in
+    // (copies of vec_id 0/3/6 land in the batch together with nothing
+    // similar of their own) — implied by === but pinned explicitly
+    val batchIds = batch.select($"vec_id").as[Long].collect().toSet
+    assert(gate().forall { case (n, o, _) => batchIds(n) && !batchIds(o) })
+    // replay: rewriting a batch's partitions is a no-op
+    AnnStream.processVectorBatch(b1, state, 1L)
+    assert(gate() === full)
+    // retention: drop batch 0 → the gate compares against what remains
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(state, "batch_id=0"), true))
+    assert(gate() === expected(b1))
+    // compaction: answers unchanged
+    AnnStream.compactVectors(spark, state, 1L)
+    assert(gate() === expected(b1))
+  }
+
   test("streaming ANN: the file-drop stream lands every batch partition") {
     val root = java.nio.file.Files.createTempDirectory("graft-ann-drop")
     val in = s"$root/in"

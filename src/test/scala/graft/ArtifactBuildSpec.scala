@@ -141,6 +141,34 @@ class ArtifactBuildSpec extends AnyFunSuite with SparkTestSession {
     fs.delete(lock, false)
   }
 
+  test("release reaps a broken capture of its own lock; leaves foreign ones") {
+    // the breaker's rename-aside window: a breaker renamed our
+    // heartbeat-fresh lock to <lock>.broken-<breakerToken> and is
+    // about to re-check freshness. If we release RIGHT NOW, the lock
+    // file is gone (plain release would no-op) and the breaker's
+    // rename-back would re-install a lock whose holder has exited —
+    // an orphan blocking all acquirers for a full staleLockMs.
+    // Release must delete the captured file that still carries OUR
+    // token (making the rename-back fail harmlessly) and must NOT
+    // touch captures carrying someone else's token.
+    val root = java.nio.file.Files.createTempDirectory("graft-ensure-reap")
+    val fs = new Path(root.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new Path(s"$root/artifact.lock")
+    val token = ArtifactBuild.acquireCrossJvmLock(fs, lock)
+    val mine = new Path(lock.toString + ".broken-breakerA")
+    assert(fs.rename(lock, mine))   // the breaker captures our lock
+    val foreign = new Path(lock.toString + ".broken-breakerB")
+    val out = fs.create(foreign, false)
+    out.write("someone-else".getBytes("UTF-8")); out.close()
+    ArtifactBuild.releaseCrossJvmLock(fs, lock, token)
+    assert(!fs.exists(mine),
+      "release must reap the broken capture carrying its own token")
+    assert(fs.exists(foreign),
+      "release must not touch a capture carrying a foreign token")
+    fs.delete(foreign, false)
+  }
+
   test("a heartbeating long build is never usurped; a dead holder's lock still is") {
     // the round-10 verdict's remaining lock exposure: a legitimate
     // build running past staleLockMs used to have its lock broken and
@@ -150,8 +178,12 @@ class ArtifactBuildSpec extends AnyFunSuite with SparkTestSession {
     // cross-JVM acquire directly, bypassing the in-process lock) must
     // keep waiting for the whole 4x-staleLockMs build — while a lock
     // whose holder died (no heartbeats; old mtime) is still broken.
+    // staleLockMs=2000 with a ~666ms heartbeat leaves ~1.3s of margin:
+    // a GC/scheduler stall between heartbeats on a loaded box must not
+    // let the contender break a LIVE holder and flake the test (the
+    // original 600/200 margin was ~400ms — one bad pause).
     val prevStale = sys.props.get("graft.artifact.lock.staleMs")
-    sys.props("graft.artifact.lock.staleMs") = "600"
+    sys.props("graft.artifact.lock.staleMs") = "2000"
     try {
       val root = java.nio.file.Files.createTempDirectory("graft-ensure-hb")
       val path = s"$root/artifact"
@@ -166,7 +198,7 @@ class ArtifactBuildSpec extends AnyFunSuite with SparkTestSession {
           contenderToken.set(ArtifactBuild.acquireCrossJvmLock(fs, lock)))
         contender.setDaemon(true)
         contender.start()
-        Thread.sleep(2400)   // 4x staleLockMs — pre-heartbeat, usurped by ~600ms
+        Thread.sleep(8000)   // 4x staleLockMs — pre-heartbeat, usurped by ~2s
         usurpedDuringBuild = contenderToken.get() != null
         val part = new Path(staging, "part")
         fs.mkdirs(part)
