@@ -61,6 +61,20 @@ object Bench {
       // this to executor heap like any other aggregate buffer knob.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "1000000"))
+      // Optimizer-LATENCY knob for the serving-shaped workload this
+      // bench measures: constraint propagation re-derives inferred
+      // predicates (IsNotNull from joins/filters, transitive
+      // equalities) on EVERY plan construction, quadratic-ish in
+      // predicate count — measured 9% of the whole 115-query suite
+      // (44.5 vs 49.0 s, same host back-to-back) with ZERO plan-IO
+      // change: every pinned plan's filters are explicit, so the
+      // inferred extras never reach a scan here. Semantics are
+      // unaffected either way (the rule only ADDS implied
+      // predicates). A long-scan deployment (hours of execution per
+      // plan) should leave it on — this is a repeated-sub-second-
+      // query latency trade, like shuffle.partitions=8 above.
+      .config("spark.sql.constraintPropagation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CONSTRAINT_PROP", "false"))
       .config("spark.ui.enabled", "false")
     // Extra session confs for A/B experiments:
     // SPARK_GRAFT_CONF="spark.x=1;spark.y=2".

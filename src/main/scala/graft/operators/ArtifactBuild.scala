@@ -264,8 +264,14 @@ private[graft] object ArtifactBuild {
     val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val cur = currentParts.toSet
     val cands =
+      // hidden (dot/underscore-prefixed) dirs are private build state
+      // (staging, committer temp) — never candidates, even when a
+      // carried-over marker+listing makes one look momentarily
+      // complete mid-mutation
       try fs.listStatus(rootPath).filter(st =>
-        st.isDirectory && st.getPath.getName.startsWith(prefix))
+        st.isDirectory && st.getPath.getName.startsWith(prefix) &&
+          !st.getPath.getName.startsWith(".") &&
+          !st.getPath.getName.startsWith("_"))
       catch { case _: java.io.IOException =>
         Array.empty[org.apache.hadoop.fs.FileStatus] }
     cands.toSeq.flatMap { st =>
@@ -399,8 +405,24 @@ private[graft] object ArtifactBuild {
             // have completed the build while this one waited
             if (!fs.exists(new Path(path, markerRel))) {
               if (fs.exists(destPath)) fs.delete(destPath, true)
-              val staging = new Path(
-                path + s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+              // The staging dir is DOT-PREFIXED so no discovery path
+              // can mistake it for an artifact while a build mutates
+              // it: an incremental build carries the base's marker and
+              // _listing into staging (copyPiece) long before the
+              // content is final, and the old `<path>.tmp-…` sibling
+              // name STARTED WITH the artifact-family prefix — so a
+              // concurrent findAppendBase (or any marker-globbing
+              // reader) could select the half-layered staging dir as a
+              // completed artifact and die on files the compactor was
+              // rewriting underneath it (caught by
+              // ArtifactChaosReaderSpec). Hidden names are outside
+              // every discovery surface: findAppendBase skips them,
+              // and Hadoop/Spark readers ignore dot-paths by
+              // convention. Same parent as the destination, so the
+              // publishing rename stays a same-directory atomic move.
+              val staging = new Path(destPath.getParent,
+                s".tmp-${destPath.getName}-" +
+                  s"${ProcessHandle.current().pid()}-${System.nanoTime()}")
               build(staging)
               if (!fs.rename(staging, destPath)) fs.delete(staging, true)
               else {

@@ -289,11 +289,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
   test("x35: sketch and exact branches rejoin via broadcast on 3 rows") {
     // the GK-sketch aggregate and the distributed exact validator meet
     // in a broadcast join of two ≤|groups|-row frames — never a
-    // SortMergeJoin. The sketch pass and pass-1 histogram run once
-    // each behind eager localCheckpoints (tiny pinned frames), so the
-    // served plan itself re-scans lineitem exactly once (pass 2's
-    // semi-joined bucket re-scan) — 3 corpus passes total, never the
-    // round-11 5-scan amplification.
+    // SortMergeJoin. The fused sketch+histogram pass runs once behind
+    // a localCheckpoint (a tiny pinned frame every consumer reuses),
+    // so the served plan itself re-scans lineitem exactly once
+    // (pass 2's semi-joined bucket re-scan) — 2 corpus passes total,
+    // never the round-11 5-scan amplification.
     val p = plan("x35_approx_quantiles")
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"))
