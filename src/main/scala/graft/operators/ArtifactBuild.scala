@@ -172,7 +172,14 @@ private[graft] object ArtifactBuild {
     * and the breaker's rename-back would re-install a lock whose
     * holder is gone — an orphan blocking every acquirer for a full
     * staleLockMs. Deleting our broken capture here makes the breaker's
-    * rename-back fail instead (it tolerates that), so no orphan. */
+    * rename-back fail instead (it tolerates that). One interleaving
+    * remains after the glob: the breaker's rename-back lands BETWEEN
+    * our failed lock read and the glob — the capture is gone (reap
+    * no-ops) and the lock again carries our departing token. The
+    * final re-check below catches exactly that (the lock is ours
+    * again → delete it); a capture deleted first already makes the
+    * rename-back fail, so between them every interleaving either
+    * leaves a live peer's lock alone or removes ours. */
   private[graft] def releaseCrossJvmLock(fs: org.apache.hadoop.fs.FileSystem,
                                          lock: Path, token: String): Unit = {
     if (holdsToken(fs, lock, token)) fs.delete(lock, false)
@@ -184,6 +191,8 @@ private[graft] object ArtifactBuild {
           if (holdsToken(fs, st.getPath, token)) fs.delete(st.getPath, false)
         }
       } catch { case scala.util.control.NonFatal(_) => }
+      // rename-back raced the glob: the lock is ours again — remove it
+      if (holdsToken(fs, lock, token)) fs.delete(lock, false)
     }
   }
 

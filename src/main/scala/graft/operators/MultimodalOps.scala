@@ -32,18 +32,60 @@ object MultimodalOps {
   case class MediaFeatures(doc_id: Long, source: String, n_bytes: Long,
                            n_frames: Long, byte_sum: Long, mean_byte: Double)
 
-  /** documents → media table with binary payload + metadata. The width/
-    * height/format derivation is arbitrary-but-deterministic so tests
-    * and the oracle can reproduce it. */
-  def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
-    import s.implicits._
-    Tables.rebalance(Tables.documents(s, d))
+  /** (doc_id, source, text) → media rows; shared by the base table and
+    * the planted x40 twins so both derive payload + metadata by the
+    * same rule. */
+  private def mediaFrom(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", $"source", $"text".cast("binary").as("media"))
       .withColumn("width", (octet_length($"media") % 64 + 16).cast("int"))
       .withColumn("height", (expr("octet_length(media) div 7") % 48 + 16).cast("int"))
       .withColumn("format", when($"doc_id" % 3 === 0, "jpeg")
         .when($"doc_id" % 3 === 1, "png").otherwise("webm"))
       .as[MediaRow]
+  }
+
+  /** documents → media table with binary payload + metadata. The width/
+    * height/format derivation is arbitrary-but-deterministic so tests
+    * and the oracle can reproduce it. */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] =
+    mediaFrom(Tables.rebalance(Tables.documents(s, d)))
+
+  /** doc_id offset for planted twin rows — far above fixture ids, far
+    * below the scale-corpus key shift (100M), so twin ids collide with
+    * neither at any sweep multiple. */
+  val TwinIdOffset = 10000000L
+
+  /** x40's corpus: the media table PLUS deterministic planted
+    * near-duplicate twins. The raw fixture has no two documents within
+    * hamming ≤ 3 of each other, so without planting, x40's oracle
+    * comparison is vacuous (0 = 0 rows — a sign-flipped band key would
+    * still pass). Two twin families, both pure functions of the
+    * fixture text so DuckDB rebuilds them verbatim:
+    *  - NEAR twins (doc_id % 20 = 0): first char → ' ' (32, below any
+    *    text's mean byte) and the length/2 char → '~' (126, above it)
+    *    — two sampled lum positions forced across the average-hash
+    *    threshold, length preserved so every other sampled position
+    *    is untouched. Measured on the fixture: most pairs land at
+    *    hamming 1–2 (found), a few drift past 3 (correctly excluded —
+    *    the threshold is exercised from both sides).
+    *  - EXACT twins (doc_id % 50 = 7, disjoint by parity): verbatim
+    *    copies — guaranteed hamming-0 pairs, so the query can never
+    *    go silently vacuous again.
+    * Docs ≤ 60 chars are skipped (the perturbation needs two distinct
+    * sampled positions). */
+  def mediaTableWithTwins(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    val eligible = Tables.rebalance(Tables.documents(s, d))
+      .filter(length($"text") > 60)
+    val near = eligible.filter($"doc_id" % 20 === 0)
+      .select(($"doc_id" + TwinIdOffset).as("doc_id"), $"source",
+        expr("concat(' ', substring(text, 2, (length(text) div 2) - 1), " +
+          "'~', substring(text, (length(text) div 2) + 2))").as("text"))
+    val exact = eligible.filter($"doc_id" % 50 === 7)
+      .select(($"doc_id" + TwinIdOffset).as("doc_id"), $"source", $"text")
+    mediaTable(s, d).unionByName(mediaFrom(near.unionByName(exact)))
   }
 
   /** FAKE DECODE — stands in for an image/video codec. Deterministic:
@@ -365,10 +407,15 @@ object MultimodalOps {
     * sampling makes the fallback path alignment-sensitive, so on text
     * stand-ins it finds exact/byte-identical duplicates; on REAL
     * images the decoded-grid path pairs noisy/re-encoded copies too
-    * (spec-verified with planted noisy PNGs). */
+    * (spec-verified with planted noisy PNGs). Runs over
+    * [[mediaTableWithTwins]]: the raw fixture holds no near-dup pairs,
+    * so the planted twins are what keep the oracle comparison
+    * non-vacuous — hamming-0 (exact twins), hamming-1..3 (near twins,
+    * found) and hamming>3 (near twins drifted past the threshold,
+    * excluded) are all represented. */
   def mediaPhashDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sigs = perceptualHashes(mediaTable(s, d))
+    val sigs = perceptualHashes(mediaTableWithTwins(s, d))
     val chunkBits = PhBits / PhChunks
     val chunkMask = (1L << chunkBits) - 1
     val chunks = sigs.select($"doc_id", $"ph",
@@ -436,14 +483,26 @@ object MultimodalOps {
     // x40: on the fixture every payload is a text stand-in (no real
     // image bytes), so every hash takes the byte-sampled path — which
     // the ASCII text reproduces char-for-char (the x11/x15 idiom). The
-    // oracle verifies banding+verify against ALL-PAIRS hamming (the
-    // x03 oracle convention: the pigeonhole makes them equivalent).
+    // oracle rebuilds the planted twin families (mediaTableWithTwins'
+    // pure-function perturbation) and verifies banding+verify against
+    // ALL-PAIRS hamming over base ∪ twins (the x03 oracle convention:
+    // the pigeonhole makes them equivalent).
     "x40_media_phash_dedup" ->
-      s"""WITH lums AS (
+      s"""WITH eligible AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) > 60),
+        |near AS (SELECT doc_id + $TwinIdOffset AS doc_id,
+        |    concat(' ', substr(text, 2, (length(text) // 2) - 1), '~',
+        |           substr(text, (length(text) // 2) + 2)) AS text
+        |  FROM eligible WHERE doc_id % 20 = 0),
+        |exact AS (SELECT doc_id + $TwinIdOffset AS doc_id, text
+        |  FROM eligible WHERE doc_id % 50 = 7),
+        |allm AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM near UNION ALL SELECT * FROM exact),
+        |lums AS (
         |  SELECT doc_id, k.range AS k,
         |    unicode(substr(text,
         |      CAST((k.range * length(text)) // $PhBits AS INT) + 1, 1)) AS lum
-        |  FROM documents, range($PhBits) k
+        |  FROM allm, range($PhBits) k
         |  WHERE length(text) > 0),
         |m AS (SELECT doc_id, sum(lum) AS s FROM lums GROUP BY 1),
         |sig AS (SELECT l.doc_id,

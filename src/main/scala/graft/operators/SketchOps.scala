@@ -429,22 +429,51 @@ object SketchOps {
     * way. The interpolation arithmetic is bit-identical to the
     * sorted-array form: lo + (pos − ⌊pos⌋)·(hi − lo) at ranks
     * ⌊pos⌋+1 / ⌈pos⌉+1. */
+  /** Pass 1 of x35, exposed for the plan audit: the checkpoint below
+    * hides this subtree behind a LogicalRDD in every downstream plan,
+    * so the served-plan "exactly one lineitem scan" pin cannot see a
+    * scan-count regression INSIDE pass 1 — PlanAuditSpec pins this
+    * frame's own plan separately (one scan, one fused aggregate).
+    *
+    * THE corpus aggregate: GK sketch + row count + pass-1 histogram,
+    * one scan, all three mergeable bounded-state partials. `n` is
+    * count(v), not count(*): percentile_approx and graft_hist both
+    * skip null v, so on a nullable column a count(*) n would set rank
+    * targets past the histogram's total mass and the rank-location
+    * join would silently drop those needs (l_extendedprice happens to
+    * be non-null; the rank algebra must not depend on that). */
+  private[graft] def quantilePass1(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.GraftExpressions.HistFn
+    graft.plans.GraftExpressions.register(s)
+    Tables.lineitem(s, d)
+      .select($"l_returnflag".as("rf"), $"l_extendedprice".cast("double").as("v"))
+      .groupBy($"rf")
+      .agg(count($"v").as("n"),
+        percentile_approx($"v", array(lit(0.5), lit(0.95)),
+          lit(QuantAccuracy)).as("ap"),
+        call_function(HistFn, $"v").as("hist"))
+  }
+
   def approxQuantiles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    import graft.plans.GraftExpressions.{DBucketFn, HistFn}
+    import graft.plans.GraftExpressions.DBucketFn
     graft.plans.GraftExpressions.register(s)
     val li = Tables.lineitem(s, d)
       .select($"l_returnflag".as("rf"), $"l_extendedprice".cast("double").as("v"))
 
-    // THE corpus aggregate: GK sketch + row count + pass-1 histogram,
-    // one scan, all three mergeable bounded-state partials.
-    val ap = li.groupBy($"rf")
-      .agg(count(lit(1)).as("n"),
-        percentile_approx($"v", array(lit(0.5), lit(0.95)),
-          lit(QuantAccuracy)).as("ap"),
-        call_function(HistFn, $"v").as("hist"))
-      .localCheckpoint(false)
+    // localCheckpoint trade, stated plainly: it truncates lineage, so
+    // losing an executor that holds checkpointed blocks fails the
+    // query (no recompute path) — the driver restarts it, paying the
+    // whole plan again. The alternative (persist + materialize) keeps
+    // lineage but re-inlines this subtree into all four consumers'
+    // plans, which is exactly the round-11 5-scan amplification when
+    // the cache is evicted under memory pressure. For a ≤|groups|-row
+    // frame the rerun-on-loss trade is the right one; a deployment
+    // that cannot tolerate query-level retry uses reliable
+    // checkpoint(), same plan shape.
+    val ap = quantilePass1(s, d).localCheckpoint(false)
 
     // the 6 probed quantiles × 2 neighboring ranks each (1-indexed):
     // pos = p·(n−1), ranks ⌊pos⌋+1 and ⌈pos⌉+1. The probe list is a
@@ -486,11 +515,16 @@ object SketchOps {
 
     // pass 2: running row ranks INSIDE located buckets only; the
     // rank-r statistic is the smallest value whose running count
-    // reaches the local rank. row_number over the bucket (≤ a few
-    // thousand rows each — the grid guarantees it) is equivalent to
-    // cumulative distinct-value counts: tied rows share v, so the
+    // reaches the local rank. row_number over the bucket is equivalent
+    // to cumulative distinct-value counts: tied rows share v, so the
     // min-v pick lands on the same value — and costs ONE shuffle
     // where a distinct-count aggregate + running-sum window cost two.
+    // Bucket population: the fixed grid bounds bucket WIDTH, not row
+    // count — for spread-out values a bucket holds ~n/(256·octaves)
+    // rows, but a heavy-tie distribution (one dominant exact value)
+    // puts O(n) rows in its one bucket and this window degrades to a
+    // single sort-spilling task for that bucket: slow, not OOM
+    // (window sort spills), and only when the data is one giant tie.
     val nb = located.select($"rf", $"b").distinct()
     val wV = Window.partitionBy($"rf", $"b").orderBy($"v")
     val dvc = li.withColumn("b", call_function(DBucketFn, $"v"))
@@ -533,7 +567,9 @@ object SketchOps {
     Tables.lineitem(s, d)
       .select($"l_returnflag".as("rf"), $"l_extendedprice".cast("double").as("v"))
       .groupBy($"rf")
-      .agg(count(lit(1)).as("n"),
+      // count(v), not count(*) — same null rule as the GK sketch (x35's
+      // pass-1 rationale); equal on this non-null column
+      .agg(count($"v").as("n"),
         percentile_approx($"v", array(lit(0.5), lit(0.95)),
           lit(QuantAccuracy)).as("ap"))
       .select($"rf", $"n",
@@ -639,7 +675,7 @@ object SketchOps {
         |  TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok, TRUE AS overlap_ok
         |FROM sh""".stripMargin,
     "x35_approx_quantiles" ->
-      """SELECT l_returnflag AS rf, CAST(count(*) AS BIGINT) AS n,
+      """SELECT l_returnflag AS rf, CAST(count(l_extendedprice) AS BIGINT) AS n,
         |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS p50,
         |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 4) AS p95,
         |  TRUE AS ok50, TRUE AS ok95

@@ -130,4 +130,95 @@ class AnnRetentionSpec extends AnyFunSuite with SparkTestSession {
       inMemory(emb.select($"vec_id",
         $"embedding".cast("array<double>").as("e"))))
   }
+
+  test("crash window: mid-stream death after the batch lands, before its commit — gate identical across replay") {
+    // the GhScoringStreamSpec discipline applied to the ANN ingest
+    // gate: the driver dies AFTER processVectorBatch wrote batch 1's
+    // (batch_id, bucket) partitions but BEFORE the checkpoint commit
+    // acknowledged the offset — the exact window a foreachBatch sink
+    // must survive. On restart batch 1 REPLAYS; the dynamic partition
+    // overwrite rewrites the same partitions (vector rows are disjoint
+    // across batches, so replay is idempotent by construction), and
+    // both the index serve and the ingest gate answer identically to
+    // a run that never crashed.
+    val root = java.nio.file.Files.createTempDirectory("graft-ann-crash")
+    val (in, state, ckpt) = (s"$root/in", s"$root/state", s"$root/ckpt")
+    emb.repartition(3).write.parquet(in)
+
+    // the gate's probe batch: new ids copying held vectors, so the
+    // gate has guaranteed near-dups to find on both sides of the crash
+    val copies = emb.filter($"vec_id".isin(0L, 3L, 6L))
+      .select(($"vec_id" + 10000L).as("vec_id"), $"embedding")
+    def gate(): Set[(Long, Long, Double)] =
+      AnnStream.servedIncomingNearDups(spark, state, copies)
+        .as[(Long, Long, Double)].collect().toSet
+
+    val seen = scala.collection.mutable.LinkedHashMap[Long, Set[Long]]()
+    val crashOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def run(expectFail: Boolean): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+          AnnStream.processVectorBatch(df, state, bid)
+          seen(bid) = df.select(col("vec_id")).as[Long].collect().toSet
+          // die AFTER the state write, BEFORE the commit
+          if (bid == 1L && crashOnce.getAndSet(false))
+            throw new RuntimeException("simulated driver crash")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (expectFail)
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.awaitTermination(120000); q.stop()
+          throw new AssertionError("batch 1 must fail this run")
+        }
+      else assert(q.awaitTermination(120000))
+    }
+    run(expectFail = true)    // batch 0 commits; batch 1 lands, dies uncommitted
+    assert(seen.keySet === Set(0L, 1L))
+
+    // the crash-window state is already CONSISTENT, not corrupt: batch
+    // 1's landed-but-unacknowledged partitions serve exactly as if the
+    // batch had committed (disjoint rows — nothing half-applied)
+    // + vec 0: annLshFrame derives its probe from the frame (and
+    // excludes it from results, as served does via excludeId) — the
+    // random file split may have put vec 0 in the not-yet-run batch 2
+    val landedIds = seen(0L) ++ seen(1L) + 0L
+    val landedFrame = emb.filter($"vec_id".isInCollection(landedIds))
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    assert(served(state) === inMemory(landedFrame))
+    val gateAtCrash = gate()
+    assert(gateAtCrash.nonEmpty, "the planted copies must already collide")
+
+    run(expectFail = false)   // fresh "driver": batch 1 replays, batch 2 runs
+    assert(seen.keySet === Set(0L, 1L, 2L))
+
+    // replay did not duplicate: every vec_id holds exactly one state row
+    val stateRows = spark.read.parquet(state)
+    assert(stateRows.count() === stateRows.select("vec_id").distinct().count())
+    // batch 1's replayed partition carries its original batch_id
+    assert(stateRows.filter(col("vec_id").isInCollection(seen(1L)))
+      .select("batch_id").distinct().as[Long].collect().toSeq === Seq(1L))
+
+    // the recovered index serves exactly the in-memory answer over ALL
+    // vectors, and the gate's pre-crash pairs survive verbatim inside
+    // the recovered gate (batch 2 only ADDS candidates)
+    assert(served(state) === inMemory(
+      emb.select($"vec_id", $"embedding".cast("array<double>").as("e"))))
+    val gateRecovered = gate()
+    assert(gateAtCrash.subsetOf(gateRecovered),
+      "pairs served during the crash window must be identical after replay")
+
+    // and the recovered gate equals a NEVER-CRASHED build of the same
+    // corpus — the end-to-end equivalence the crash must not dent
+    val cleanState = s"$root/state_clean"
+    AnnStream.processVectorBatch(emb, cleanState, 0L)
+    val gateClean = AnnStream.servedIncomingNearDups(spark, cleanState, copies)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gateRecovered === gateClean)
+  }
 }

@@ -300,6 +300,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert("lineitem\\.parquet".r.findAllIn(p).size === 1)
   }
 
+  test("x35 pass 1: one scan, one fused aggregate — pinned pre-checkpoint") {
+    // the localCheckpoint hides pass 1 behind a LogicalRDD in the
+    // served plan, so the pin above cannot see a scan-count regression
+    // INSIDE pass 1 (e.g. the GK sketch and graft_hist unfusing into
+    // two aggregates, or a second lineitem read creeping in); audit
+    // the pass-1 frame's own plan separately
+    val df = graft.operators.SketchOps.quantilePass1(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("lineitem\\.parquet".r.findAllIn(p).size === 1)
+    assert(!p.contains("Join"), "pass 1 is a single grouped aggregate")
+    // one aggregate = one partial/final pair = exactly one exchange
+    assert("Exchange".r.findAllIn(p).size === 1,
+      "GK + count + graft_hist must stay fused in ONE aggregate")
+  }
+
   test("x35b: the production quantile plan is GK-only — no group buffers") {
     // x35 keeps the sort_array(collect_list) exact branch for the
     // oracle; the registered production entry must be the pure
