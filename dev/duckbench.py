@@ -3,11 +3,25 @@
 Spark bench reads — the same-host comparator for BENCH totals (the judge's
 methodology: warm pass first, then min-of-N per query).
 
-Usage: python3 dev/duckbench.py /tmp/verify_out/oracle_sql.json /root/testdata/sf0.1 [reps]
+Large scale factors need guard rails (learned at 25x, round 13): a
+handful of one-shot oracle formulations are intractable there — the
+unrolled Lloyd+PQ SQL died spilling to DISK-FULL in round 9, and the
+full-oracle warm pass wrote 77 GB of temp before being killed in round
+13. So the runner (a) pins DuckDB's temp spill to its own directory
+with a hard size cap, and (b) takes an optional per-query timeout
+(enforced via Connection.interrupt from a watchdog timer). A query that
+times out or exhausts the spill cap is recorded by NAME in a `failed`
+map — the honest statement is "this formulation has no number at this
+scale", not a dead host — and is skipped by the measurement passes so
+it costs its timeout once, not once per rep.
+
+Usage: python3 dev/duckbench.py ORACLE.json SFDIR [reps] [timeout_s]
+  timeout_s = 0 (default) disables the watchdog.
 """
 import json
 import os
 import sys
+import threading
 import time
 
 import duckdb
@@ -15,26 +29,59 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+SPILL_DIR = "/tmp/graft-duckspill"
+SPILL_CAP = "30GiB"
 
-def main(oracle_json, sfdir, reps=3):
+
+def main(oracle_json, sfdir, reps=3, timeout_s=0):
     con = duckdb.connect()
+    # spill discipline: never the cwd (round 13 found .tmp/ growing
+    # inside the repo), never unbounded (the disk is shared with the
+    # corpora under test)
+    os.makedirs(SPILL_DIR, exist_ok=True)
+    con.execute(f"SET temp_directory='{SPILL_DIR}'")
+    con.execute(f"SET max_temp_directory_size='{SPILL_CAP}'")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     sqls = json.load(open(oracle_json))
-    # warm pass: page cache + duckdb internal state, not measured
-    for name, sql in sqls.items():
+    failed = {}
+
+    def run_guarded(sql):
+        """Execute with the watchdog; raises on timeout/error."""
+        timer = None
+        if timeout_s > 0:
+            timer = threading.Timer(timeout_s, con.interrupt)
+            timer.daemon = True
+            timer.start()
         try:
             con.execute(sql).fetchall()
+        finally:
+            if timer is not None:
+                timer.cancel()
+
+    # warm pass: page cache + duckdb internal state, not measured.
+    # A warm failure (error, spill cap, timeout) disqualifies the query
+    # from measurement — it already proved it has no number here.
+    for name, sql in sqls.items():
+        t0 = time.perf_counter()
+        try:
+            run_guarded(sql)
         except Exception as e:
-            print(f"WARM-FAIL {name}: {e}", file=sys.stderr)
+            took = time.perf_counter() - t0
+            reason = str(e).split("\n")[0][:200]
+            if timeout_s > 0 and took >= timeout_s - 1:
+                reason = f"timeout >{timeout_s}s"
+            failed[name] = reason
+            print(f"WARM-FAIL {name}: {reason}", file=sys.stderr)
+
     def measure(sql, n):
         rep_times = []
         for _ in range(n):
             t0 = time.perf_counter()
             try:
-                con.execute(sql).fetchall()
+                run_guarded(sql)
             except Exception:
                 break
             rep_times.append(time.perf_counter() - t0)
@@ -51,11 +98,15 @@ def main(oracle_json, sfdir, reps=3):
     times = {}
     unstable = {}
     for name, sql in sqls.items():
+        if name in failed:
+            continue
         t, spread = measure(sql, reps)
         if t is not None:
             times[name] = t
             if spread > 0.3:
                 unstable[name] = round(spread, 2)
+        else:
+            failed[name] = "failed during measurement"
     # adaptive retry, symmetric with the Spark bench: flagged queries
     # get their own reps doubled (up to two rounds); the min merges,
     # the flag is re-judged on the larger retry sample
@@ -74,9 +125,12 @@ def main(oracle_json, sfdir, reps=3):
     print(json.dumps({"metric": "duckdb_total", "value": total,
                       "unit": "sec", "n_queries": len(times),
                       "sf": sfdir, "unstable": unstable,
+                      "failed": failed,
                       "queries": {k: round(v, 6) for k, v in
                                   sorted(times.items(), key=lambda x: -x[1])}}))
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 3)
+    main(sys.argv[1], sys.argv[2],
+         int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+         int(sys.argv[4]) if len(sys.argv) > 4 else 0)
