@@ -41,6 +41,12 @@ def main(oracle_json, sfdir, reps=3, timeout_s=0):
     os.makedirs(SPILL_DIR, exist_ok=True)
     con.execute(f"SET temp_directory='{SPILL_DIR}'")
     con.execute(f"SET max_temp_directory_size='{SPILL_CAP}'")
+    # self-limit well under physical RAM: DuckDB's default (80% of RAM)
+    # lets a pathological operator push the PROCESS into a kernel OOM
+    # kill — silent death, no JSON, nothing attributable (observed at
+    # 25x after x72's allocator error). A conservative internal limit
+    # turns that into a caught per-query Out of Memory Error instead.
+    con.execute(f"SET memory_limit='{os.environ.get('DUCK_MEM', '48GiB')}'")
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):
@@ -65,6 +71,7 @@ def main(oracle_json, sfdir, reps=3, timeout_s=0):
     # A warm failure (error, spill cap, timeout) disqualifies the query
     # from measurement — it already proved it has no number here.
     for name, sql in sqls.items():
+        print(f"WARM {name}", file=sys.stderr, flush=True)
         t0 = time.perf_counter()
         try:
             run_guarded(sql)
@@ -100,6 +107,7 @@ def main(oracle_json, sfdir, reps=3, timeout_s=0):
     for name, sql in sqls.items():
         if name in failed:
             continue
+        print(f"MEASURE {name}", file=sys.stderr, flush=True)
         t, spread = measure(sql, reps)
         if t is not None:
             times[name] = t
