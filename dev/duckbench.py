@@ -55,33 +55,65 @@ def main(oracle_json, sfdir, reps=3, timeout_s=0):
     failed = {}
 
     def run_guarded(sql):
-        """Execute with the watchdog; raises on timeout/error."""
+        """Execute with the watchdog; raises RuntimeError with an
+        evidence-based reason on timeout/error.
+
+        Two races this closes (found in review after round 13):
+        - fire-after-return: the Timer can fire in the gap between
+          fetchall() returning and timer.cancel(), leaving a stale
+          interrupt flag on the idle connection that would spuriously
+          cancel the NEXT query. The `done` event narrows the window
+          to the fire() body, and the absorb probe below drains any
+          interrupt that still lands there.
+        - timeout mislabeling: a genuine error surfacing near the
+          deadline used to be labeled a timeout by elapsed-time
+          proximity. Now the label requires BOTH the watchdog having
+          fired and DuckDB's own interrupt signature in the exception.
+        """
+        interrupted = threading.Event()
+        done = threading.Event()
         timer = None
         if timeout_s > 0:
-            timer = threading.Timer(timeout_s, con.interrupt)
+            def fire():
+                if not done.is_set():
+                    interrupted.set()
+                    con.interrupt()
+            timer = threading.Timer(timeout_s, fire)
             timer.daemon = True
             timer.start()
         try:
             con.execute(sql).fetchall()
+        except Exception as e:
+            is_interrupt = isinstance(
+                e, getattr(duckdb, "InterruptException", ())) \
+                or "INTERRUPT" in str(e).upper()
+            if interrupted.is_set() and is_interrupt:
+                raise RuntimeError(f"timeout >{timeout_s}s") from e
+            raise RuntimeError(str(e).split("\n")[0][:200]) from e
         finally:
+            done.set()
             if timer is not None:
                 timer.cancel()
+            if interrupted.is_set():
+                # The watchdog fired. If the query still completed (the
+                # interrupt landed in the return gap), the connection
+                # may carry a stale interrupt flag — absorb it on a
+                # throwaway probe so it can't cancel the next query.
+                try:
+                    con.execute("SELECT 1").fetchall()
+                except Exception:
+                    pass
 
     # warm pass: page cache + duckdb internal state, not measured.
     # A warm failure (error, spill cap, timeout) disqualifies the query
     # from measurement — it already proved it has no number here.
     for name, sql in sqls.items():
         print(f"WARM {name}", file=sys.stderr, flush=True)
-        t0 = time.perf_counter()
         try:
             run_guarded(sql)
         except Exception as e:
-            took = time.perf_counter() - t0
-            reason = str(e).split("\n")[0][:200]
-            if timeout_s > 0 and took >= timeout_s - 1:
-                reason = f"timeout >{timeout_s}s"
-            failed[name] = reason
-            print(f"WARM-FAIL {name}: {reason}", file=sys.stderr)
+            failed[name] = str(e)
+            print(f"WARM-FAIL {name}: {e}", file=sys.stderr)
 
     def measure(sql, n):
         rep_times = []

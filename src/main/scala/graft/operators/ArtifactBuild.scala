@@ -176,10 +176,15 @@ private[graft] object ArtifactBuild {
     * remains after the glob: the breaker's rename-back lands BETWEEN
     * our failed lock read and the glob — the capture is gone (reap
     * no-ops) and the lock again carries our departing token. The
-    * final re-check below catches exactly that (the lock is ours
-    * again → delete it); a capture deleted first already makes the
-    * rename-back fail, so between them every interleaving either
-    * leaves a live peer's lock alone or removes ours. */
+    * final re-check below narrows that window (the lock is ours
+    * again → delete it), but does NOT close it: a breaker that
+    * captures the lock after the final re-check and renames back
+    * after we exit still installs an orphan carrying our token. The
+    * residual guarantee is liveness-only and staleLockMs-bounded —
+    * such an orphan has no heartbeat, so the next acquirer's
+    * staleness predicate reaps it after at most staleLockMs; no
+    * interleaving deletes a LIVE peer's lock (every delete here is
+    * token-guarded), and none blocks acquirers forever. */
   private[graft] def releaseCrossJvmLock(fs: org.apache.hadoop.fs.FileSystem,
                                          lock: Path, token: String): Unit = {
     if (holdsToken(fs, lock, token)) fs.delete(lock, false)
