@@ -320,15 +320,55 @@ object CoreQueries {
 
   // Q22 — sessionization: 30-minute-gap session windows per user (the
   // W7 capability the reference lacks). A new session starts when the
-  // gap from the PREVIOUS event STRICTLY exceeds the duration (Spark
-  // merges when next.start <= prev.end, so an exactly-30-minute gap
-  // stays one session — pinned in EventTimeSemanticsSpec); the oracle
-  // reproduces the same rule as gaps-and-islands SQL. All outputs are
-  // integral → exact.
-  /** Session stats core over any (user_id, ts) frame — factored out so
-    * the 30-minute boundary semantics are unit-testable on synthetic
-    * timestamps. */
+  // gap from the PREVIOUS event STRICTLY exceeds the duration, so an
+  // exactly-30-minute gap stays one session — pinned in
+  // EventTimeSemanticsSpec; the oracle is the same gaps-and-islands
+  // SQL. All outputs are integral → exact.
+  //
+  // PRODUCTION PATH is gaps-and-islands (lag → new-session flag →
+  // running sum → two aggregates), not `session_window`: both shapes
+  // are key-partitioned and scale-safe, but Spark's session-window
+  // machinery (UpdatingSessions + MergingSessions iterators, built for
+  // streaming state merge) measured ~9× DuckDB's gaps-and-islands plan
+  // at the 5× rung (1.69 s vs 0.19 s, dev/sweeps/r13_5x.json) where
+  // this formulation is one window sort + two partitioning-reusing
+  // aggregates. The `session_window` plan stays registered as the
+  // oracle-checked twin q22b (sessionStatsSessionWindow below) and
+  // SessionEquivalenceSpec pins that the two paths agree row-for-row.
+  /** Session stats core over any (user_id, ts, event_id) frame —
+    * factored out so the 30-minute boundary semantics are
+    * unit-testable on synthetic timestamps. One shuffle: the window's
+    * HashPartitioning(user_id) satisfies both downstream groupBys'
+    * ClusteredDistribution ((user_id, sid) ⊇ user_id), so neither
+    * aggregate re-exchanges. */
   def sessionStats(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    // µs-exact gap test (cast-to-long would truncate sub-second parts
+    // and mis-bucket a 30:00.5 gap); lag=NULL (first event) → the
+    // comparison is NULL → otherwise(1) starts the first session.
+    val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+    events
+      .withColumn("new_s",
+        when(gapUs <= lit(30L * 60 * 1000000), lit(0L)).otherwise(lit(1L)))
+      .withColumn("sid",
+        sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count("*").as("n"))
+      .groupBy(col("user_id"))
+      .agg(count("*").as("n_sessions"),
+           sum(col("n")).as("n_events"),
+           max(col("n")).as("max_session_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** The `session_window` formulation of the same query — Spark's
+    * native event-time session operator (merges when next.start <=
+    * prev.end, i.e. the identical strictly-greater-than-gap split
+    * rule). Kept as the W7 capability anchor and registered as q22b
+    * with the same oracle; q22 serves the hot path (see above). */
+  def sessionStatsSessionWindow(events: DataFrame): DataFrame = {
     val sessions = events
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count("*").as("n"))
@@ -339,8 +379,21 @@ object CoreQueries {
       .orderBy(col("user_id"))
   }
 
+  // Explicit REPARTITION_BY_NUM on the window key: Window's
+  // ClusteredDistribution(user_id) is satisfied by it (no second
+  // exchange), and AQE never coalesces a user-specified repartition —
+  // under the bench's size-first coalescing the ENSURE_REQUIREMENTS
+  // exchange collapsed to ONE partition (~30 MB of events), which
+  // serialized the sort + both window passes into a single task
+  // (1.9 s at the 5× rung). Pinning the width keeps the per-user sort
+  // parallel; the downstream aggregates still reuse the partitioning.
   def sessionization(s: SparkSession, d: String): DataFrame =
-    sessionStats(Tables.events(s, d))
+    sessionStats(Tables.events(s, d).repartition(
+      s.sparkContext.defaultParallelism, col("user_id")))
+
+  def sessionizationSW(s: SparkSession, d: String): DataFrame =
+    sessionStatsSessionWindow(Tables.events(s, d).repartition(
+      s.sparkContext.defaultParallelism, col("user_id")))
 
   // Q23 — AS-OF JOIN shape: each purchase joined to the user's latest
   // STRICTLY-PRIOR signup event. Expressed as a running last-non-null
@@ -366,8 +419,13 @@ object CoreQueries {
       .orderBy(col("user_id"))
   }
 
+  // Same pinned-width rationale as sessionization above: the as-of
+  // window partitions by user_id, and letting ENSURE_REQUIREMENTS plant
+  // the exchange lets size-first AQE coalesce it to one task at bench
+  // scale (1.11 s → 0.35 s at the 5× rung with the width pinned).
   def asofJoin(s: SparkSession, d: String): DataFrame =
-    asofStats(Tables.events(s, d))
+    asofStats(Tables.events(s, d).repartition(
+      s.sparkContext.defaultParallelism, col("user_id")))
 
   // Q27 — CUBE: all grouping-set combinations over (returnflag,
   // linestatus), completing the grouping family next to Q17's ROLLUP.
@@ -556,6 +614,7 @@ object CoreQueries {
     "q20_brand_revenue"      -> brandRevenue _,
     "q21_supplier_stats"     -> supplierStats _,
     "q22_sessionization"     -> sessionization _,
+    "q22b_session_window"    -> sessionizationSW _,
     "q23_asof_join"          -> asofJoin _,
     "q24_pivot"              -> pivotCounts _,
     "q25_percentiles"        -> percentiles _,
@@ -701,6 +760,22 @@ object CoreQueries {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q22_sessionization" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM o),
+        |g AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(sum(n) AS BIGINT) AS n_events,
+        |       CAST(max(n) AS BIGINT) AS max_session_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q22b_session_window" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
