@@ -164,12 +164,20 @@ object DedupOps {
     * identity-domain math).
     *
     * Melt-join-pivot shape: candidate pairs unpivot to one row per
-    * (pair, side), broadcast against a SINGLE scan of the corpus-sized
+    * (pair, side), joined against a SINGLE scan of the corpus-sized
     * set relation, then pivot back per pair — half the scans of the
-    * naive two-join form, and the only shuffle is over matched
-    * candidate rows (LSH-bounded, tiny). At a scale where candidates
-    * outgrow broadcast, drop the hint and AQE falls back to a shuffle
-    * join on doc_id — the corpus is still scanned once. */
+    * naive two-join form.
+    *
+    * NO static broadcast hint on the melted side: the candidate
+    * relation is LSH-bounded but grows with the corpus's true-dup
+    * density, and a pinned hint is a crash at the 8 GiB broadcast cap
+    * exactly when dedup matters most — the 125× rung measured 10 GiB
+    * of melted candidates and died (dev/sweeps/r14_125x.json), taking
+    * the x17/x57 cluster-artifact builds down with it. AQE's dynamic
+    * join selection makes the right call per run: under the adaptive
+    * broadcast threshold the shuffled side converts to a broadcast
+    * join at runtime (bench scale), over it the join stays a shuffle
+    * on doc_id (the corpus is still scanned once either way). */
   def verifyJaccard(candidates: DataFrame, sets: DataFrame,
                     threshold: Double): DataFrame = {
     val melted = candidates
@@ -178,7 +186,7 @@ object DedupOps {
           struct(col("da").as("doc_id"), lit("a").as("side")),
           struct(col("db").as("doc_id"), lit("b").as("side")))).as("m"))
       .select(col("da"), col("db"), col("m.doc_id"), col("m.side"))
-    val joined = broadcast(melted).join(sets, "doc_id")
+    val joined = melted.join(sets, "doc_id")
     val paired = joined.groupBy(col("da"), col("db"))
       .agg(max(when(col("side") === "a", col("s"))).as("sa"),
            max(when(col("side") === "b", col("s"))).as("sb"))
