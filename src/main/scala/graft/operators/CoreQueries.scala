@@ -387,13 +387,26 @@ object CoreQueries {
   // serialized the sort + both window passes into a single task
   // (1.9 s at the 5× rung). Pinning the width keeps the per-user sort
   // parallel; the downstream aggregates still reuse the partitioning.
+  //
+  // DEPLOYMENT CAVEAT: the width is evaluated at PLAN-BUILD time on
+  // the driver, and a user-specified repartition is exempt from AQE in
+  // BOTH directions — no coalesce, but also no skew split or
+  // expansion. Under dynamic allocation, defaultParallelism read
+  // before executors register can pin a tiny width for the whole
+  // query. Deployments set spark.graft.windowPartitions explicitly
+  // (e.g. to the planned executor-core count); unset, the local-mode
+  // default (defaultParallelism = all cores) is correct for the bench.
+  private[graft] def windowPartitions(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.windowPartitions").map(_.toInt)
+      .getOrElse(s.sparkContext.defaultParallelism)
+
   def sessionization(s: SparkSession, d: String): DataFrame =
     sessionStats(Tables.events(s, d).repartition(
-      s.sparkContext.defaultParallelism, col("user_id")))
+      windowPartitions(s), col("user_id")))
 
   def sessionizationSW(s: SparkSession, d: String): DataFrame =
     sessionStatsSessionWindow(Tables.events(s, d).repartition(
-      s.sparkContext.defaultParallelism, col("user_id")))
+      windowPartitions(s), col("user_id")))
 
   // Q23 — AS-OF JOIN shape: each purchase joined to the user's latest
   // STRICTLY-PRIOR signup event. Expressed as a running last-non-null
@@ -419,13 +432,14 @@ object CoreQueries {
       .orderBy(col("user_id"))
   }
 
-  // Same pinned-width rationale as sessionization above: the as-of
-  // window partitions by user_id, and letting ENSURE_REQUIREMENTS plant
-  // the exchange lets size-first AQE coalesce it to one task at bench
-  // scale (1.11 s → 0.35 s at the 5× rung with the width pinned).
+  // Same pinned-width rationale and deployment caveat as
+  // sessionization above: the as-of window partitions by user_id, and
+  // letting ENSURE_REQUIREMENTS plant the exchange lets size-first AQE
+  // coalesce it to one task at bench scale (1.11 s → 0.35 s at the 5×
+  // rung with the width pinned).
   def asofJoin(s: SparkSession, d: String): DataFrame =
     asofStats(Tables.events(s, d).repartition(
-      s.sparkContext.defaultParallelism, col("user_id")))
+      windowPartitions(s), col("user_id")))
 
   // Q27 — CUBE: all grouping-set combinations over (returnflag,
   // linestatus), completing the grouping family next to Q17's ROLLUP.

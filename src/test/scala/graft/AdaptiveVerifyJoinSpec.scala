@@ -2,8 +2,10 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
 import graft.operators.DedupOps
 
 /** Pins the round-14 verifyJaccard fix: the melted candidate relation
@@ -12,37 +14,66 @@ import graft.operators.DedupOps
   * crashed x02 plus the x17/x57 cluster-artifact builds that embed its
   * chain; dev/sweeps/r14_125x.json). The cheap path is not lost:
   * AQE's dynamic join selection still converts the verify join to a
-  * broadcast at fixture scale, which the second test pins by running
-  * the query and finding a broadcast exchange in the final adaptive
-  * plan. If either test fails, someone re-pinned the hint (first) or
-  * the small-scale plan degraded to a shuffle join (second).
+  * broadcast at fixture scale, which the second test pins by EXECUTING
+  * the dataset itself (count() spawns a separate QueryExecution whose
+  * plan never finalizes) and then finding a BroadcastHashJoinExec
+  * keyed on doc_id — the verify join's key, and the only join in
+  * x02's chain — inside the finalized adaptive plan, descending
+  * through materialized QueryStageExec boundaries (query stages are
+  * leaf nodes, so a plain collect over the root sees none of the
+  * executed stages' internals). If either test fails, someone
+  * re-pinned the hint (first) or the small-scale verify join degraded
+  * to a shuffle join (second).
   */
 class AdaptiveVerifyJoinSpec extends AnyFunSuite with SparkTestSession {
   import spark.implicits._
 
-  private def x02 = DedupOps.dedupMinhashLshOf(
-    Tables.documents(spark, sf).select($"doc_id", $"text"))
+  private def docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+  private def x02 = DedupOps.dedupMinhashLshOf(docs)
 
-  test("x02's plan carries no static broadcast hint") {
-    val hints = x02.queryExecution.analyzed.collect {
-      case h: ResolvedHint => h
-    }
-    assert(hints.isEmpty,
-      s"static join hints found in x02's analyzed plan: $hints")
+  /** Collect across the whole finalized plan, including the insides of
+    * materialized query stages and reused exchanges (all leaf nodes to
+    * a plain collect). */
+  private def collectEverywhere[T](p: SparkPlan)(
+      pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val nested = p.collect {
+      case q: QueryStageExec => collectEverywhere(q.plan)(pf)
+      case a: AdaptiveSparkPlanExec => collectEverywhere(a.executedPlan)(pf)
+      case r: ReusedExchangeExec => collectEverywhere(r.child)(pf)
+    }.flatten
+    p.collect(pf) ++ nested
   }
 
-  test("AQE still broadcasts the verify join at fixture scale") {
+  test("x02's plan carries no static broadcast hint") {
+    // x02's analyzed plan is truncated at the shingle-set
+    // localCheckpoint's LogicalRDD, so scan BOTH sides of that
+    // boundary: the downstream verify chain (where the round-14 hint
+    // lived) and the upstream shingle chain.
+    val downstream = x02.queryExecution.analyzed.collect {
+      case h: ResolvedHint => h
+    }
+    val upstream =
+      DedupOps.shingleSetsOf(docs).queryExecution.analyzed.collect {
+        case h: ResolvedHint => h
+      }
+    assert(downstream.isEmpty && upstream.isEmpty,
+      s"static join hints found in x02's plan: ${downstream ++ upstream}")
+  }
+
+  test("AQE broadcasts the verify join itself at fixture scale") {
     val df = x02
-    assert(df.count() >= 0) // execute so AQE finalizes the plan
+    df.foreach(_ => ()) // execute THIS dataset so ITS adaptive plan finalizes
     val finalPlan = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    val broadcasts = finalPlan.collect {
-      case b: BroadcastExchangeLike => b
+    val verifyJoins = collectEverywhere(finalPlan) {
+      case b: BroadcastHashJoinExec
+          if (b.leftKeys ++ b.rightKeys)
+            .exists(_.references.exists(_.name == "doc_id")) => b
     }
-    assert(broadcasts.nonEmpty,
-      "expected AQE to convert the small-side verify join to a " +
-        "broadcast at fixture scale; final plan:\n" + finalPlan)
+    assert(verifyJoins.nonEmpty,
+      "expected AQE to convert the doc_id-keyed verify join to a " +
+        "broadcast hash join at fixture scale; final plan:\n" + finalPlan)
   }
 }
