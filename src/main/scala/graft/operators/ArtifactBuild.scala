@@ -68,6 +68,15 @@ private[graft] object ArtifactBuild {
   /** Waiting-on-lock log cadence. */
   private val LockLogEveryMs = 30000L
 
+  /** TEST SEAMS (chaos specs only — default no-ops): `onStaleObserved`
+    * fires after the staleness read sees a stale mtime and BEFORE the
+    * break rename (the window a live holder's heartbeat refresh can
+    * race into, forcing the freshAfterAll give-back path);
+    * `onOrphanReap` fires when a breaker reaps a lock it itself
+    * restored whose mtime never advanced (the r15 fast-reap). */
+  private[graft] var onStaleObserved: Path => Unit = _ => ()
+  private[graft] var onOrphanReap: Path => Unit = _ => ()
+
   /** CROSS-JVM mutual exclusion around the destructive rebuild: an
     * atomic create of `<path>.lock` (HDFS create-no-overwrite is
     * atomic; the local FS check-then-create is not perfectly so, but
@@ -91,6 +100,13 @@ private[graft] object ArtifactBuild {
       s"${ProcessHandle.current().pid()}-${java.util.UUID.randomUUID()}"
     var createFails = 0
     var lastLog = System.currentTimeMillis()
+    // set after THIS breaker gives a captured lock back (freshAfterAll
+    // rename-back): (mtime the restored lock carried, when). If that
+    // mtime never advances past 1.5 heartbeat intervals, no heartbeat
+    // exists — the restored lock is an orphan WE re-installed (its
+    // holder released during the capture window and found nothing to
+    // delete) and is reaped immediately instead of after staleLockMs.
+    var restored: Option[(Long, Long)] = None
     while (true) {
       try {
         val out = fs.create(lock, false)
@@ -108,10 +124,20 @@ private[graft] object ArtifactBuild {
         } else {
           createFails = 0
           val now = System.currentTimeMillis()
-          val stale = try {
-            fs.getFileStatus(lock).getModificationTime < now - staleLockMs
-          } catch { case _: java.io.FileNotFoundException => false }
+          val mtime =
+            try Some(fs.getFileStatus(lock).getModificationTime)
+            catch { case _: java.io.FileNotFoundException => None }
+          // own-orphan fast-reap: mtime frozen across our capture,
+          // restore, AND 1.5 heartbeat intervals — a live holder's
+          // heartbeat (every staleLockMs/3) would have advanced it
+          val ownOrphan = restored.exists { case (mt, at) =>
+            now - at > staleLockMs / 2 && mtime.contains(mt)
+          }
+          restored = restored.filter { case (mt, _) => mtime.contains(mt) }
+          val stale = ownOrphan ||
+            mtime.exists(_ < now - staleLockMs)
           if (stale) {
+            onStaleObserved(lock)
             // break by rename: only one breaker can win the rename
             val broken = new Path(
               lock.toString + s".broken-$token")
@@ -121,13 +147,29 @@ private[graft] object ArtifactBuild {
             if (won) {
               // re-check on the captured file: if the lock was in fact
               // refreshed between the staleness read and the rename,
-              // give it back instead of orphaning a live holder
-              val freshAfterAll = try {
-                fs.getFileStatus(broken).getModificationTime >=
-                  now - staleLockMs
-              } catch { case _: java.io.FileNotFoundException => false }
-              if (freshAfterAll && !fs.rename(broken, lock)) fs.delete(broken, false)
-              else if (!freshAfterAll) fs.delete(broken, false)
+              // give it back instead of orphaning a live holder —
+              // UNLESS this is our own restored orphan, whose frozen
+              // mtime already proved no holder is heartbeating it
+              val capturedMtime = try {
+                Some(fs.getFileStatus(broken).getModificationTime)
+              } catch { case _: java.io.FileNotFoundException => None }
+              // an own-orphan reap is only valid while the mtime is
+              // STILL the frozen one — a heartbeat waking up between
+              // the frozen read and the rename advances it, and the
+              // holder it proves alive gets the lock back
+              val freshAfterAll =
+                (if (ownOrphan) !capturedMtime.exists(m =>
+                    restored.exists(_._1 == m))
+                 else false) ||
+                (!ownOrphan && capturedMtime.exists(_ >= now - staleLockMs))
+              if (freshAfterAll) {
+                if (fs.rename(broken, lock))
+                  restored = capturedMtime.map((_, now))
+                else fs.delete(broken, false)
+              } else {
+                fs.delete(broken, false)
+                if (ownOrphan) onOrphanReap(lock)
+              }
             }
           } else if (now - lastLog >= LockLogEveryMs) {
             lastLog = now
@@ -170,21 +212,24 @@ private[graft] object ArtifactBuild {
     * between its staleness read and its rename-back re-check, the
     * holder releasing RIGHT THEN would see no lock file and no-op,
     * and the breaker's rename-back would re-install a lock whose
-    * holder is gone — an orphan blocking every acquirer for a full
-    * staleLockMs. Deleting our broken capture here makes the breaker's
-    * rename-back fail instead (it tolerates that). One interleaving
-    * remains after the glob: the breaker's rename-back lands BETWEEN
-    * our failed lock read and the glob — the capture is gone (reap
-    * no-ops) and the lock again carries our departing token. The
-    * final re-check below narrows that window (the lock is ours
-    * again → delete it), but does NOT close it: a breaker that
-    * captures the lock after the final re-check and renames back
-    * after we exit still installs an orphan carrying our token. The
-    * residual guarantee is liveness-only and staleLockMs-bounded —
-    * such an orphan has no heartbeat, so the next acquirer's
-    * staleness predicate reaps it after at most staleLockMs; no
-    * interleaving deletes a LIVE peer's lock (every delete here is
-    * token-guarded), and none blocks acquirers forever. */
+    * holder is gone — an orphan blocking acquirers. Deleting our
+    * broken capture here makes the breaker's rename-back fail instead
+    * (it tolerates that). The orphan paths that survive the glob are
+    * closed from the OTHER side (r15): (a) while a capture is
+    * outstanding, the holder's heartbeat RE-INSTALLS the lock
+    * (create-no-overwrite), so a breaker's rename-back of a live
+    * holder's lock fails and the capture is discarded — and stop()
+    * joins the heartbeat thread, so a straggler tick can never
+    * resurrect after release deletes; (b) a breaker that DOES restore
+    * a lock via rename-back remembers the restored mtime and, if it
+    * stays frozen past 1.5 heartbeat intervals (no holder is
+    * refreshing it — the holder released into the capture window and
+    * found nothing to delete), reaps its own orphan immediately
+    * (ArtifactChaosSpec forces both interleavings). No interleaving
+    * deletes a LIVE peer's lock: every delete here is token-guarded,
+    * the fast-reap requires an mtime frozen across capture + restore
+    * + 1.5 intervals and re-verifies it POST-capture, and a heartbeat
+    * that wakes inside that last window gets the lock handed back. */
   private[graft] def releaseCrossJvmLock(fs: org.apache.hadoop.fs.FileSystem,
                                          lock: Path, token: String): Unit = {
     if (holdsToken(fs, lock, token)) fs.delete(lock, false)
@@ -230,6 +275,20 @@ private[graft] object ArtifactBuild {
           try {
             if (holdsToken(fs, lock, token))
               fs.setTimes(lock, System.currentTimeMillis(), -1)
+            else if (!stopped && !fs.exists(lock)) {
+              // a breaker has the lock CAPTURED (renamed aside) while
+              // it re-evaluates freshness: re-install our lock so the
+              // breaker's rename-back fails and it discards its
+              // capture — the holder, not the breaker, is the source
+              // of truth for "still building". create-no-overwrite:
+              // if a peer legitimately owns a new lock by now, this
+              // throws and we leave it alone. Safe against the
+              // straggler-resurrect-after-release race because
+              // stop() JOINS this thread before release touches the
+              // lock file.
+              val out = fs.create(lock, false)
+              try out.write(token.getBytes("UTF-8")) finally out.close()
+            }
           } catch {
             case _: UnsupportedOperationException =>
               System.err.println(
@@ -244,7 +303,15 @@ private[graft] object ArtifactBuild {
     }, s"graft-artifact-lock-heartbeat")
     thread.setDaemon(true)
     def start(): this.type = { thread.start(); this }
-    def stop(): Unit = { stopped = true; thread.interrupt() }
+    /** Stop AND JOIN: release deletes the lock file right after this
+      * returns, and an in-flight tick that already passed its
+      * `stopped` check could otherwise resurrect the lock AFTER the
+      * delete — an orphan no heartbeat will ever refresh. Joining
+      * makes "heartbeat fully dead" a precondition of release. */
+    def stop(): Unit = {
+      stopped = true; thread.interrupt()
+      try thread.join(10000) catch { case _: InterruptedException => }
+    }
   }
 
   /** Name of the artifact metadata file recording the source-file

@@ -179,14 +179,52 @@ object DedupOps {
     * join at runtime (bench scale), over it the join stays a shuffle
     * on doc_id (the corpus is still scanned once either way). */
   def verifyJaccard(candidates: DataFrame, sets: DataFrame,
-                    threshold: Double): DataFrame = {
+                    threshold: Double): DataFrame =
+    verifyJaccardImpl(candidates, sets, threshold, identity)
+
+  /** Candidate-pair count under which [[verifyJaccardCounted]] pins
+    * the melted side as a broadcast: 10M pairs ≈ 20M melted rows ≈
+    * ~2 GB hashed relation — a 4× margin under Spark's 8 GiB
+    * broadcast cap. Conf-overridable (spark.graft.
+    * verifyBroadcastMaxPairs) so specs can force both branches. */
+  val VerifyBroadcastMaxPairs = 10000000L
+
+  private def verifyBroadcastCap(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.verifyBroadcastMaxPairs").map(_.toLong)
+      .getOrElse(VerifyBroadcastMaxPairs)
+
+  /** verifyJaccard with the cheap path recovered by MEASUREMENT: the
+    * candidate frame is localCheckpoint-materialized and COUNTED
+    * before the join is planned, and the broadcast is pinned only
+    * when the actual pair count sits under [[VerifyBroadcastMaxPairs]]
+    * — never from a size assumption. This restores x56's 125× fast
+    * path (the r14 hint removal cost it 37→63 s even though its
+    * cross-set candidates stayed genuinely small, because AQE's
+    * dynamic selection only re-elects broadcast under the ~10 MB
+    * adaptive threshold) while keeping the crash-proofing: over the
+    * cap, the join falls back to the same AQE-adaptive plan x02 runs
+    * (x02's own 125× candidates — 10 GiB melted — exceed the cap and
+    * never pin). The count is not wasted work: the checkpoint it
+    * forces is the band-join output, reused verbatim by the verify
+    * join. SCALE.md's rule stands refined: a pinned broadcast needs a
+    * bound BY CONSTRUCTION or BY MEASUREMENT — not by hope. */
+  def verifyJaccardCounted(candidates: DataFrame, sets: DataFrame,
+                           threshold: Double): DataFrame = {
+    val cand = candidates.localCheckpoint(false)
+    val small = cand.count() <= verifyBroadcastCap(cand.sparkSession)
+    verifyJaccardImpl(cand, sets, threshold,
+      if (small) broadcast(_) else identity)
+  }
+
+  private def verifyJaccardImpl(candidates: DataFrame, sets: DataFrame,
+      threshold: Double, meltSide: DataFrame => DataFrame): DataFrame = {
     val melted = candidates
       .select(col("da"), col("db"),
         explode(array(
           struct(col("da").as("doc_id"), lit("a").as("side")),
           struct(col("db").as("doc_id"), lit("b").as("side")))).as("m"))
       .select(col("da"), col("db"), col("m.doc_id"), col("m.side"))
-    val joined = melted.join(sets, "doc_id")
+    val joined = meltSide(melted).join(sets, "doc_id")
     val paired = joined.groupBy(col("da"), col("db"))
       .agg(max(when(col("side") === "a", col("s"))).as("sa"),
            max(when(col("side") === "b", col("s"))).as("sb"))
@@ -248,7 +286,7 @@ object DedupOps {
         .withColumnRenamed("doc_id", "cdoc"), Seq("band", "key"))
       .select(col("doc_id").as("da"), col("cdoc").as("db"))
       .distinct()
-    verifyJaccard(cand, cSets.unionAll(bSets), JaccardThreshold)
+    verifyJaccardCounted(cand, cSets.unionAll(bSets), JaccardThreshold)
       .select(col("da").as("new_id"), col("db").as("dup_of"),
         col("jaccard"))
       .orderBy(col("new_id"), col("dup_of"))

@@ -981,6 +981,114 @@ object SimilarityOps {
     picked.toSeq.toDF("rank", "vec_id", "dist")
   }
 
+  /** Candidate-pool oversampling factor for x61b: the sampled twin
+    * draws KCenterOversample·K pool vectors before the exact
+    * farthest-first runs on the pool. */
+  val KCenterOversample = 8
+
+  /** 2^52 — the 13-hex-char md5-prefix uniform's denominator (the x49
+    * A-Res idiom). */
+  private val Kc52 = 4503599627370496.0
+
+  /** x61b — the SCALE-SAFE production twin of x61 (the x13b/x35b/x70b
+    * twin discipline). Exact Gonzalez farthest-first is K−1 sequential
+    * full-corpus passes by algorithmic necessity — the one `weak`
+    * 100 TB path left in the registry — so the production form is
+    * k-means‖-style oversampling (Bahmani et al., VLDB 2012):
+    *
+    *  1. ONE corpus pass draws an M = KCenterOversample·K candidate
+    *     pool, sampled ∝ squared seed-distance (the k-means‖ weight),
+    *     realized as the x49 A-Res bounded top-M — priority ln(u)/w,
+    *     u the deterministic md5-prefix uniform — so the pool size is
+    *     fixed BY CONSTRUCTION (TakeOrderedAndProject: M rows per
+    *     partition cross the wire, no global sort, and the driver
+    *     collect is M = 64 vectors, the MMR constant-pool precedent).
+    *  2. The exact farthest-first runs ON THE POOL, driver-local,
+    *     with x61's own ROUND-4 cosine and (maxsim, vec_id) argmin
+    *     tie-break.
+    *  3. ONE more corpus pass CERTIFIES the slate: `coverage` is the
+    *     true corpus-wide coverage radius of the chosen centers (max
+    *     over vectors of min distance to a center), computed as a
+    *     narrow K-way least() map feeding one max aggregate — no
+    *     shuffle of vectors, no join, centers are K inlined literals.
+    *
+    * 2 corpus passes total, independent of K, vs exact x61's K−1.
+    * KCenterTwinSpec pins the certificate against the exact x61
+    * slate's own corpus radius (sampled ≤ 2× exact on the fixture)
+    * and pins the pass shape (pool plan = one scan + bounded top-M;
+    * served plan = one scan, zero vector joins). */
+  def kcenterCoresetSampled(s: SparkSession, d: String): DataFrame =
+    kcenterSampledFrame(s, Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e")))
+
+  /** The bounded A-Res candidate pool (step 1) — exposed for the
+    * pass-shape pin. */
+  def kcenterPool(s: SparkSession, emb: DataFrame, seedId: Long,
+                  seedVec: Array[Double]): DataFrame = {
+    import s.implicits._
+    emb.filter($"vec_id" =!= seedId)
+      .select($"vec_id", $"e",
+        pow(lit(1.0) - round(CoreQueries.cosine(s, $"e",
+          typedLit(seedVec.toSeq)), 4), 2).as("w"),
+        ((conv(substring(md5(concat(lit("kc_"), $"vec_id")), 1, 13), 16, 10)
+          .cast("long") + 1L) / Kc52).as("u"))
+      .filter($"w" > 0.0)   // exact seed-dups are covered at radius 0
+      .select($"vec_id", $"e", (log($"u") / $"w").as("key"))
+      .orderBy($"key".desc, $"vec_id")
+      .limit(KCenterOversample * KCenterK)
+  }
+
+  /** The corpus coverage-radius certificate (step 3) for an arbitrary
+    * center slate — exposed so KCenterTwinSpec can score the exact
+    * x61 slate with the identical arithmetic. */
+  def kcenterCoverage(s: SparkSession, emb: DataFrame,
+                      centers: Seq[Array[Double]]): DataFrame = {
+    import s.implicits._
+    val minDist = least(centers.map(c =>
+      lit(1.0) - round(CoreQueries.cosine(s, $"e", typedLit(c.toSeq)), 4)): _*)
+    emb.agg(max(minDist).as("coverage"))
+  }
+
+  /** Frame form over (vec_id, e: array<double>). */
+  def kcenterSampledFrame(s: SparkSession, emb: DataFrame,
+                          seedId: Long = 0L): DataFrame = {
+    import s.implicits._
+    val seedVec = emb.filter($"vec_id" === seedId)
+      .select($"e").head().getSeq[Double](0).toArray
+    // driver-local ROUND-4 cosine: same accumulation order as the
+    // fused CosineSimilarity expression, same HALF_UP rounding as
+    // round(·, 4), so pool distances are bitwise the corpus ones
+    def rcos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val pool = kcenterPool(s, emb, seedId, seedVec)
+      .select($"vec_id", $"e").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // exact farthest-first on the bounded pool — x61's selection rule
+    val picked = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Double])](
+      (1L, seedId, None))
+    val centers = scala.collection.mutable.ArrayBuffer[Array[Double]](seedVec)
+    var st = pool.map { case (id, v) => (id, v, rcos(v, seedVec)) }
+    for (rank <- 2 to KCenterK if st.nonEmpty) {
+      val best = st.minBy(t => (t._3, t._1))
+      picked += ((rank.toLong, best._1, Some(1.0 - best._3)))
+      centers += best._2
+      st = st.filter(_._1 != best._1)
+        .map { case (id, v, m0) => (id, v, math.max(m0, rcos(v, best._2))) }
+    }
+    // the certificate stays LAZY: the served frame's plan IS the one
+    // coverage scan (pinned by KCenterTwinSpec), cross-joined onto the
+    // K driver-local slate rows (single-row broadcast frame)
+    picked.toSeq.toDF("rank", "vec_id", "dist")
+      .crossJoin(kcenterCoverage(s, emb, centers.toSeq))
+      .orderBy($"rank")
+  }
+
   // ---- bitext mining: margin-scored cross-lingual pair extraction -------
 
   /** Neighborhood size for the margin normalizer and the pair cut. */
@@ -1254,6 +1362,11 @@ object SimilarityOps {
     "x50_random_projection" -> randomProjection _,
     "x60_mmr_diversity" -> mmrDiversity _,
     "x61_kcenter_coreset" -> kcenterCoreset _,
+    // rows-only registered (the x13b sketch-twin convention): the
+    // A-Res draw + pool Gonzalez has no tractable SQL twin; the
+    // correctness contract is KCenterTwinSpec's coverage certificate
+    // against the exact x61 slate
+    "x61b_kcenter_sampled" -> kcenterCoresetSampled _,
     "x63_cluster_cap" -> clusterCap _,
     "x65_bitext_margin" -> bitextMining _,
     "x69_hard_negatives" -> hardNegatives _,

@@ -60,6 +60,35 @@ class AdaptiveVerifyJoinSpec extends AnyFunSuite with SparkTestSession {
       s"static join hints found in x02's plan: ${downstream ++ upstream}")
   }
 
+  test("x56 pins the verify broadcast only under the MEASURED pair cap") {
+    // the r15 cheap-path recovery (VERDICT r14 #3): snapshotDedup
+    // counts its checkpointed candidate frame and pins broadcast(…)
+    // on the melted side only when the actual count sits under
+    // spark.graft.verifyBroadcastMaxPairs — bounded by measurement,
+    // never by assumption. Under the cap (the fixture) the hint must
+    // be present; forcing the cap to 0 must drop it AND leave the
+    // results row-identical.
+    val q = SparkEntry.queries("x56_snapshot_dedup")
+    val pinnedDf = q(spark, sf)
+    val pinned = pinnedDf.queryExecution.analyzed.collect {
+      case h: ResolvedHint => h
+    }
+    assert(pinned.nonEmpty,
+      "fixture candidates sit under the cap — the verify broadcast " +
+        "must be pinned from the measured count")
+    spark.conf.set("spark.graft.verifyBroadcastMaxPairs", "0")
+    try {
+      val adaptiveDf = q(spark, sf)
+      val hints = adaptiveDf.queryExecution.analyzed.collect {
+        case h: ResolvedHint => h
+      }
+      assert(hints.isEmpty,
+        "over the cap the verify join must stay AQE-adaptive (no hint)")
+      assert(pinnedDf.collect().toSeq == adaptiveDf.collect().toSeq,
+        "the two verify branches must agree row-for-row")
+    } finally spark.conf.unset("spark.graft.verifyBroadcastMaxPairs")
+  }
+
   test("AQE broadcasts the verify join itself at fixture scale") {
     val df = x02
     df.foreach(_ => ()) // execute THIS dataset so ITS adaptive plan finalizes

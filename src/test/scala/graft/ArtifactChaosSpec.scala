@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.hadoop.fs.Path
+import graft.operators.ArtifactBuild
+
+/** Chaos contracts for the r15 breaker-race closure (VERDICT r14 #8):
+  * forces the two interleavings the old protocol left open and pins
+  * the new behavior —
+  *
+  *  1. a breaker CAPTURES a live holder's lock while re-evaluating
+  *     freshness → the holder's heartbeat re-installs the lock, the
+  *     breaker's rename-back fails, and the capture is discarded;
+  *  2. a breaker restores a lock whose holder released INTO the
+  *     capture window (nothing left to delete) → the restored orphan's
+  *     mtime stays frozen, and the SAME breaker fast-reaps it after
+  *     1.5 heartbeat intervals instead of stalling a full staleLockMs.
+  *
+  * The interleavings are forced through the onStaleObserved /
+  * onOrphanReap test seams — no sleeps standing in for causality.
+  */
+class ArtifactChaosSpec extends AnyFunSuite with SparkTestSession {
+
+  private def fsFor(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readToken(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private def withStaleMs[T](ms: Long)(body: => T): T = {
+    val prev = sys.props.get("graft.artifact.lock.staleMs")
+    sys.props("graft.artifact.lock.staleMs") = ms.toString
+    try body finally prev match {
+      case Some(v) => sys.props("graft.artifact.lock.staleMs") = v
+      case None => sys.props.remove("graft.artifact.lock.staleMs")
+    }
+  }
+
+  test("heartbeat re-installs a captured lock; the capture is void") {
+    withStaleMs(3000) {
+      val root = Files.createTempDirectory("graft-chaos-hb").toString
+      val lock = new Path(s"$root/art.lock")
+      val fs = fsFor(lock)
+      val token = ArtifactBuild.acquireCrossJvmLock(fs, lock)
+      val hb = new ArtifactBuild.LockHeartbeat(fs, lock, token).start()
+      try {
+        // the breaker's capture: lock renamed aside mid-evaluation
+        val broken = new Path(s"$root/art.lock.broken-chaos")
+        assert(fs.rename(lock, broken))
+        // the live holder's heartbeat must re-install within ~1
+        // interval (staleLockMs/3 = 1 s)
+        val deadline = System.currentTimeMillis() + 5000
+        while (!fs.exists(lock) && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        assert(fs.exists(lock), "heartbeat never re-installed the captured lock")
+        assert(readToken(fs, lock) == token,
+          "re-installed lock must carry the holder's own token")
+        // the breaker's rename-back now FAILS — the capture is void
+        assert(!fs.rename(broken, lock),
+          "rename-back over the re-installed lock must fail")
+        fs.delete(broken, false)
+      } finally {
+        hb.stop()
+        ArtifactBuild.releaseCrossJvmLock(fs, lock, token)
+      }
+      assert(!fs.exists(lock), "release must remove the holder's lock")
+      // stop() joined the heartbeat: nothing can resurrect post-release
+      Thread.sleep(2500)
+      assert(!fs.exists(lock), "a straggler heartbeat resurrected the lock")
+    }
+  }
+
+  test("a restored orphan (holder released into the capture) is fast-reaped") {
+    withStaleMs(3000) {
+      val root = Files.createTempDirectory("graft-chaos-reap").toString
+      val lock = new Path(s"$root/art.lock")
+      val fs = fsFor(lock)
+      // a DEPARTED holder's lock: stale mtime, no heartbeat, and its
+      // release already ran (found nothing during the capture window)
+      val out = fs.create(lock, false)
+      try out.write("departed-holder-token".getBytes("UTF-8")) finally out.close()
+      fs.setTimes(lock, System.currentTimeMillis() - 100000, -1)
+
+      val reaps = new java.util.concurrent.atomic.AtomicInteger(0)
+      val refreshed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      ArtifactBuild.onStaleObserved = p =>
+        // force the freshAfterAll give-back exactly once: the holder's
+        // last heartbeat lands between the breaker's staleness read
+        // and its rename — afterwards the holder is gone for good
+        if (refreshed.compareAndSet(false, true))
+          fs.setTimes(p, System.currentTimeMillis(), -1)
+      ArtifactBuild.onOrphanReap = _ => reaps.incrementAndGet()
+      try {
+        val t0 = System.currentTimeMillis()
+        val token = ArtifactBuild.acquireCrossJvmLock(fs, lock)
+        val elapsed = System.currentTimeMillis() - t0
+        assert(reaps.get() == 1,
+          "acquire must go through the own-orphan fast-reap exactly once")
+        // fast-reap fires at staleLockMs/2 (1.5 s), never the full
+        // staleLockMs the restored-then-frozen mtime would cost a
+        // stranger breaker (3 s from the RESTORE, which itself reset
+        // the clock)
+        assert(elapsed < 3000,
+          s"reap took ${elapsed}ms — the fast path did not fire")
+        assert(readToken(fs, lock) == token)
+        val litter = fs.globStatus(new Path(s"$root/art.lock.broken-*"))
+        assert(litter == null || litter.isEmpty,
+          "no .broken-* capture may be left behind")
+        ArtifactBuild.releaseCrossJvmLock(fs, lock, token)
+        assert(!fs.exists(lock))
+      } finally {
+        ArtifactBuild.onStaleObserved = _ => ()
+        ArtifactBuild.onOrphanReap = _ => ()
+      }
+    }
+  }
+}

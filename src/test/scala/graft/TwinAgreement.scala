@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.{SketchOps, TextOps}
+import graft.operators.{SimilarityOps, SketchOps, TextOps}
 
-/** Twin-agreement gate for the five sketch-only production twins
-  * (x13b/x25b/x34b/x35b/x70b) at an ARBITRARY scale factor — the
+/** Twin-agreement gate for the six sketch/sampled production twins
+  * (x13b/x25b/x34b/x35b/x70b/x61b) at an ARBITRARY scale factor — the
   * fixture specs pin these contracts at sf0.001; this main re-judges
   * them wherever sketch error actually matters (the 5× sweep corpus),
   * and prints ONE JSON line whose `twin_agreement` block the sweep
@@ -21,7 +21,10 @@ import graft.operators.{SketchOps, TextOps}
   *    each estimate within Tolerance of x34's exact counterpart;
   *  - x35b: estimates inside the exact rank bounds at p ± QuantDelta;
   *  - x70b: per-source gate disagreement within the GK rank-error
-  *    budget (accuracy 10000 → ≤ max(1, ceil(4·n/10000)+1) docs). */
+  *    budget (accuracy 10000 → ≤ max(1, ceil(4·n/10000)+1) docs);
+  *  - x61b: sampled slate's corpus coverage radius ≤ 2× the exact
+  *    Gonzalez slate's (the KCenterTwinSpec certificate, re-judged
+  *    where the pool is a vanishing corpus fraction). */
 object TwinAgreement {
   def main(args: Array[String]): Unit = {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -122,6 +125,22 @@ object TwinAgreement {
       }
       results("x70b_gate_agreement") = ok
       notes("x70b_worst_src_diff") = worst.toString
+    }
+
+    // x61b: sampled coverage certificate within 2× of the exact slate's
+    {
+      val emb = Tables.embeddings(spark, sf)
+        .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      val sampled = SparkEntry.queries("x61b_kcenter_sampled")(spark, sf)
+        .select($"coverage").head().getDouble(0)
+      val exactIds = SparkEntry.queries("x61_kcenter_coreset")(spark, sf)
+        .select($"vec_id").collect().map(_.getLong(0))
+      val vecs = emb.filter($"vec_id".isin(exactIds: _*))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      val exact = SimilarityOps.kcenterCoverage(spark, emb,
+        exactIds.toSeq.map(vecs)).head().getDouble(0)
+      results("x61b_coverage_within_2x") = exact > 0.0 && sampled <= 2.0 * exact
+      notes("x61b_coverage_ratio") = f"${sampled / exact}%.3f"
     }
 
     val agg = results.values.forall(identity)
