@@ -787,21 +787,17 @@ object SimilarityOps {
       .orderBy($"vec_id")
   }
 
-  /** Projected dimensionality for the random projection. */
-  val RpK = 16
+  /** Projected dimensionality for the random projection — the ONE
+    * definition lives with the fused expression. */
+  val RpK: Int = graft.plans.SignedProjection.K
 
   /** The ±1 sign matrix [k][j] — md5-derived, DATA-independent (a
     * pure function of the coordinates, like the LSH planes), so both
     * engines rebuild it bit-identically and shipping it is free: it
-    * is a query literal, not a broadcast of anything computed. */
+    * is a query literal, not a broadcast of anything computed. View
+    * of the expression-side matrix (specs recompute norms from it). */
   private[graft] lazy val rpSigns: Seq[Seq[Double]] =
-    (0 until RpK).map { k =>
-      (0 until Dim).map { j =>
-        val b0 = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"rp_${j}_$k".getBytes("UTF-8"))(0)
-        if (((b0 >> 4) & 1) == 0) 1.0 else -1.0
-      }
-    }
+    graft.plans.SignedProjection.Signs.map(_.toSeq).toSeq
 
   /** x50 — sparse random projection (Johnson–Lindenstrauss; ±1 signs
     * per Achlioptas, JCSS 2003): embed the Dim-dimensional vectors
@@ -823,14 +819,20 @@ object SimilarityOps {
     * exploded (vec_id, k, p) relation so downstream operators (and
     * the oracle hash) see scalar columns. */
   /** Frame form: (vec_id, e: array<double>) → (vec_id, y: the RpK-dim
-    * projection) — the composable piece ANN pipelines consume. */
+    * projection) — the composable piece ANN pipelines consume. ONE
+    * fused codegen loop (SignedProjection) producing all RpK
+    * coordinates per row; the r14 transform∘aggregate∘zip_with HOF
+    * form cost K·Dim interpreted lambda evals per vector and was the
+    * whole of x50's flagged 25× growth (adjudicated r15: linear
+    * output, superlinear-LOOKING wall was a giant per-row constant —
+    * see dev/sweeps/r15 notes). Arithmetic identical, oracle
+    * unchanged. */
   def projectFrame(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    val m = typedlit(rpSigns)
-    df.select($"vec_id", transform(m, row =>
-      round(aggregate(zip_with($"e", row, (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x), 6)).as("y"))
+    graft.plans.GraftExpressions.register(s)
+    df.select($"vec_id",
+      call_function(graft.plans.GraftExpressions.SignedProjFn, $"e").as("y"))
   }
 
   def randomProjection(s: SparkSession, d: String): DataFrame = {

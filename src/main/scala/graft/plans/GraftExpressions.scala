@@ -25,6 +25,7 @@ object GraftExpressions {
   val MinHashFn = "graft_minhash"
   val SimHashFn = "graft_simhash"
   val HyperplaneFn = "graft_hyperplane_sig"
+  val SignedProjFn = "graft_signed_project"
   val ShinglesFn = "graft_shingles"
   val TopKFn = "graft_topk"
   val LongDotFn = "graft_long_dot"
@@ -144,6 +145,9 @@ object GraftExpressions {
       es => { arity(SimHashFn, es, 1); SimHash64(es.head) }),
     (HyperplaneFn, "random-hyperplane LSH bucket of an integer-quantized vector",
       es => { arity(HyperplaneFn, es, 1); HyperplaneSignature(es.head) }),
+    (SignedProjFn,
+      "JL ±1 random projection of a double vector to K dims (fused loop)",
+      es => { arity(SignedProjFn, es, 1); SignedProjection(es.head) }),
     (LongDotFn, "exact integer dot product of two long arrays",
       es => { arity(LongDotFn, es, 2); LongDotProduct(es(0), es(1)) }),
     (ShinglesFn, "distinct word-3-gram shingles of a token array",
@@ -1089,6 +1093,98 @@ case class BlockWindowHashes(child: Expression, k: Int)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.plans.BlockWindowHashes.compute($c, $k);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object SignedProjection {
+  /** Projected dimensionality (SimilarityOps.RpK delegates here). */
+  val K = 16
+  /** The ±1 sign matrix [k][j] — md5-derived from the coordinates
+    * alone (the HyperplaneSignature idiom), so it is a query literal
+    * every engine rebuilds bit-identically; the x50 DuckDB oracle
+    * recomputes it from the same md5. ONE definition —
+    * SimilarityOps.rpSigns is a view of this. */
+  lazy val Signs: Array[Array[Double]] =
+    Array.tabulate(K, HyperplaneSignature.Dim) { (k, j) =>
+      val b0 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp_${j}_$k".getBytes("UTF-8"))(0)
+      if (((b0 >> 4) & 1) == 0) 1.0 else -1.0
+    }
+}
+
+/** x50's JL ±1 random projection as ONE fused loop: all K output
+  * coordinates of a Dim-double vector in a single pass, signs baked as
+  * a codegen reference object. Replaces the r14 `transform∘aggregate∘
+  * zip_with` HOF form, whose per-element interpreted lambdas (K·Dim =
+  * 1024 boxed evals per vector) dominated x50's wall at every scale
+  * (0.72 s solo at sf0.1, 25.2 s at the 25× rung — the one flagged
+  * growth number with a linear output). Arithmetic is IDENTICAL to
+  * the HOF form: per k, a left-to-right fold acc += x(j)·sign(k)(j)
+  * in ascending j, then ROUND(·, 6) via the same
+  * BigDecimal.valueOf∘setScale(HALF_UP) Spark's `round` applies — so
+  * the DuckDB hash oracle is unchanged. NULL on dimension mismatch
+  * (the CosineSimilarity rule: a truncated projection would silently
+  * mask corrupt data). */
+case class SignedProjection(child: Expression)
+    extends UnaryExpression {
+  import SignedProjection._
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = GraftExpressions.SignedProjFn
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val xs = v.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n != HyperplaneSignature.Dim) return null
+    val out = new Array[Double](K)
+    var k = 0
+    while (k < K) {
+      val row = Signs(k)
+      var acc = 0.0
+      var j = 0
+      while (j < n) { acc += xs.getDouble(j) * row(j); j += 1 }
+      out(k) = java.math.BigDecimal.valueOf(acc)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val sRef = ctx.addReferenceObj("rpSigns", Signs, "double[][]")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val k = ctx.freshName("k"); val acc = ctx.freshName("acc")
+      val out = ctx.freshName("out"); val row = ctx.freshName("row")
+      s"""
+         |int $n = $c.numElements();
+         |if ($n != ${HyperplaneSignature.Dim}) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $out = new double[$K];
+         |  for (int $k = 0; $k < $K; $k++) {
+         |    double[] $row = $sRef[$k];
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $acc += $c.getDouble($i) * $row[$i];
+         |    }
+         |    $out[$k] = java.math.BigDecimal.valueOf($acc)
+         |      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+         |""".stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
