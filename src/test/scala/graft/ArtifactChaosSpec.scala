@@ -51,18 +51,37 @@ class ArtifactChaosSpec extends AnyFunSuite with SparkTestSession {
         // the breaker's capture: lock renamed aside mid-evaluation
         val broken = new Path(s"$root/art.lock.broken-chaos")
         assert(fs.rename(lock, broken))
-        // the live holder's heartbeat must re-install within ~1
-        // interval (staleLockMs/3 = 1 s)
-        val deadline = System.currentTimeMillis() + 5000
-        while (!fs.exists(lock) && System.currentTimeMillis() < deadline)
+        // the live holder's heartbeat must re-install within a few
+        // intervals (staleLockMs/3 = 1 s; generous under suite load).
+        // Poll for the TOKEN, not bare existence: create-then-write is
+        // two syscalls, and reading in between sees an empty file (the
+        // same ms-wide window the acquire path documents for the local
+        // FS — holdsToken is false for everyone during it, so it is
+        // benign for the protocol, but a bare-exists poll here races it)
+        val deadline = System.currentTimeMillis() + 10000
+        def tokenSeen() =
+          try fs.exists(lock) && readToken(fs, lock) == token
+          catch { case _: java.io.IOException => false }
+        while (!tokenSeen() && System.currentTimeMillis() < deadline)
           Thread.sleep(50)
-        assert(fs.exists(lock), "heartbeat never re-installed the captured lock")
-        assert(readToken(fs, lock) == token,
-          "re-installed lock must carry the holder's own token")
-        // the breaker's rename-back now FAILS — the capture is void
-        assert(!fs.rename(broken, lock),
-          "rename-back over the re-installed lock must fail")
-        fs.delete(broken, false)
+        assert(tokenSeen(),
+          "heartbeat never re-installed the captured lock with its token")
+        // the breaker's rename-back is void EITHER way: on a strict FS
+        // it fails (destination exists) and the breaker discards its
+        // capture; the local FS's non-atomic exists-then-rename can
+        // instead OVERWRITE — but the overwriting file is the holder's
+        // own captured lock (same token), so the lock still carries
+        // the holder's token and its live heartbeat keeps refreshing
+        // it. No interleaving yields a foreign or orphaned lock — the
+        // semantic contract, asserted below in place of a brittle
+        // rename-return-code check.
+        if (!fs.rename(broken, lock)) fs.delete(broken, false)
+        assert(fs.exists(lock) && readToken(fs, lock) == token,
+          "after the rename-back attempt the lock must still be the " +
+            "holder's")
+        val litter = fs.globStatus(new Path(s"$root/art.lock.broken-*"))
+        assert(litter == null || litter.isEmpty,
+          "no capture may be left behind")
       } finally {
         hb.stop()
         ArtifactBuild.releaseCrossJvmLock(fs, lock, token)

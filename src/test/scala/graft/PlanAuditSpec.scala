@@ -470,16 +470,34 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("x56: the candidate join keys on (band, key); verify broadcasts") {
-    // the shingle sets sit behind lazy localCheckpoints (x02's shape,
-    // pinned there); the visible contract is the incremental topology:
-    // batch bands meet corpus bands as an equi-join ON the 8-byte
-    // (band, key) pair — AQE broadcasts the index side at this SF,
-    // a shuffle keys the same columns at scale — the exact-verify
-    // side joins via broadcast, and nothing degenerates to a
-    // cartesian pairing
+    // r15: the candidate frame is localCheckpoint-materialized and
+    // COUNTED before the verify join is planned (verifyJaccardCounted
+    // — the measured broadcast pin), so the band-key stage is no
+    // longer visible in the SERVED plan. Pin each stage where it
+    // lives (the x35 pass-1 pre-checkpoint precedent):
+    //  - candidate stage, built exactly as snapshotDedupOf builds it:
+    //    batch bands meet corpus bands as an equi-join ON the 8-byte
+    //    (band, key) pair, never a cartesian pairing;
+    //  - served plan: the exact-verify join is a BroadcastHashJoin
+    //    (the under-cap measured pin at this SF), no cartesian.
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    import graft.operators.DedupOps
+    val cand = DedupOps.bandKeys(DedupOps.minhashSignatures(
+        DedupOps.shingleSetsOf(docs.filter($"doc_id" % 2 === 1))))
+      .join(DedupOps.bandKeys(DedupOps.minhashSignatures(
+          DedupOps.shingleSetsOf(docs.filter($"doc_id" % 2 === 0))))
+        .withColumnRenamed("doc_id", "cdoc"), Seq("band", "key"))
+    cand.collect()
+    val cp = cand.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(cp.contains("hashpartitioning(band") ||
+      "BroadcastHashJoin \\[band".r.findFirstIn(cp).isDefined,
+      "candidate stage must join on the (band, key) pair:\n" + cp)
+    assert(!cp.contains("CartesianProduct"))
+
     val p = plan("x56_snapshot_dedup")
-    assert(p.contains("hashpartitioning(band") ||
-      "BroadcastHashJoin \\[band".r.findFirstIn(p).isDefined)
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
   }
