@@ -90,6 +90,31 @@ object Bench {
     // function-registry WARNs were the round-1 noise.
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Work-unit denominators self-reported by queries via
+    // Dataset.observe (x45 matched pairs, x72 triplets): a
+    // QueryExecutionListener collects every named CollectMetrics
+    // result so the sweep ladder's per-unit-output adjudication reads
+    // its denominator from the SAME run — no second execution, no
+    // extrapolation. Values are deterministic per corpus, so
+    // last-rep-wins is safe.
+    val observed =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            val fields = row.schema.fieldNames.zipWithIndex.map {
+              case (f, i) => s"""\"$f\":${row.get(i)}"""
+            }.mkString("{", ",", "}")
+            observed.put(name, fields)
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
             dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
@@ -259,8 +284,18 @@ object Bench {
         s""","duckdb":$d,"spark_oracle":$so,"n_oracle":$n,"ratio":${math.round(ratio * 1000) / 1000.0},"duckdb_queries":$perQuery,"duckdb_unstable":$duckUnstable"""
       case None => ""","duckdb":null,"ratio":null"""
     }
+    // drain the async execution-listener bus before reading the
+    // observed-metric map (QueryExecutionListener delivery is
+    // asynchronous; a fixed grace period is enough for a bench that
+    // just ran thousands of jobs)
+    if (!observed.isEmpty || results.nonEmpty) Thread.sleep(1000)
+    val obsJson = {
+      import scala.jdk.CollectionConverters._
+      observed.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"""\"$k\":$v""" }.mkString("{", ",", "}")
+    }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"unstable":$unstable,"reps":$reps,"warmup":$warmedUp$duckJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"unstable":$unstable,"observed":$obsJson,"reps":$reps,"warmup":$warmedUp$duckJson,"sf":"$sfDir"}"""
     // The full line grows with the query count and a tail-windowed
     // reader can clip its head (round-4 BENCH parsed:null), so the full
     // JSON also lands in a file and the LAST stdout line is a compact

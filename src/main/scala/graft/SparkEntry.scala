@@ -20,7 +20,17 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2, plus the
     * training-data-pipeline extensions (dedup, similarity, text,
-    * multimodal). */
+    * multimodal).
+    *
+    * CONSTRUCTION IS NOT FREE for every entry: queries that pin
+    * broadcasts BY MEASUREMENT (the `verifyJaccardCounted` pattern —
+    * x56, and the x69/x72 mining chain) localCheckpoint-and-COUNT an
+    * intermediate frame while the DataFrame is being BUILT, i.e. they
+    * run Spark jobs before any action on the returned frame. Plan-only
+    * consumers (PlanSweep, plan audits, explain tooling) therefore
+    * execute those candidate stages, and the returned plan's lineage
+    * is truncated at the checkpoint. This is by design: the measured
+    * count is what makes the broadcast pin safe at scale. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       TextOps.queries ++ MultimodalOps.queries ++ SketchOps.queries ++

@@ -204,6 +204,21 @@ object TrainingDataDemo {
       .as[Long].head()
     report += ("max_source_jaccard_ppm" -> maxJac)
 
+    // 6c-audit. diversity-slate coverage certificate (x61b): the
+    // k-center slate a curation ships (eval seeding, inspection
+    // panels) carries its own corpus-radius EVIDENCE — the max
+    // cosine distance from any corpus vector to its nearest slate
+    // center, straight off the slate frame's `coverage` column (the
+    // one-scan certificate the sampled twin computes anyway),
+    // reported in ppm so the line is integer-exact. The x70/x71
+    // convention: an audit number in this report is the operator's
+    // own, reconciled bit-stable by DemoSpec.
+    val slateCov = operators.SimilarityOps
+      .kcenterCoresetSampled(spark, sfDir)
+      .agg(max(round($"coverage" * 1e6, 0).cast("long")))
+      .as[Long].head()
+    report += ("kcenter_slate_coverage_ppm" -> slateCov)
+
     // 7. training order (x53): the corpus that survived everything
     // gets its reproducible permutation — content-keyed shard +
     // per-shard position, the exact `partitionBy(shard)` +

@@ -107,6 +107,13 @@ private[graft] object ArtifactBuild {
     // holder released during the capture window and found nothing to
     // delete) and is reaped immediately instead of after staleLockMs.
     var restored: Option[(Long, Long)] = None
+    // first time a frozen mtime was observed PAST the fast-reap wait:
+    // the reap needs a SECOND frozen observation a full heartbeat
+    // interval (staleLockMs/3) later, so a live holder whose single
+    // heartbeat was merely delayed (GC pause, FS hiccup) gets the
+    // same ~2.5-interval usurpation budget as the normal stale path
+    // instead of the 1.5-interval budget one observation would give
+    var frozenSince: Option[Long] = None
     while (true) {
       try {
         val out = fs.create(lock, false)
@@ -129,10 +136,18 @@ private[graft] object ArtifactBuild {
             catch { case _: java.io.FileNotFoundException => None }
           // own-orphan fast-reap: mtime frozen across our capture,
           // restore, AND 1.5 heartbeat intervals — a live holder's
-          // heartbeat (every staleLockMs/3) would have advanced it
-          val ownOrphan = restored.exists { case (mt, at) =>
+          // heartbeat (every staleLockMs/3) would have advanced it —
+          // CONFIRMED by a second frozen observation a full heartbeat
+          // interval after the first (one observation alone would
+          // halve the live holder's usurpation tolerance)
+          val frozenNow = restored.exists { case (mt, at) =>
             now - at > staleLockMs / 2 && mtime.contains(mt)
           }
+          val ownOrphan = frozenNow &&
+            frozenSince.exists(t0 => now - t0 >= staleLockMs / 3)
+          if (frozenNow && frozenSince.isEmpty) frozenSince = Some(now)
+          if (!frozenNow && !restored.exists { case (mt, _) =>
+                mtime.contains(mt) }) frozenSince = None
           restored = restored.filter { case (mt, _) => mtime.contains(mt) }
           val stale = ownOrphan ||
             mtime.exists(_ < now - staleLockMs)
@@ -163,9 +178,10 @@ private[graft] object ArtifactBuild {
                  else false) ||
                 (!ownOrphan && capturedMtime.exists(_ >= now - staleLockMs))
               if (freshAfterAll) {
-                if (fs.rename(broken, lock))
+                if (fs.rename(broken, lock)) {
                   restored = capturedMtime.map((_, now))
-                else fs.delete(broken, false)
+                  frozenSince = None
+                } else fs.delete(broken, false)
               } else {
                 fs.delete(broken, false)
                 if (ownOrphan) onOrphanReap(lock)

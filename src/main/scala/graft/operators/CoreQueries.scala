@@ -397,8 +397,12 @@ object CoreQueries {
   // (e.g. to the planned executor-core count); unset, the local-mode
   // default (defaultParallelism = all cores) is correct for the bench.
   private[graft] def windowPartitions(s: SparkSession): Int =
-    s.conf.getOption("spark.graft.windowPartitions").map(_.toInt)
-      .getOrElse(s.sparkContext.defaultParallelism)
+    s.conf.getOption("spark.graft.windowPartitions").map { v =>
+      val n = scala.util.Try(v.trim.toInt).getOrElse(-1)
+      require(n > 0,
+        s"spark.graft.windowPartitions must be a positive integer, got '$v'")
+      n
+    }.getOrElse(s.sparkContext.defaultParallelism)
 
   def sessionization(s: SparkSession, d: String): DataFrame =
     sessionStats(Tables.events(s, d).repartition(
@@ -599,6 +603,13 @@ object CoreQueries {
         floor($"sec" / IntervalBucketSec).cast("long").as("b"))
     probe.join(ivBuckets, "b")
       .filter($"sec".between($"s", $"e"))
+      // matched-pair count self-reported in-job (`observe` adds a
+      // pass-through CollectMetrics node, zero extra jobs): the sweep
+      // ladder adjudicates this operator on µs per MATCHED PAIR —
+      // output grows ~copies² on the key-shifted corpus by
+      // construction — and this metric is that denominator, measured
+      // in the same run instead of a second full execution
+      .observe("x45_matched_pairs", count(lit(1)).as("rows"))
       .groupBy($"owner", $"s", $"e")
       .agg(count(lit(1)).as("n_events"),
            count_distinct($"user_id").as("n_users"))

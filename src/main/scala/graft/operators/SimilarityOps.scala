@@ -1232,24 +1232,81 @@ object SimilarityOps {
     * so the negatives are consistent BY CONSTRUCTION with what the
     * dedup pipeline would have merged.
     *
-    * Scale shape: per-anchor centroid ranking crosses the tiny trained
-    * centroid table with the broadcast anchor batch; the candidate
-    * fetch is the x12 broadcast-probe equi-join (dynamic partition
-    * pruning reads only probed cid list directories); the per-anchor
-    * top-K is a rank window over bounded probed-list members. No
-    * corpus scan beyond the probed lists, no all-pairs anything. */
+    * Scale shape: per-anchor centroid ranking streams the anchor
+    * batch past the BROADCAST trained centroid table (bounded by
+    * construction); the candidate fetch is the x12 probe equi-join
+    * (broadcast — hence dynamic partition pruning over the probed cid
+    * list directories — only under the MEASURED anchor/candidate
+    * caps, keyed shuffle above them); the per-anchor top-K is a
+    * bounded aggregate over probed-list members. No corpus scan
+    * beyond the probed lists, no all-pairs anything. */
   def hardNegatives(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val anchorIds = Tables.embeddings(s, d)
       .filter($"vec_id" < HardNegQueries).select($"vec_id".as("qid"))
-    hardNegativesFor(s, d, anchorIds, HardNegK).orderBy($"qid", $"rn")
+    hardNegativesFor(s, d, anchorIds, HardNegK)._1.orderBy($"qid", $"rn")
   }
 
-  /** The x69/x72 mining core over an ARBITRARY bounded anchor-id frame
-    * (qid): per-anchor IVF probe, dup-capped cosine, per-anchor rank.
-    * Unordered — callers order their own presentation. */
-  private def hardNegativesFor(s: SparkSession, d: String,
-                               anchorIds: DataFrame, k: Int): DataFrame = {
+  /** Anchor-count cap under which the x69/x72 mining chain pins its
+    * anchor-derived broadcasts (`anchorIds`, `probeCids` =
+    * anchors × NProbe, the qe-carrying `anchors`, and x72's `negs` =
+    * anchors × K). The widest of those rows is `anchors` (qid + a
+    * Dim=64 double vector + its quantized longs ≈ 1.1 KB raw), so 1M
+    * anchors ≈ 1–2 GiB hashed — a 4–8× margin under Spark's 8 GiB
+    * broadcast cap. Conf-overridable
+    * (spark.graft.negBroadcastMaxAnchors) so specs force both
+    * branches. */
+  val NegBroadcastMaxAnchors = 1000000L
+
+  private def negAnchorCap(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.negBroadcastMaxAnchors").map(_.toLong)
+      .getOrElse(NegBroadcastMaxAnchors)
+
+  /** Row cap for the probe-candidate broadcast (qid, vec_id pairs —
+    * ~16 B raw, ~100 B hashed): 20M rows ≈ 2 GiB. Unlike the
+    * anchor-derived frames, `candidates` grows with anchors ×
+    * probed-list size — corpus-dependent — so it gets its OWN count.
+    * Conf: spark.graft.negBroadcastMaxCandidates. */
+  val NegBroadcastMaxCandidates = 20000000L
+
+  private def negCandidateCap(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.negBroadcastMaxCandidates").map(_.toLong)
+      .getOrElse(NegBroadcastMaxCandidates)
+
+  /** The x69/x72 mining core over an ARBITRARY anchor-id frame (qid):
+    * per-anchor IVF probe, dup-capped cosine, per-anchor rank.
+    * Unordered — callers order their own presentation. Returns the
+    * MEASURED anchor count alongside the frame so callers can gate
+    * their own anchor-proportional joins (x72's positives × negatives)
+    * on the same measurement instead of re-counting.
+    *
+    * Broadcast discipline (the SCALE.md rule: a pinned broadcast needs
+    * a bound BY CONSTRUCTION or BY MEASUREMENT — never by hope):
+    *  - the anchor-id frame is localCheckpoint-materialized and
+    *    COUNTED; every anchor-derived hint (anchorIds, probeCids,
+    *    anchors) is pinned only when the count sits under
+    *    [[NegBroadcastMaxAnchors]] — above it the joins shuffle on
+    *    their keys, automatically, with no conf flip;
+    *  - `candidates` (anchors × probed-list size — NOT bounded by the
+    *    anchor count) is checkpointed and counted separately against
+    *    [[NegBroadcastMaxCandidates]], the verifyJaccardCounted
+    *    pattern verbatim: the checkpoint the count forces is the
+    *    probe-join output, reused by the cosine join;
+    *  - the one CROSS join (per-anchor centroid ranking) now
+    *    broadcasts the CENTROID side — bounded BY CONSTRUCTION
+    *    (NClusters rows) — and streams the anchor batch, so it is
+    *    safe at any anchor count with its hint kept unconditionally.
+    * Disabling auto-broadcast (autoBroadcastJoinThreshold=-1) still
+    * drops every measured hint (belt over the measured braces);
+    * equality of both plans is spec-pinned either way. */
+  /** The anchors → probed-cells → candidates stage of the mining core,
+    * PRE-checkpoint, shared between [[hardNegativesFor]] (which
+    * checkpoints and counts its output) and PlanAuditSpec (the
+    * measured pin truncates the SERVED plan at the checkpoint — the
+    * x56/x35 precedent — so the audit pins this stage where it
+    * lives). `pinAnchors` is the measured anchor-cap verdict. */
+  private[graft] def hardNegProbeStage(s: SparkSession, d: String,
+      aids: DataFrame, pinAnchors: Boolean): (DataFrame, DataFrame) = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val root = ensureIvfIndex(s, d)
@@ -1257,33 +1314,40 @@ object SimilarityOps {
     val assigned = ivfAssign(s, root)
     val emb = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
-    // Every EQUI-joined relation on the anchor side GROWS with the
-    // anchor batch (and `candidates` with anchors × probed-list size),
-    // so each of those hints rides the x72 escape hatch: disabling
-    // auto-broadcast (spark.sql.autoBroadcastJoinThreshold=-1) drops
-    // them and the joins shuffle on their keys — a conf flip, not a
-    // rewrite (equality under both plans is spec-pinned). The one
-    // CROSS join (per-anchor centroid ranking) keeps its hint
-    // unconditionally: a cross join has no shuffle alternative, and
-    // dropping the hint under a disabled threshold degrades it to
-    // CartesianProduct — strictly worse than broadcasting the batch.
-    val hinted = (df: DataFrame) =>
-      if (s.sessionState.conf.autoBroadcastJoinThreshold <= 0) df
-      else broadcast(df)
-    val anchors = emb.join(hinted(anchorIds.select($"qid")),
-        emb("vec_id") === col("qid"))
+    val hintedA = (df: DataFrame) => if (pinAnchors) broadcast(df) else df
+    val anchors = emb.join(hintedA(aids), emb("vec_id") === col("qid"))
       .select($"qid", $"e".as("qe"), quantize($"e").as("qq"))
-    // per-anchor probed cells: integer-dot rank of the trained table
-    val probeCids = cents.crossJoin(broadcast(anchors.select($"qid", $"qq")))
+    // per-anchor probed cells: integer-dot rank of the trained table.
+    // The BROADCAST side is the centroid table (bounded by
+    // construction); the anchor batch STREAMS, so this cross join
+    // needs no cap at all.
+    val probeCids = anchors.select($"qid", $"qq").crossJoin(broadcast(cents))
       .select($"qid", $"cid", longDot(s, $"c", $"qq").as("dot"))
       .withColumn("rn", row_number().over(
         Window.partitionBy($"qid").orderBy($"dot".desc, $"cid")))
       .filter($"rn" <= NProbe)
       .select($"qid", $"cid".cast("long").as("cid"))
     val candidates = assigned
-      .join(hinted(probeCids), "cid")
+      .join(hintedA(probeCids), "cid")
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id")
+    (anchors, candidates)
+  }
+
+  private def hardNegativesFor(s: SparkSession, d: String,
+                               anchorIds: DataFrame, k: Int): (DataFrame, Long) = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val hintsOn = s.sessionState.conf.autoBroadcastJoinThreshold > 0
+    val aids = anchorIds.select($"qid").localCheckpoint(false)
+    val nAnchors = aids.count()
+    val anchorsSmall = hintsOn && nAnchors <= negAnchorCap(s)
+    val hintedA = (df: DataFrame) => if (anchorsSmall) broadcast(df) else df
+    val (anchors, candPre) = hardNegProbeStage(s, d, aids, anchorsSmall)
+    val candidates = candPre.localCheckpoint(false)
+    val candSmall = hintsOn && candidates.count() <= negCandidateCap(s)
+    val hintedC = (df: DataFrame) => if (candSmall) broadcast(df) else df
     // per-anchor top-K via the bounded graft_topk aggregate instead of
     // a rank window: the window SORTS every candidate row per anchor
     // partition, while the aggregate keeps k entries per anchor with
@@ -1294,8 +1358,8 @@ object SimilarityOps {
     // TopKAggregateSpec; x72's k=3 rides the codegen declarative
     // route, x69's k=5 the bounded heap.
     graft.plans.GraftExpressions.register(s)
-    emb.join(hinted(candidates), "vec_id")
-      .join(hinted(anchors.select($"qid", $"qe")), "qid")
+    val negs = emb.join(hintedC(candidates), "vec_id")
+      .join(hintedA(anchors.select($"qid", $"qe")), "qid")
       .select($"qid", $"vec_id",
         round(CoreQueries.cosine(s, $"e", $"qe"), 4).as("sim"))
       .filter($"sim" < HardNegCap)
@@ -1305,6 +1369,7 @@ object SimilarityOps {
       .select($"qid", posexplode($"top"))
       .select($"qid", ($"pos" + 1).cast("long").as("rn"),
         $"col.id".as("vec_id"), $"col.score".as("sim"))
+    (negs, nAnchors)
   }
 
   /** Negatives per triplet anchor (each anchor fans out to its
@@ -1323,19 +1388,22 @@ object SimilarityOps {
     *
     * Scale shape: the positive relation is the x05 bucketed
     * candidates-then-verify join (bounded output, materialized once
-    * and reused for both directions); the anchor set it induces is bounded by that
-    * output, so the mining core's broadcasts stay small; the final
-    * positives × negatives join is a broadcast fan-out of bounded
-    * frames. Total work (and output) is proportional to the
-    * corpus's TRUE near-dup pair count times K — inherent to
-    * emitting a triplet per positive. On a corpus whose dup-pair
-    * relation alone outgrows broadcast range, the final join drops
-    * the hint and shuffles on qid — wired to the STANDARD threshold
-    * conf: disabling auto-broadcast
-    * (`spark.sql.autoBroadcastJoinThreshold=-1`) drops the hint here
-    * too, so the escape hatch is a conf flip, not a rewrite
-    * (equality under both plans is spec-pinned). The operator's
-    * shape is otherwise unchanged. */
+    * and reused for both directions); the anchor set it induces —
+    * every dup-pair endpoint — grows with the corpus's TRUE dup-pair
+    * count, so it is COUNTED (the pairs frame is already
+    * checkpointed; the induced distinct is cheap) and every
+    * anchor-proportional broadcast in the chain — the mining core's
+    * hints AND the final positives × negatives join (`negs` =
+    * anchors × K rows) — is pinned only under the measured
+    * [[NegBroadcastMaxAnchors]] cap; above it the joins shuffle on
+    * qid automatically, no conf flip needed (equality of both plans
+    * is spec-pinned, and `autoBroadcastJoinThreshold=-1` still
+    * force-drops the hints for A/B). Total work (and output) is
+    * proportional to the dup-pair count times K — inherent to
+    * emitting a triplet per positive; the materialized triplet count
+    * is self-reported in-job via `observe` (metric
+    * `x72_contrastive_triplets`) so sweep adjudication gets its
+    * per-row denominator without a second run. */
   def contrastiveTriplets(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = DedupOps.dedupEmbedding(s, d).localCheckpoint(false)
@@ -1343,14 +1411,15 @@ object SimilarityOps {
       .select($"va".as("qid"), $"vb".as("pos_id"), $"sim".as("sim_pos"))
       .unionAll(pairs
         .select($"vb".as("qid"), $"va".as("pos_id"), $"sim".as("sim_pos")))
-    val negs =
+    val (negs, nAnchors) =
       hardNegativesFor(s, d, pos.select($"qid").distinct(), TripletNegK)
-    val negsSide =
-      if (s.sessionState.conf.autoBroadcastJoinThreshold <= 0) negs
-      else broadcast(negs)
+    val negsSmall = s.sessionState.conf.autoBroadcastJoinThreshold > 0 &&
+      nAnchors <= negAnchorCap(s)
+    val negsSide = if (negsSmall) broadcast(negs) else negs
     pos.join(negsSide, "qid")
       .select($"qid".as("anchor_id"), $"pos_id", $"sim_pos",
         $"rn", $"vec_id".as("neg_id"), $"sim".as("sim_neg"))
+      .observe("x72_contrastive_triplets", count(lit(1)).as("rows"))
       .orderBy($"anchor_id", $"pos_id", $"rn")
   }
 

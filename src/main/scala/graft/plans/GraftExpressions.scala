@@ -1142,10 +1142,24 @@ case class SignedProjection(child: Expression)
       s"$prettyName expects array<double>, got ${t.simpleString}")
   }
 
+  /** Whether the input array's schema admits null elements. Checked
+    * STATICALLY: when false (the common post-cast case) the hot loop
+    * carries no per-element branch; when true, a null element yields
+    * NULL for the whole projection (the CosineSimilarity rule — a
+    * silently-zeroed coordinate would mask corrupt data). */
+  private lazy val elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
   override def nullSafeEval(v: Any): Any = {
     val xs = v.asInstanceOf[ArrayData]
     val n = xs.numElements()
     if (n != HyperplaneSignature.Dim) return null
+    if (elementsNullable) {
+      var j = 0
+      while (j < n) { if (xs.isNullAt(j)) return null; j += 1 }
+    }
     val out = new Array[Double](K)
     var k = 0
     while (k < K) {
@@ -1166,11 +1180,19 @@ case class SignedProjection(child: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val k = ctx.freshName("k"); val acc = ctx.freshName("acc")
       val out = ctx.freshName("out"); val row = ctx.freshName("row")
+      val nullScan = if (elementsNullable) {
+        val z = ctx.freshName("z")
+        s"""for (int $z = 0; $z < $n && !${ev.isNull}; $z++) {
+           |  if ($c.isNullAt($z)) ${ev.isNull} = true;
+           |}""".stripMargin
+      } else ""
       s"""
          |int $n = $c.numElements();
          |if ($n != ${HyperplaneSignature.Dim}) {
          |  ${ev.isNull} = true;
-         |} else {
+         |}
+         |$nullScan
+         |if (!${ev.isNull}) {
          |  double[] $out = new double[$K];
          |  for (int $k = 0; $k < $K; $k++) {
          |    double[] $row = $sRef[$k];

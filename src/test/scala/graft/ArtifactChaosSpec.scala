@@ -15,7 +15,9 @@ import graft.operators.ArtifactBuild
   *  2. a breaker restores a lock whose holder released INTO the
   *     capture window (nothing left to delete) → the restored orphan's
   *     mtime stays frozen, and the SAME breaker fast-reaps it after
-  *     1.5 heartbeat intervals instead of stalling a full staleLockMs.
+  *     ~2.5 heartbeat intervals (staleLockMs/2 wait + one full
+  *     interval of frozen-mtime confirmation) instead of stalling a
+  *     full staleLockMs.
   *
   * The interleavings are forced through the onStaleObserved /
   * onOrphanReap test seams — no sleeps standing in for causality.
@@ -94,7 +96,7 @@ class ArtifactChaosSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("a restored orphan (holder released into the capture) is fast-reaped") {
-    withStaleMs(3000) {
+    withStaleMs(6000) {
       val root = Files.createTempDirectory("graft-chaos-reap").toString
       val lock = new Path(s"$root/art.lock")
       val fs = fsFor(lock)
@@ -119,11 +121,13 @@ class ArtifactChaosSpec extends AnyFunSuite with SparkTestSession {
         val elapsed = System.currentTimeMillis() - t0
         assert(reaps.get() == 1,
           "acquire must go through the own-orphan fast-reap exactly once")
-        // fast-reap fires at staleLockMs/2 (1.5 s), never the full
-        // staleLockMs the restored-then-frozen mtime would cost a
-        // stranger breaker (3 s from the RESTORE, which itself reset
-        // the clock)
-        assert(elapsed < 3000,
+        // fast-reap fires after staleLockMs/2 (first frozen-mtime
+        // observation, 3 s) plus ONE full heartbeat interval of
+        // confirmation (staleLockMs/3, 2 s — a merely-delayed live
+        // heartbeat gets a second chance to advance the mtime), i.e.
+        // ~5 s + poll granularity — never the full staleLockMs (6 s
+        // from the RESTORE, which itself reset the clock)
+        assert(elapsed < 6000,
           s"reap took ${elapsed}ms — the fast path did not fire")
         assert(readToken(fs, lock) == token)
         val litter = fs.globStatus(new Path(s"$root/art.lock.broken-*"))

@@ -167,6 +167,14 @@ class DemoSpec extends AnyFunSuite with SparkTestSession {
         .agg(coalesce(max(round($"jaccard" * 1e6, 0).cast("long")), lit(0L)))
         .as[Long].head())
 
+    // x61b — diversity-slate certificate: the reported coverage ppm is
+    // the sampled twin's own one-scan corpus-radius certificate,
+    // bit-stable (deterministic A-Res draw + round-4 cosine)
+    assert(counts("kcenter_slate_coverage_ppm") ===
+      operators.SimilarityOps.kcenterCoresetSampled(spark, sf)
+        .agg(max(round($"coverage" * 1e6, 0).cast("long")))
+        .as[Long].head())
+
     // x76 — leak audit: every counted doc is a member of a
     // multi-member cluster (singletons agree with x23 by definition)
     val cs = operators.DedupOps.clusterSplit(spark, sf)

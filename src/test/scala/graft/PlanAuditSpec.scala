@@ -565,15 +565,38 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("x69/x72: mining serves from the materialized IVF index — no Lloyd training at serve") {
+    // r16: the probe/candidate stage is localCheckpoint-materialized
+    // and COUNTED before the cosine join is planned (the measured
+    // broadcast pin — x56's verifyJaccardCounted discipline), so the
+    // index scan is no longer visible in the SERVED plan. Pin each
+    // stage where it lives (the x56/x35 precedent):
+    //  - probe stage, built exactly as hardNegativesFor builds it:
+    //    probes the materialized index, partition-prunes the
+    //    cid-partitioned assignment scan to the probed cids (the x12
+    //    discipline), no global sort/cartesian;
+    //  - served plan: no SMJ, no cartesian (the under-cap measured
+    //    pin broadcasts at this SF).
+    val s = spark
+    import s.implicits._
+    import graft.operators.SimilarityOps
+    val aids = Tables.embeddings(spark, sf)
+      .filter($"vec_id" < SimilarityOps.HardNegQueries)
+      .select($"vec_id".as("qid"))
+    val (_, cand) = SimilarityOps.hardNegProbeStage(spark, sf, aids, true)
+    cand.collect()
+    val cp = cand.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(cp.contains("graft-ivf-index"),
+      "the probe stage must read the materialized index:\n" + cp)
+    assert(cp.contains("dynamicpruning"),
+      "assignment scan must partition-prune to probed cids:\n" + cp)
+    assert(!cp.contains("SortMergeJoin") && !cp.contains("CartesianProduct"))
+
     Seq("x69_hard_negatives", "x72_contrastive_triplets").foreach { q =>
       val p = plan(q)
-      assert(p.contains("graft-ivf-index"),
-        s"$q must probe the materialized index")
       assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), q)
-      // the x12 discipline: reading the persisted index means the
-      // probed-cid filter reaches the cid-partitioned assignment scan
-      assert(p.contains("dynamicpruning"),
-        s"$q assignment scan must partition-prune to probed cids")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q under-cap measured pin must broadcast at fixture scale")
     }
   }
 

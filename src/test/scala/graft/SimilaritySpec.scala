@@ -412,6 +412,41 @@ class SimilaritySpec extends AnyFunSuite with SparkTestSession {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("x69/x72 measured broadcast pin: over-cap counts flip hints to keyed shuffles, not rows") {
+    // the r16 rule: no hope-bounded broadcasts — every anchor- and
+    // candidate-proportional hint in the mining chain is pinned only
+    // under a MEASURED count cap. Forcing both caps to 0 simulates a
+    // corpus whose dup-pair relation outgrew broadcast range: the
+    // chain must shuffle on its keys AUTOMATICALLY (no global conf
+    // flip) and produce bitwise-identical rows.
+    val defaults = Seq("x69_hard_negatives", "x72_contrastive_triplets")
+      .map { q =>
+        q -> SparkEntry.queries(q)(spark, sf).collect().map(_.toSeq).toSeq
+      }.toMap
+    spark.conf.set("spark.graft.negBroadcastMaxAnchors", "0")
+    spark.conf.set("spark.graft.negBroadcastMaxCandidates", "0")
+    try {
+      defaults.foreach { case (q, want) =>
+        val df = SparkEntry.queries(q)(spark, sf)
+        assert(df.collect().map(_.toSeq).toSeq === want,
+          s"$q must be bitwise-stable when the measured caps force the shuffle branch")
+        val p = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        assert(!p.contains("CartesianProduct"),
+          s"$q must not degrade to a cartesian over the caps")
+      }
+      // the x72 final pos⋈negs join really shuffled on qid
+      val p72 = SparkEntry.queries("x72_contrastive_triplets")(spark, sf)
+        .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert("(SortMergeJoin|ShuffledHashJoin) \\[qid".r
+        .findFirstIn(p72).isDefined,
+        "over the anchor cap the qid join must shuffle, not broadcast")
+    } finally {
+      spark.conf.unset("spark.graft.negBroadcastMaxAnchors")
+      spark.conf.unset("spark.graft.negBroadcastMaxCandidates")
+    }
+  }
+
   test("x69/x22/x06 broadcast→shuffle fallback: conf flips plans, not rows") {
     // the same escape-hatch discipline extended to the probe family:
     // every growing broadcast in the x69 mining core is gated on the

@@ -34,17 +34,18 @@ class StreamingSoakSpec extends AnyFunSuite with SparkTestSession {
     * ascending mod-times + zero-padded names so the file source's
     * batch order is deterministic. Returns the input dir. */
   private def layBatches(root: String, n: Int,
-                         rows: Int => Seq[(Long, String, String, java.sql.Timestamp)]): String = {
+                         rows: Int => Seq[(Long, String, String, java.sql.Timestamp)],
+                         offset: Int = 0): String = {
     val in = s"$root/in"
-    val staged = s"$root/staged"
-    (0 until n).flatMap(b => rows(b).map { case (id, src, text, t) =>
+    val staged = s"$root/staged$offset"
+    (offset until offset + n).flatMap(b => rows(b).map { case (id, src, text, t) =>
         (b, id, src, text, t) })
       .toDF("b", "doc_id", "source", "text", "event_time")
       .repartition($"b")
       .write.partitionBy("b").parquet(staged)
     Files.createDirectories(Paths.get(in))
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
-    (0 until n).foreach { b =>
+    (offset until offset + n).foreach { b =>
       val part = new java.io.File(s"$staged/b=$b").listFiles()
         .filter(_.getName.endsWith(".parquet")).head
       val dst = Paths.get(in, f"batch_$b%04d.parquet")
@@ -146,5 +147,91 @@ class StreamingSoakSpec extends AnyFunSuite with SparkTestSession {
     assert(served == oneShot,
       s"served ${served.length} pairs != one-shot ${oneShot.length}")
     assert(oneShot.nonEmpty, "fixture must plant cross-batch dup pairs")
+  }
+
+  test(s"takedown under continuous ingest: applyRemovals fires mid-soak, the gate forgets by the NEXT batch") {
+    // the one serving-structure lifecycle the 200-batch soaks above
+    // don't cross: COMPLIANCE UNDER CONTINUOUS INGEST. 120 batches
+    // land, a takedown closure is excised MID-LIFECYCLE (between
+    // triggers — the maintenance op runs in the owner process at a
+    // micro-batch boundary, the StateMaintenance ownership contract),
+    // then ingest RESUMES from the same checkpoint for 80 more
+    // batches. The gate must forget the removed content before the
+    // next batch lands; nothing later may resurrect it; and the
+    // per-batch state shape must survive the rewrite.
+    val root = Files.createTempDirectory("graft-soak-takedown").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(b: Int) = new java.sql.Timestamp(t0 + b * 60000L)
+    // word plan: every 10th batch replays the word of 9 batches ago
+    // (a cross-batch near-dup pair); batches 120 and 130 — both AFTER
+    // the takedown — replay the REMOVED word eps0x, so the corpus
+    // re-encounters taken-down content under fresh doc ids
+    def wordFor(b: Int): String =
+      if (b == 120 || b == 130) "eps0x"
+      else if (b % 10 == 9) s"eps${b - 9}x"
+      else s"eps${b}x"
+    def rowsFor(b: Int) = Seq(
+      (2L * b + 1, "s1", doc(2L * b + 1, wordFor(b)), ts(b)),
+      (2L * b + 2, "s1", doc(2L * b + 2, s"zeta${b}x"), ts(b)))
+
+    val in = layBatches(root, 120, rowsFor)
+    val stateDir = s"$root/state"
+    val q1 = graft.streaming.DedupStream.startDocStream(
+      spark, in, stateDir, s"$root/ckpt", maxFilesPerTrigger = Some(1))
+    assert(q1.awaitTermination(600000), "phase-1 soak did not drain")
+
+    // the takedown closure by construction: doc 1 (batch 0, eps0x)
+    // and its near-dup doc 19 (batch 9's replay)
+    val removed = Seq(1L, 19L)
+    val probe = Seq((9001L, doc(9001L, "eps0x")))
+      .toDF("doc_id", "text")
+    val flaggedBefore = graft.streaming.DedupStream
+      .servedIncomingDups(spark, stateDir, probe)
+      .select($"dup_of").as[Long].collect().toSet
+    assert(flaggedBefore == removed.toSet,
+      s"pre-takedown gate must flag the planted cluster, got $flaggedBefore")
+
+    graft.streaming.DedupStream.applyRemovals(spark, stateDir, removed)
+
+    // the gate forgets IMMEDIATELY — before any further batch lands
+    val flaggedAfter = graft.streaming.DedupStream
+      .servedIncomingDups(spark, stateDir, probe)
+      .collect()
+    assert(flaggedAfter.isEmpty,
+      s"post-takedown gate must not flag removed content: ${flaggedAfter.toSeq}")
+
+    // ingest RESUMES from the same checkpoint: 80 more batches,
+    // including the two post-takedown replays of the removed word
+    layBatches(root, 80, rowsFor, offset = 120)
+    val q2 = graft.streaming.DedupStream.startDocStream(
+      spark, in, stateDir, s"$root/ckpt", maxFilesPerTrigger = Some(1))
+    assert(q2.awaitTermination(600000), "phase-2 soak did not drain")
+
+    // state shape survived the mid-soak rewrite: still exactly one
+    // sets partition per micro-batch across both phases
+    val setParts = new java.io.File(s"$stateDir/sets").listFiles()
+      .count(_.getName.startsWith("batch_id="))
+    assert(setParts == 200, s"expected 200 sets partitions, got $setParts")
+
+    val served = graft.streaming.DedupStream.servedDupPairs(spark, stateDir)
+      .collect().toSeq
+    // nothing resurrects the removed docs
+    val removedSet = removed.toSet
+    assert(served.forall(r =>
+        !removedSet(r.getLong(0)) && !removedSet(r.getLong(1))),
+      "a served pair touches a taken-down doc id")
+    // re-encountered content pairs among its POST-takedown copies only
+    // (batch 120's doc 241 with batch 130's doc 261)
+    assert(served.exists(r => r.getLong(0) == 241L && r.getLong(1) == 261L
+        || r.getLong(0) == 261L && r.getLong(1) == 241L),
+      "post-takedown replays of the removed word must pair with each other")
+    // ...and the whole served relation equals the one-shot x02 over
+    // exactly the surviving corpus
+    val oneShot = DedupOps.dedupMinhashLshOf(
+        spark.read.parquet(in).select($"doc_id", $"text")
+          .filter(!$"doc_id".isin(removed: _*)))
+      .collect().toSeq
+    assert(served == oneShot,
+      s"served ${served.length} pairs != one-shot-over-survivors ${oneShot.length}")
   }
 }
