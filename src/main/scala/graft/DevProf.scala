@@ -88,7 +88,10 @@ object DevProf {
         f"shuffle_read=${after._4 - before._4}")
     }
     val df = fn(spark, sfDir)
-    df.collect()
+    // execute through the frame's OWN QueryExecution so the AQE plan
+    // finalizes, but keep rows on the executors — a collect() here
+    // pulled the full 125x triplet relation onto the driver
+    df.queryExecution.toRdd.foreach(_ => ())
     println(df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0))
     Thread.sleep(1000)

@@ -81,26 +81,55 @@ object TwinAgreement {
       notes("x34b_worst_rel_err") = f"$rel%.4f"
     }
 
-    // x35b: estimates inside the exact rank bounds at p ± QuantDelta
+    // x35b: estimates inside the exact rank bounds at p ± QuantDelta.
+    // The exact bound values are computed DISTRIBUTED (r16): the old
+    // check collected every lineitem price driver-side, which silently
+    // OOM'd the twin gate at the 125x rung without 64g and is a hard
+    // wall at 625x (375M values). Same arithmetic as before — value at
+    // sorted position p·(n−1) with linear interpolation — but realized
+    // as a per-flag row_number window + a rank-probe filter, so only
+    // the ≤8 probed rows per flag ever reach the driver.
     {
+      import org.apache.spark.sql.expressions.Window
       val rows = SparkEntry.queries("x35b_approx_quantiles_sketch")(spark, sf)
         .collect()
-      val byFlag = Tables.lineitem(spark, sf)
-        .select($"l_returnflag", $"l_extendedprice".cast("double"))
-        .as[(String, Double)].collect().groupBy(_._1)
-      def quantileOf(v: Array[Double], p: Double): Double = {
-        val s = v.sorted
-        val pos = p * (s.length - 1)
-        val lo = s(math.floor(pos).toInt); val hi = s(math.ceil(pos).toInt)
+      val li = Tables.lineitem(spark, sf)
+        .select($"l_returnflag".as("flag"),
+          $"l_extendedprice".cast("double").as("v"))
+      val nByFlag = li.groupBy($"flag").agg(count(lit(1)).as("n"))
+        .as[(String, Long)].collect().toMap
+      val probes = Seq(0.5 - SketchOps.QuantDelta, 0.5 + SketchOps.QuantDelta,
+        0.95 - SketchOps.QuantDelta, 0.95 + SketchOps.QuantDelta)
+      // 0-based sorted positions needed per flag (floor+ceil per probe)
+      val wanted: Map[String, Set[Long]] = nByFlag.map { case (f, n) =>
+        f -> probes.flatMap { p =>
+          val pos = p * (n - 1)
+          Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+        }.toSet
+      }
+      val ranked = li.withColumn("rn",
+        row_number().over(Window.partitionBy($"flag").orderBy($"v")) - 1)
+      val probeFilter = wanted.map { case (f, rns) =>
+        $"flag" === f && $"rn".isin(rns.toSeq: _*)
+      }.reduce(_ || _)
+      val picked = ranked.filter(probeFilter)
+        .select($"flag", $"rn", $"v")
+        .as[(String, Long, Double)].collect()
+        .groupBy(_._1).map { case (f, rs) =>
+          f -> rs.map(t => (t._2, t._3)).toMap }
+      def quantileOf(f: String, p: Double): Double = {
+        val pos = p * (nByFlag(f) - 1)
+        val lo = picked(f)(math.floor(pos).toLong)
+        val hi = picked(f)(math.ceil(pos).toLong)
         lo + (pos - math.floor(pos)) * (hi - lo)
       }
       val ok = rows.forall { r =>
-        val vs = byFlag(r.getString(0)).map(_._2)
+        val f = r.getString(0)
         val (p50, p95) = (r.getDouble(2), r.getDouble(3))
-        p50 >= quantileOf(vs, 0.5 - SketchOps.QuantDelta) &&
-          p50 <= quantileOf(vs, 0.5 + SketchOps.QuantDelta) &&
-          p95 >= quantileOf(vs, 0.95 - SketchOps.QuantDelta) &&
-          p95 <= quantileOf(vs, 0.95 + SketchOps.QuantDelta)
+        p50 >= quantileOf(f, 0.5 - SketchOps.QuantDelta) &&
+          p50 <= quantileOf(f, 0.5 + SketchOps.QuantDelta) &&
+          p95 >= quantileOf(f, 0.95 - SketchOps.QuantDelta) &&
+          p95 <= quantileOf(f, 0.95 + SketchOps.QuantDelta)
       }
       results("x35b_within_rank_bounds") = ok && rows.nonEmpty
     }
