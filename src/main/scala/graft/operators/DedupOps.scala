@@ -251,6 +251,10 @@ object DedupOps {
     val sets = shingleSetsOf(docs).localCheckpoint(false)
     verifyJaccard(lshCandidates(minhashSignatures(sets)), sets,
         JaccardThreshold)
+      // in-job work-unit counter (pass-through CollectMetrics; the
+      // sweep ladder adjudicates this family per OUTPUT PAIR — pairs
+      // grow ~copies² on the key-shifted corpus by construction)
+      .observe("x02_dup_pairs", count(lit(1)).as("rows"))
       .orderBy(col("da"), col("db"))
   }
 
@@ -320,6 +324,8 @@ object DedupOps {
       .select($"da", $"db",
         bit_count($"siga".bitwiseXOR($"sigb")).cast("long").as("hamming"))
       .filter($"hamming" <= SimhashMaxHamming)
+      // in-job per-pair denominator for the sweep ladder (x02 rule)
+      .observe("x03_dup_pairs", count(lit(1)).as("rows"))
       .orderBy($"da", $"db")
   }
 
@@ -1373,6 +1379,8 @@ object DedupOps {
       .select($"va", $"vb",
         round(CoreQueries.cosine(s, $"ea", $"eb"), 4).as("sim"))
       .filter($"sim" >= CosineThreshold)
+      // in-job per-pair denominator for the sweep ladder (x02 rule)
+      .observe("x05_dup_pairs", count(lit(1)).as("rows"))
       .orderBy($"va", $"vb")
   }
 

@@ -434,6 +434,8 @@ object MultimodalOps {
       .select($"da", $"db",
         bit_count($"pha".bitwiseXOR($"phb")).cast("long").as("hamming"))
       .filter($"hamming" <= PhMaxHamming)
+      // in-job per-pair denominator for the sweep ladder (x02 rule)
+      .observe("x40_dup_pairs", count(lit(1)).as("rows"))
       .orderBy($"da", $"db")
   }
 

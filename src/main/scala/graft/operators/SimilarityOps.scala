@@ -1201,6 +1201,10 @@ object SimilarityOps {
         round($"sim" /
           ($"sa" / (lit(2.0) * $"na" * lit(1e4)) +
            $"sb" / (lit(2.0) * $"nb" * lit(1e4))), 6).as("margin"))
+      // in-job work-unit counter: the OUTPUT is top-M bounded, so the
+      // sweep-ladder denominator for this operator is the SCORED-pair
+      // relation (grows with the corpus's neighborhood fan-out)
+      .observe("x65_scored_pairs", count(lit(1)).as("rows"))
       .orderBy($"margin".desc, $"src_id", $"tgt_id")
       .limit(BitextTopM)
   }
