@@ -293,6 +293,8 @@ object DedupOps {
     verifyJaccardCounted(cand, cSets.unionAll(bSets), JaccardThreshold)
       .select(col("da").as("new_id"), col("db").as("dup_of"),
         col("jaccard"))
+      // in-job per-pair denominator for the sweep ladder (x02 rule)
+      .observe("x56_dup_pairs", count(lit(1)).as("rows"))
       .orderBy(col("new_id"), col("dup_of"))
   }
 
