@@ -147,7 +147,17 @@ object BpeOps {
     * segments exactly as it would have had it been in the training
     * corpus (each distinct OOV word is segmented once, then joined —
     * no per-occurrence re-derivation). Output: (doc_id, word, syms)
-    * per word occurrence. */
+    * per word occurrence.
+    *
+    * Scale shape: the vocab and segmentation tables are word-TYPE-
+    * proportional — Heaps' law puts web-scale type counts at 10⁸–10⁹
+    * (inflated by URLs and typos) — so neither is assumed broadcastable:
+    * the trained vocab is checkpointed and COUNTED once (the verdict
+    * pins both the OOV anti-join hint and, combined with the counted
+    * segTable, the final occurrence join), and above
+    * [[CountedHint.SegBroadcastMaxWords]] both joins shuffle on `word`
+    * automatically. The merge list stays a one-row broadcast — bounded
+    * by construction (nMerges rows folded into one array). */
   def bpeSegment(docsFrame: DataFrame, merges: DataFrame,
                  trainedVocab: DataFrame): DataFrame = {
     val s = docsFrame.sparkSession
@@ -157,12 +167,16 @@ object BpeOps {
     // struct<round,a,b> orders by round — the pick order)
     val mergeList = merges
       .agg(array_sort(collect_list(struct($"round", $"a", $"b"))).as("ms"))
+    val tv = trainedVocab.select($"word", $"syms").localCheckpoint(false)
+    val hintedV = CountedHint.fn(s, tv.count(),
+      CountedHint.SegCapKey, CountedHint.SegBroadcastMaxWords)
     val oovSegs = words.select($"word").distinct()
-      .join(broadcast(trainedVocab.select($"word")), Seq("word"), "left_anti")
+      .join(hintedV(tv.select($"word")), Seq("word"), "left_anti")
       .crossJoin(broadcast(mergeList))
       .select($"word", expr(applyAllMergesExpr).as("syms"))
-    val segTable = trainedVocab.select($"word", $"syms").unionByName(oovSegs)
-    words.join(broadcast(segTable), Seq("word"))
+    val segTable = CountedHint.counted(tv.unionByName(oovSegs),
+      CountedHint.SegCapKey, CountedHint.SegBroadcastMaxWords)
+    words.join(segTable, Seq("word"))
       .select($"doc_id", $"word", $"syms")
   }
 }

@@ -424,13 +424,21 @@ object DedupOps {
       .orderBy($"doc_id")
   }
 
-  /** The same labeling for an arbitrary (doc_id, text) frame. */
+  /** The same labeling for an arbitrary (doc_id, text) frame. The
+    * label rejoin is counted-cap-pinned: ccLabelsOf returns an eagerly
+    * checkpointed frame, so the count is one cheap RDD action, and the
+    * broadcast is pinned only when the edge-incident label count sits
+    * under [[CountedHint.LabelBroadcastMaxRows]] — on a dup-heavy
+    * corpus (30–50% of a pre-dedup crawl) the join shuffles on doc_id
+    * automatically. */
   def dedupClustersOf(docsFrame: DataFrame): DataFrame = {
     val s = docsFrame.sparkSession
     import s.implicits._
     val labels = ccLabelsOf(dedupMinhashLshOf(docsFrame).select($"da", $"db"))
+    val hintedL = CountedHint.fn(s, labels.count(),
+      CountedHint.LabelCapKey, CountedHint.LabelBroadcastMaxRows)
     docsFrame.select($"doc_id")
-      .join(broadcast(labels.select($"doc_id", $"rep".as("erep"))),
+      .join(hintedL(labels.select($"doc_id", $"rep".as("erep"))),
         Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"erep", $"doc_id").as("rep"))
       .orderBy($"doc_id")
@@ -638,16 +646,22 @@ object DedupOps {
               Seq("db"))
             .select($"da", $"brep".as("db"))
           val comp = ccLabelsOf(within.unionAll(crossC))
+          // comp is delta-edge-bounded, but a bulk append can make the
+          // delta itself corpus-sized — so its two rejoin hints ride
+          // the same counted cap (comp is eagerly checkpointed by
+          // ccLabelsOf; one count pins both projections)
+          val hintedC = CountedHint.fn(s, comp.count(),
+            CountedHint.LabelCapKey, CountedHint.LabelBroadcastMaxRows)
           cSets.unionAll(bSets).write.mode("overwrite").parquet(s"$st/sets")
           s.read.parquet(s"$bpath/bands").select($"doc_id", $"band", $"key")
             .unionAll(bBands.select($"doc_id", $"band", $"key"))
             .write.mode("overwrite").parquet(s"$st/bands")
           val oldFinal = oldLabels
-            .join(broadcast(comp.select($"doc_id".as("rep"),
+            .join(hintedC(comp.select($"doc_id".as("rep"),
               $"rep".as("nrep"))), Seq("rep"), "left")
             .select($"doc_id", coalesce($"nrep", $"rep").as("rep"))
           val deltaFinal = deltaDocs.select($"doc_id")
-            .join(broadcast(comp.select($"doc_id", $"rep".as("nrep"))),
+            .join(hintedC(comp.select($"doc_id", $"rep".as("nrep"))),
               Seq("doc_id"), "left")
             .select($"doc_id", coalesce($"nrep", $"doc_id").as("rep"))
           oldFinal.unionAll(deltaFinal)
@@ -665,8 +679,15 @@ object DedupOps {
               setsW, JaccardThreshold)
             .select($"da", $"db")
           val cc = ccLabelsOf(edges)
+          // the full-build label rejoin: cc is one row per
+          // edge-incident doc — corpus-dup-proportional, so the hint
+          // is pinned only under the MEASURED label cap (cc is eagerly
+          // checkpointed by ccLabelsOf, the count is one RDD action);
+          // above it the join shuffles on doc_id with no conf flip
+          val hintedCc = CountedHint.fn(s, cc.count(),
+            CountedHint.LabelCapKey, CountedHint.LabelBroadcastMaxRows)
           docsAll.select($"doc_id")
-            .join(broadcast(cc.select($"doc_id", $"rep".as("erep"))),
+            .join(hintedCc(cc.select($"doc_id", $"rep".as("erep"))),
               Seq("doc_id"), "left")
             .select($"doc_id", coalesce($"erep", $"doc_id").as("rep"))
       }
@@ -682,9 +703,14 @@ object DedupOps {
     // the convergence loop never runs on the query path (plan-pinned).
     val labels = ArtifactBuild.readCached(s, s"${ensureClusterIndex(s, d)}/labels")
     val isListed = (c: Column) => c % RemovalIdStride === 0
-    val listedReps = labels.filter(isListed($"doc_id"))
-      .select($"rep").distinct()
-    labels.join(broadcast(listedReps), Seq("rep"))
+    // the listed-rep probe is takedown-list-proportional — external
+    // feeds are usually tiny, but the demo predicate (and a mass
+    // takedown) scales with the corpus, so it is counted, not assumed:
+    // the checkpoint the count forces is reused verbatim by the join
+    val listedReps = CountedHint.counted(
+      labels.filter(isListed($"doc_id")).select($"rep").distinct(),
+      CountedHint.LabelCapKey, CountedHint.LabelBroadcastMaxRows)
+    labels.join(listedReps, Seq("rep"))
       .select($"doc_id", $"rep",
         when(isListed($"doc_id"), lit("listed"))
           .otherwise(lit("neardup")).as("reason"))
@@ -698,9 +724,10 @@ object DedupOps {
     val s = docsFrame.sparkSession
     import s.implicits._
     val labels = dedupClustersOf(docsFrame) // (doc_id, rep) for EVERY doc
-    val listedReps = labels.filter(isListed($"doc_id"))
-      .select($"rep").distinct()
-    labels.join(broadcast(listedReps), Seq("rep"))
+    val listedReps = CountedHint.counted(
+      labels.filter(isListed($"doc_id")).select($"rep").distinct(),
+      CountedHint.LabelCapKey, CountedHint.LabelBroadcastMaxRows)
+    labels.join(listedReps, Seq("rep"))
       .select($"doc_id", $"rep",
         when(isListed($"doc_id"), lit("listed"))
           .otherwise(lit("neardup")).as("reason"))
@@ -845,10 +872,14 @@ object DedupOps {
     * collision expectation stays ~1e-13 even at 1e13 windows, the same
     * exact-up-to-hash standard the x01
     * fingerprint path sets). The duplicated-key relation is the aggregate's
-    * ≥2-distinct-doc survivors — tiny relative to the corpus whenever
-    * duplication is the exception, hence the broadcast back; on a
-    * pathological corpus drop the hint and the semi-join degrades to a
-    * shuffle on the same key. */
+    * ≥2-distinct-doc survivors — tiny whenever duplication is the
+    * exception, but it GROWS with the corpus's duplicated-window count
+    * (which boilerplate-heavy crawls maximize), so the count-back hint
+    * is pinned by MEASUREMENT, never assumption: the survivor frame is
+    * checkpointed and counted (the materialization is reused verbatim
+    * by the join), and above [[CountedHint.DupKeyBroadcastMaxRows]]
+    * the join degrades to a shuffle on the same key automatically —
+    * no manual edit on a pathological corpus. */
   def dedupBlocks(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // lazily checkpointed: the window explode feeds both the dup-key
@@ -862,10 +893,12 @@ object DedupOps {
       .localCheckpoint(false)
     // ≥2 distinct docs ⟺ min(doc_id) < max(doc_id): one plain agg pass,
     // not the distinct-rewrite Expand a countDistinct would plan
-    val dup = wins.groupBy($"k")
-      .agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"))
-      .filter($"mn" < $"mx").select($"k", lit(1L).as("dup"))
-    wins.join(broadcast(dup), Seq("k"), "left")
+    val dup = CountedHint.counted(
+      wins.groupBy($"k")
+        .agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"))
+        .filter($"mn" < $"mx").select($"k", lit(1L).as("dup")),
+      CountedHint.DupKeyCapKey, CountedHint.DupKeyBroadcastMaxRows)
+    wins.join(dup, Seq("k"), "left")
       .groupBy($"doc_id")
       .agg(count("*").as("n_windows"),
            sum(coalesce($"dup", lit(0L))).as("n_dup_windows"))
