@@ -91,29 +91,15 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     // Work-unit denominators self-reported by queries via
-    // Dataset.observe (x45 matched pairs, x72 triplets): a
-    // QueryExecutionListener collects every named CollectMetrics
-    // result so the sweep ladder's per-unit-output adjudication reads
-    // its denominator from the SAME run — no second execution, no
-    // extrapolation. Values are deterministic per corpus, so
-    // last-rep-wins is safe.
-    val observed =
-      new java.util.concurrent.ConcurrentHashMap[String, String]()
-    spark.listenerManager.register(
-      new org.apache.spark.sql.util.QueryExecutionListener {
-        override def onSuccess(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution,
-            durationNs: Long): Unit =
-          qe.observedMetrics.foreach { case (name, row) =>
-            val fields = row.schema.fieldNames.zipWithIndex.map {
-              case (f, i) => s"""\"$f\":${row.get(i)}"""
-            }.mkString("{", ",", "}")
-            observed.put(name, fields)
-          }
-        override def onFailure(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution,
-            exception: Exception): Unit = ()
-      })
+    // Dataset.observe (x45 matched pairs, x72 triplets, the banded
+    // dedup pair counts): ObservedMetrics collects every named
+    // CollectMetrics result so the sweep ladder's per-unit-output
+    // adjudication reads its denominator from the SAME run — no second
+    // execution, no extrapolation. The read path is drained
+    // DETERMINISTICALLY (sentinel barrier, no fixed sleep) and the map
+    // is CLEARED between warmup and measured phases, so a lagging bus
+    // can never leave a warmup-scale count in the committed artifact.
+    val observed = new ObservedMetrics(spark)
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
             dir: String): Unit =
@@ -145,10 +131,23 @@ object Bench {
     val warmedUp =
       new java.io.File(warmupDir).isDirectory && warmupDir != sfDir
     if (warmedUp) {
-      selected.foreach { case (_, fn) =>
-        try run(fn, warmupDir) catch { case _: Throwable => () }
+      // warmup-only mute of the known-benign accumulator burst: the
+      // counted-pin construction jobs' checkpoint cleanup races
+      // straggler task-end updates and sprays "Failed to update
+      // accumulator" at ERROR with zero result effect (SCALE.md
+      // "Known-benign log burst") — scoped to this phase and this
+      // message so real accumulator failures elsewhere still surface
+      withAccumulatorErrorMuted {
+        selected.foreach { case (_, fn) =>
+          try run(fn, warmupDir) catch { case _: Throwable => () }
+        }
       }
     }
+    // phase boundary: warmup executed the same instrumented queries,
+    // so barrier-drain its listener events and drop them — only
+    // measured-phase (sfDir) counts may reach the artifact
+    val warmupDrained = observed.drain("graft_bench_drain_warmup")
+    observed.clear()
     // Warm the BENCH scale factor's files too (byte-level pre-read →
     // OS page cache): the sf0.001 warmup never touches the sfDir
     // parquet, so without this the first query to scan each bench
@@ -248,11 +247,7 @@ object Bench {
       if (sys.env.getOrElse("SPARK_GRAFT_DUCK", "auto") == "off") None
       else try {
         val oracles = SparkEntry.oracleSql.filter(o => selected.contains(o._1))
-        val esc = (s: String) => "\"" + s.flatMap {
-          case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-          case '\r' => "\\r"; case '\t' => "\\t"
-          case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-        } + "\""
+        val esc = (s: String) => Json.str(s)
         val tmp = java.io.File.createTempFile("graft-oracle-", ".json")
         tmp.deleteOnExit()
         val w = new java.io.PrintWriter(tmp, "UTF-8")
@@ -284,18 +279,20 @@ object Bench {
         s""","duckdb":$d,"spark_oracle":$so,"n_oracle":$n,"ratio":${math.round(ratio * 1000) / 1000.0},"duckdb_queries":$perQuery,"duckdb_unstable":$duckUnstable"""
       case None => ""","duckdb":null,"ratio":null"""
     }
-    // drain the async execution-listener bus before reading the
-    // observed-metric map (QueryExecutionListener delivery is
-    // asynchronous; a fixed grace period is enough for a bench that
-    // just ran thousands of jobs)
-    if (!observed.isEmpty || results.nonEmpty) Thread.sleep(1000)
-    val obsJson = {
-      import scala.jdk.CollectionConverters._
-      observed.asScala.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"""\"$k\":$v""" }.mkString("{", ",", "}")
-    }
+    // deterministic drain of the async execution-listener bus before
+    // reading the observed-metric map: a sentinel observe query +
+    // FIFO delivery proves every measured-phase event arrived — a
+    // timeout is RECORDED (observed_drained:false), never swallowed
+    // as a silently-stale denominator
+    val obsDrained = observed.drain("graft_bench_drain_final")
+    val obsJson = observed.json
+    // every surviving observed value is measured-phase by
+    // construction (the map was cleared at the warmup boundary), so
+    // the corpus dir of the whole map is sfDir — recorded so a sweep
+    // reader can detect a mismatched harvest
+    val obsMeta = s""","observed_dir":${Json.str(sfDir)},"observed_drained":${obsDrained && warmupDrained}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"unstable":$unstable,"observed":$obsJson,"reps":$reps,"warmup":$warmedUp$duckJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"unstable":$unstable,"observed":$obsJson$obsMeta,"reps":$reps,"warmup":$warmedUp$duckJson,"sf":${Json.str(sfDir)}}"""
     // The full line grows with the query count and a tail-windowed
     // reader can clip its head (round-4 BENCH parsed:null), so the full
     // JSON also lands in a file and the LAST stdout line is a compact
@@ -314,7 +311,39 @@ object Bench {
         s""","duckdb":$d,"spark_oracle":$so,"n_oracle":$n,"ratio":${math.round(ratio * 1000) / 1000.0}"""
       case None => ""","duckdb":null,"ratio":null"""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${good.size},"n_failed":${failed.size},"n_unstable":${good.count(_._4 > 0.3)},"reps":$reps,"warmup":$warmedUp$duckCompact,"sf":"$sfDir","detail":"${outFile.getPath}"}""")
+    // the observed work-unit map rides the compact line too (it is
+    // bounded by the instrumented-query count, not the suite size), so
+    // the committed round artifact itself carries the per-unit
+    // denominators the growth adjudication needs
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${good.size},"n_failed":${failed.size},"n_unstable":${good.count(_._4 > 0.3)},"observed":$obsJson$obsMeta,"reps":$reps,"warmup":$warmedUp$duckCompact,"sf":${Json.str(sfDir)},"detail":${Json.str(outFile.getPath)}}""")
     spark.stop()
+  }
+
+  /** Scoped log filter for the known-benign warmup accumulator burst
+    * (VERDICT r16 #3 / SCALE.md "Known-benign log burst"): DENY only
+    * messages matching "Failed to update accumulator" while `body`
+    * runs, then restore. Anything else — including other ERROR-level
+    * accumulator failures — passes through untouched, and if the
+    * log4j2 core API is absent the body just runs unmuted. */
+  private def withAccumulatorErrorMuted[A](body: => A): A = {
+    // the filter setup is guarded separately from body — a logging-API
+    // failure must mean "run unmuted", never "run body twice"
+    val restore: () => Unit = try {
+      import org.apache.logging.log4j.LogManager
+      import org.apache.logging.log4j.core.LoggerContext
+      import org.apache.logging.log4j.core.Filter.Result
+      import org.apache.logging.log4j.core.filter.RegexFilter
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val lc = ctx.getConfiguration
+        .getLoggerConfig("org.apache.spark.scheduler.DAGScheduler")
+      val f = RegexFilter.createFilter(
+        ".*Failed to update accumulator.*", null, java.lang.Boolean.FALSE,
+        Result.DENY, Result.NEUTRAL)
+      f.start()
+      lc.addFilter(f)
+      ctx.updateLoggers()
+      () => { lc.removeFilter(f); ctx.updateLoggers() }
+    } catch { case _: LinkageError | _: Exception => () => () }
+    try body finally restore()
   }
 }

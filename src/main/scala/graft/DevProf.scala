@@ -52,34 +52,27 @@ object DevProf {
           }
         }
       })
-    val observed =
-      new java.util.concurrent.ConcurrentHashMap[String, String]()
-    spark.listenerManager.register(
-      new org.apache.spark.sql.util.QueryExecutionListener {
-        override def onSuccess(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution,
-            durationNs: Long): Unit =
-          qe.observedMetrics.foreach { case (n, row) =>
-            val fields = row.schema.fieldNames.zipWithIndex.map {
-              case (f, i) => s"""\"$f\":${row.get(i)}"""
-            }.mkString("{", ",", "}")
-            observed.put(n, fields)
-          }
-        override def onFailure(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution,
-            exception: Exception): Unit = ()
-      })
+    val observed = new ObservedMetrics(spark)
 
     val fn = SparkEntry.queries(name)
     def run(dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
     try run("/root/testdata/sf0.001") catch { case _: Throwable => () }
+    // phase boundary: the warmup ran the same instrumented query at
+    // sf0.001 — barrier-drain and drop its events so the DEVPROF line
+    // can only carry target-dir counts (the r16 harvest's fixed sleep
+    // could leave a stale warmup-scale value behind a lagging bus)
+    observed.drain("devprof_drain_warmup")
+    observed.clear()
     for (i <- 1 to reps) {
       val before = M.snapshot
       val t0 = System.nanoTime()
       run(sfDir)
       val secs = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500) // drain the listener bus before the delta read
+      // deterministic delta read: the sentinel's SQLExecutionEnd rides
+      // the same FIFO queue as the rep's stage-completed events, so
+      // its arrival proves the stage metrics are in — no fixed sleep
+      observed.drain(s"devprof_drain_rep$i")
       val after = M.snapshot
       println(f"rep$i $secs%.3f s  " +
         f"spill_mem=${after._1 - before._1}  " +
@@ -94,16 +87,12 @@ object DevProf {
     df.queryExecution.toRdd.foreach(_ => ())
     println(df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0))
-    Thread.sleep(1000)
+    val drained = observed.drain("devprof_drain_final")
     val (sm, sd, sw, sr) = M.snapshot
-    val obsJson = {
-      import scala.jdk.CollectionConverters._
-      observed.asScala.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"""\"$k\":$v""" }.mkString("{", ",", "}")
-    }
-    println(s"""DEVPROF {"q":"$name","dir":"$sfDir","reps":$reps,""" +
-      s""""spill_mem":$sm,"spill_disk":$sd,"shuffle_write":$sw,""" +
-      s""""shuffle_read":$sr,"observed":$obsJson}""")
+    println(s"""DEVPROF {"q":${Json.str(name)},"dir":${Json.str(sfDir)},""" +
+      s""""reps":$reps,"spill_mem":$sm,"spill_disk":$sd,""" +
+      s""""shuffle_write":$sw,"shuffle_read":$sr,""" +
+      s""""observed":${observed.json},"observed_drained":$drained}""")
     spark.stop()
   }
 }

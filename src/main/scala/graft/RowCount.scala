@@ -27,16 +27,12 @@ object RowCount {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // sweep scripts parse the ROWCOUNT line as JSON — escape the
-    // interpolated strings so a dir with a quote/backslash stays valid
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case '\r' => "\\r"; case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    }
+    // interpolated strings (shared Json helper) so a dir with a
+    // quote/backslash stays valid
     try args.drop(1).foreach { n =>
       val c = SparkEntry.queries(n)(spark, dir).count()
       println(
-        s"""ROWCOUNT {"q":"${esc(n)}","dir":"${esc(dir)}","rows":$c}""")
+        s"""ROWCOUNT {"q":${Json.str(n)},"dir":${Json.str(dir)},"rows":$c}""")
     } finally spark.stop()
   }
 }

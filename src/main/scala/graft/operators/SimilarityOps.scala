@@ -1309,8 +1309,16 @@ object SimilarityOps {
     * measured pin truncates the SERVED plan at the checkpoint — the
     * x56/x35 precedent — so the audit pins this stage where it
     * lives). `pinAnchors` is the measured anchor-cap verdict. */
+  /** Test seam (PlanAuditSpec): counts hardNegProbeStage invocations so
+    * the audit can assert the SERVED x69/x72 entries still route
+    * through the stage it pins — the measured-pin checkpoint truncates
+    * served lineage, so the plan alone can't show it (ADVICE r16). */
+  private[graft] val probeStageInvocations =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[graft] def hardNegProbeStage(s: SparkSession, d: String,
       aids: DataFrame, pinAnchors: Boolean): (DataFrame, DataFrame) = {
+    probeStageInvocations.incrementAndGet()
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val root = ensureIvfIndex(s, d)

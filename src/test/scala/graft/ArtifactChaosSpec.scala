@@ -96,7 +96,13 @@ class ArtifactChaosSpec extends AnyFunSuite with SparkTestSession {
   }
 
   test("a restored orphan (holder released into the capture) is fast-reaped") {
-    withStaleMs(6000) {
+    // staleMs=9000 keeps the fast-reap (~7.5 s: staleMs/2 frozen wait
+    // + staleMs/3 confirmation) well clear of BOTH the assert bound
+    // and the ordinary full-stale fallback (9 s from the restore,
+    // which reset the mtime near t0) — at 6000 the two paths landed
+    // ~600 ms apart and the assert couldn't tell them apart (ADVICE
+    // r16)
+    withStaleMs(9000) {
       val root = Files.createTempDirectory("graft-chaos-reap").toString
       val lock = new Path(s"$root/art.lock")
       val fs = fsFor(lock)
@@ -107,6 +113,7 @@ class ArtifactChaosSpec extends AnyFunSuite with SparkTestSession {
       fs.setTimes(lock, System.currentTimeMillis() - 100000, -1)
 
       val reaps = new java.util.concurrent.atomic.AtomicInteger(0)
+      val reapAt = new java.util.concurrent.atomic.AtomicLong(0L)
       val refreshed = new java.util.concurrent.atomic.AtomicBoolean(false)
       ArtifactBuild.onStaleObserved = p =>
         // force the freshAfterAll give-back exactly once: the holder's
@@ -114,21 +121,29 @@ class ArtifactChaosSpec extends AnyFunSuite with SparkTestSession {
         // and its rename — afterwards the holder is gone for good
         if (refreshed.compareAndSet(false, true))
           fs.setTimes(p, System.currentTimeMillis(), -1)
-      ArtifactBuild.onOrphanReap = _ => reaps.incrementAndGet()
+      ArtifactBuild.onOrphanReap = _ => {
+        reaps.incrementAndGet()
+        reapAt.set(System.currentTimeMillis())
+      }
       try {
         val t0 = System.currentTimeMillis()
         val token = ArtifactBuild.acquireCrossJvmLock(fs, lock)
-        val elapsed = System.currentTimeMillis() - t0
         assert(reaps.get() == 1,
           "acquire must go through the own-orphan fast-reap exactly once")
-        // fast-reap fires after staleLockMs/2 (first frozen-mtime
-        // observation, 3 s) plus ONE full heartbeat interval of
-        // confirmation (staleLockMs/3, 2 s — a merely-delayed live
-        // heartbeat gets a second chance to advance the mtime), i.e.
-        // ~5 s + poll granularity — never the full staleLockMs (6 s
-        // from the RESTORE, which itself reset the clock)
-        assert(elapsed < 6000,
-          s"reap took ${elapsed}ms — the fast path did not fire")
+        // assert on the reap SEAM's own timestamp, not acquire's total
+        // wall-clock: the fast-reap fires after staleLockMs/2 (first
+        // frozen-mtime observation, 4.5 s) plus ONE full heartbeat
+        // interval of confirmation (staleLockMs/3, 3 s — a
+        // merely-delayed live heartbeat gets a second chance to
+        // advance the mtime), i.e. ~7.5 s + poll granularity. The
+        // ordinary full-stale fallback can't fire before 9 s from the
+        // RESTORE (which reset the clock near t0), so the window
+        // [7000, 8700] pins the FAST path specifically.
+        val reapElapsed = reapAt.get() - t0
+        assert(reapElapsed >= 7000,
+          s"reap at ${reapElapsed}ms — before both frozen-mtime observations")
+        assert(reapElapsed < 8700,
+          s"reap at ${reapElapsed}ms — that is the full-stale fallback, not the fast path")
         assert(readToken(fs, lock) == token)
         val litter = fs.globStatus(new Path(s"$root/art.lock.broken-*"))
         assert(litter == null || litter.isEmpty,

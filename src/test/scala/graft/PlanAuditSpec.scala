@@ -593,7 +593,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestSession {
     assert(!cp.contains("SortMergeJoin") && !cp.contains("CartesianProduct"))
 
     Seq("x69_hard_negatives", "x72_contrastive_triplets").foreach { q =>
+      // structural guard (ADVICE r16): the measured-pin checkpoint
+      // truncates the SERVED lineage, so the plan can't show the
+      // probe stage — assert via the seam that building the served
+      // entry still routes through the audited hardNegProbeStage
+      val before = SimilarityOps.probeStageInvocations.get()
       val p = plan(q)
+      assert(SimilarityOps.probeStageInvocations.get() > before,
+        s"$q no longer routes through hardNegProbeStage — the probe-stage audit above is pinning dead code")
       assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), q)
       assert(p.contains("BroadcastHashJoin"),
         s"$q under-cap measured pin must broadcast at fixture scale")
