@@ -169,13 +169,15 @@ object BpeOps {
       .agg(array_sort(collect_list(struct($"round", $"a", $"b"))).as("ms"))
     val tv = trainedVocab.select($"word", $"syms").localCheckpoint(false)
     val hintedV = CountedHint.fn(s, tv.count(),
-      CountedHint.SegCapKey, CountedHint.SegBroadcastMaxWords)
+      CountedHint.SegCapKey, CountedHint.SegBroadcastMaxWords,
+      "bpe_trained_vocab")
     val oovSegs = words.select($"word").distinct()
       .join(hintedV(tv.select($"word")), Seq("word"), "left_anti")
       .crossJoin(broadcast(mergeList))
       .select($"word", expr(applyAllMergesExpr).as("syms"))
     val segTable = CountedHint.counted(tv.unionByName(oovSegs),
-      CountedHint.SegCapKey, CountedHint.SegBroadcastMaxWords)
+      CountedHint.SegCapKey, CountedHint.SegBroadcastMaxWords,
+      "bpe_segtable")
     words.join(segTable, Seq("word"))
       .select($"doc_id", $"word", $"syms")
   }

@@ -57,20 +57,47 @@ object CountedHint {
   private def hintsOn(s: SparkSession): Boolean =
     s.sessionState.conf.autoBroadcastJoinThreshold > 0
 
+  /** Last verdict per pin SITE, as one JSON object each
+    * ({"rows":N,"cap":C,"broadcast":B}) — Bench/DevProf surface the
+    * map in their artifact lines (`counted_pins`), so every sweep rung
+    * records which branch each measured pin actually took, with its
+    * measured count, instead of the branch being inferred from plan
+    * text. Values are deterministic per corpus; last-wins is safe. */
+  val verdicts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def record(site: String, rows: Long, capRows: Long,
+             pinned: Boolean): Unit =
+    verdicts.put(site,
+      s"""{"rows":$rows,"cap":$capRows,"broadcast":$pinned}""")
+
+  /** The verdicts map as one sorted JSON object (artifact lines). */
+  def verdictsJson: String = {
+    import scala.jdk.CollectionConverters._
+    verdicts.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+  }
+
   /** The pin verdict + hint function for an ALREADY-MEASURED count
     * (callers that checkpoint a frame anyway — e.g. ccLabelsOf's
     * converged labels — pass its count and hint several projections of
-    * it with one measurement). */
+    * it with one measurement). `site` labels the verdict register
+    * entry. */
   def fn(s: SparkSession, measuredRows: Long, key: String,
-         default: Long): DataFrame => DataFrame =
-    if (hintsOn(s) && measuredRows <= cap(s, key, default)) broadcast(_)
-    else identity
+         default: Long, site: String = ""): DataFrame => DataFrame = {
+    val c = cap(s, key, default)
+    val pinned = hintsOn(s) && measuredRows <= c
+    if (site.nonEmpty) record(site, measuredRows, c, pinned)
+    if (pinned) broadcast(_) else identity
+  }
 
   /** Materialize, count, and pin one frame in place: the lazy
     * localCheckpoint the count forces is reused verbatim by the join
     * that consumes the returned frame. */
-  def counted(df: DataFrame, key: String, default: Long): DataFrame = {
+  def counted(df: DataFrame, key: String, default: Long,
+              site: String = ""): DataFrame = {
     val mat = df.localCheckpoint(false)
-    fn(mat.sparkSession, mat.count(), key, default)(mat)
+    fn(mat.sparkSession, mat.count(), key, default, site)(mat)
   }
 }

@@ -211,7 +211,10 @@ object DedupOps {
   def verifyJaccardCounted(candidates: DataFrame, sets: DataFrame,
                            threshold: Double): DataFrame = {
     val cand = candidates.localCheckpoint(false)
-    val small = cand.count() <= verifyBroadcastCap(cand.sparkSession)
+    val n = cand.count()
+    val capRows = verifyBroadcastCap(cand.sparkSession)
+    val small = n <= capRows
+    CountedHint.record("verify_candidates", n, capRows, small)
     verifyJaccardImpl(cand, sets, threshold,
       if (small) broadcast(_) else identity)
   }
@@ -436,7 +439,8 @@ object DedupOps {
     import s.implicits._
     val labels = ccLabelsOf(dedupMinhashLshOf(docsFrame).select($"da", $"db"))
     val hintedL = CountedHint.fn(s, labels.count(),
-      CountedHint.LabelCapKey, CountedHint.LabelBroadcastMaxRows)
+      CountedHint.LabelCapKey, CountedHint.LabelBroadcastMaxRows,
+      "x17_labels_inline")
     docsFrame.select($"doc_id")
       .join(hintedL(labels.select($"doc_id", $"rep".as("erep"))),
         Seq("doc_id"), "left")
@@ -651,7 +655,8 @@ object DedupOps {
           // the same counted cap (comp is eagerly checkpointed by
           // ccLabelsOf; one count pins both projections)
           val hintedC = CountedHint.fn(s, comp.count(),
-            CountedHint.LabelCapKey, CountedHint.LabelBroadcastMaxRows)
+            CountedHint.LabelCapKey, CountedHint.LabelBroadcastMaxRows,
+            "x17_labels_build_delta")
           cSets.unionAll(bSets).write.mode("overwrite").parquet(s"$st/sets")
           s.read.parquet(s"$bpath/bands").select($"doc_id", $"band", $"key")
             .unionAll(bBands.select($"doc_id", $"band", $"key"))
@@ -685,7 +690,8 @@ object DedupOps {
           // checkpointed by ccLabelsOf, the count is one RDD action);
           // above it the join shuffles on doc_id with no conf flip
           val hintedCc = CountedHint.fn(s, cc.count(),
-            CountedHint.LabelCapKey, CountedHint.LabelBroadcastMaxRows)
+            CountedHint.LabelCapKey, CountedHint.LabelBroadcastMaxRows,
+            "x17_labels_build_full")
           docsAll.select($"doc_id")
             .join(hintedCc(cc.select($"doc_id", $"rep".as("erep"))),
               Seq("doc_id"), "left")
@@ -709,7 +715,8 @@ object DedupOps {
     // the checkpoint the count forces is reused verbatim by the join
     val listedReps = CountedHint.counted(
       labels.filter(isListed($"doc_id")).select($"rep").distinct(),
-      CountedHint.LabelCapKey, CountedHint.LabelBroadcastMaxRows)
+      CountedHint.LabelCapKey, CountedHint.LabelBroadcastMaxRows,
+      "x57_listed_reps")
     labels.join(listedReps, Seq("rep"))
       .select($"doc_id", $"rep",
         when(isListed($"doc_id"), lit("listed"))
@@ -726,7 +733,8 @@ object DedupOps {
     val labels = dedupClustersOf(docsFrame) // (doc_id, rep) for EVERY doc
     val listedReps = CountedHint.counted(
       labels.filter(isListed($"doc_id")).select($"rep").distinct(),
-      CountedHint.LabelCapKey, CountedHint.LabelBroadcastMaxRows)
+      CountedHint.LabelCapKey, CountedHint.LabelBroadcastMaxRows,
+      "x57_listed_reps_of")
     labels.join(listedReps, Seq("rep"))
       .select($"doc_id", $"rep",
         when(isListed($"doc_id"), lit("listed"))
@@ -897,7 +905,8 @@ object DedupOps {
       wins.groupBy($"k")
         .agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"))
         .filter($"mn" < $"mx").select($"k", lit(1L).as("dup")),
-      CountedHint.DupKeyCapKey, CountedHint.DupKeyBroadcastMaxRows)
+      CountedHint.DupKeyCapKey, CountedHint.DupKeyBroadcastMaxRows,
+      "x26_dup_keys")
     wins.join(dup, Seq("k"), "left")
       .groupBy($"doc_id")
       .agg(count("*").as("n_windows"),

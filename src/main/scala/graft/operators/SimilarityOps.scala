@@ -1355,10 +1355,15 @@ object SimilarityOps {
     val aids = anchorIds.select($"qid").localCheckpoint(false)
     val nAnchors = aids.count()
     val anchorsSmall = hintsOn && nAnchors <= negAnchorCap(s)
+    CountedHint.record("x69x72_anchors", nAnchors, negAnchorCap(s),
+      anchorsSmall)
     val hintedA = (df: DataFrame) => if (anchorsSmall) broadcast(df) else df
     val (anchors, candPre) = hardNegProbeStage(s, d, aids, anchorsSmall)
     val candidates = candPre.localCheckpoint(false)
-    val candSmall = hintsOn && candidates.count() <= negCandidateCap(s)
+    val nCand = candidates.count()
+    val candSmall = hintsOn && nCand <= negCandidateCap(s)
+    CountedHint.record("x69x72_candidates", nCand, negCandidateCap(s),
+      candSmall)
     val hintedC = (df: DataFrame) => if (candSmall) broadcast(df) else df
     // per-anchor top-K via the bounded graft_topk aggregate instead of
     // a rank window: the window SORTS every candidate row per anchor

@@ -47,6 +47,14 @@ object DedupStream {
       StructField("band", IntegerType)))
   }
 
+  /** Test seam (DedupStreamChaosSpec): invoked after the batch's sets
+    * partition has landed but BEFORE the bands write and the streaming
+    * checkpoint commit — the crash window where state is half-written
+    * and the source offset is still uncommitted. Replay safety there
+    * is exactly what the batch_id-keyed dynamic partition overwrite
+    * exists for. */
+  private[graft] var onSetsWritten: Long => Unit = _ => ()
+
   /** One micro-batch of (doc_id, text) rows: shingle once (the
     * checkpoint feeds both artifacts), land the batch's identity sets
     * and band keys into its own partitions. */
@@ -56,6 +64,7 @@ object DedupStream {
     sets.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(s"$stateDir/sets")
+    onSetsWritten(batchId)
     DedupOps.bandKeys(DedupOps.minhashSignatures(sets))
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
