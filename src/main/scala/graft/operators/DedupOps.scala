@@ -1500,12 +1500,26 @@ object DedupOps {
   /** (doc_id, n_tokens, pos, g) — each doc's positioned, fingerprinted
     * word 8-grams. Public as the per-document (corpus-independent)
     * stage of the span pipeline: the streaming index persists exactly
-    * this relation per batch. */
+    * this relation per batch.
+    *
+    * `g` is the 16-byte two-seed-XXH64 window key from
+    * [[graft.plans.BlockWindowHashes]] (the x26 standard): the
+    * fingerprint is ENGINE-INTERNAL — every consumer (x43 spans, x44
+    * excision, x51 intra-doc coverage, the streaming index) compares
+    * grams only among themselves and outputs counts/positions, never
+    * the key, and the DuckDB oracles recompute their own md5 windows
+    * from the strings. Collision standard unchanged from the md5 form
+    * (128 bits → ~1e-13 expected collisions at 1e13 windows). The
+    * r17 switch replaces four interpreted HOF layers + a MessageDigest
+    * md5 per window (`transform∘sequence∘slice∘concat_ws∘md5`) with
+    * one fused compiled pass, and halves the shuffled key width
+    * (16-byte binary vs 32-char hex string). */
   def substringGramsOfWords(w: DataFrame,
                             k: Int = SubstringGramK): DataFrame = {
+    graft.plans.GraftExpressions.register(w.sparkSession)
     w.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
-        posexplode(transform(sequence(lit(0), size(col("w")) - k),
-          i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(k)))))))
+        posexplode(call_function(
+          graft.plans.GraftExpressions.BlockHashesFn, col("w"), lit(k))))
       .select(col("doc_id"), col("n_tokens"), col("pos"), col("col").as("g"))
   }
 

@@ -37,14 +37,14 @@ object SubstringStream {
       StructField("doc_id", LongType),
       StructField("n_tokens", LongType),
       StructField("pos", IntegerType),
-      StructField("g", StringType),
+      StructField("g", BinaryType),
       StructField("batch_id", LongType)))
   }
 
   private val dfSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
     StructType(Seq(
-      StructField("g", StringType),
+      StructField("g", BinaryType),
       StructField("nd", LongType),
       StructField("batch_id", LongType)))
   }
