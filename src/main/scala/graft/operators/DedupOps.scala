@@ -955,13 +955,33 @@ object DedupOps {
       .select(col("doc_id").as("train_id"), explode(col("s")).as("sh"))
     val ep = evalSets
       .select(col("doc_id").as("eval_id"), explode(col("s")).as("sh"))
-    val rare = tp.select(col("sh")).unionAll(ep.select(col("sh")))
+    // df-cap by ANTI join against the HOT set (df > MaxShingleDf) —
+    // the COMPLEMENT of the r16 semi-join's rare side. Same partition
+    // of the vocabulary, so each posting survives iff its shingle's df
+    // is ≤ the cap, exactly as before — but the join side shrinks from
+    // nearly-the-whole-vocabulary (rare shingles are the common case;
+    // at sf0.1 the rare relation was ~990k of ~1M hashes) to the
+    // boilerplate tail (~600 rows at sf0.1), so both prunes become
+    // tiny broadcast builds instead of two vocabulary-sized hash
+    // builds (guide §3.1: broadcast the side that fits — and pick the
+    // FORMULATION whose small side is small). The hot relation is
+    // corpus-coupled (boilerplate vocabulary grows with the crawl), so
+    // it carries NO pinned hint: its join strategy is decided by AQE's
+    // RUNTIME size measurement — a measured bound, not hope — and a
+    // corpus whose hot set outgrows the broadcast threshold degrades
+    // to the keyed shuffle automatically. (A counted-cap pin was
+    // measured here and rejected: the count's construction barrier
+    // serializes the df aggregate ahead of the query and cost more
+    // than the tiny broadcasts save — the CountedHint pattern pays off
+    // only where the checkpoint is reused for more than the hint, as
+    // in x26/x56.) Prune BOTH sides: hot shingles are exactly the hot
+    // join keys of the pair join, and the guard has to hold for
+    // whichever side is bigger.
+    val hot = tp.select(col("sh")).unionAll(ep.select(col("sh")))
       .groupBy(col("sh")).agg(count("*").as("df"))
-      .filter(col("df") <= MaxShingleDf).select(col("sh"))
-    // prune BOTH sides: capped shingles are exactly the hot join keys,
-    // and the guard has to hold for whichever side is bigger
-    tp.join(rare, Seq("sh"), "left_semi")
-      .join(ep.join(rare, Seq("sh"), "left_semi"), "sh")
+      .filter(col("df") > MaxShingleDf).select(col("sh"))
+    tp.join(hot, Seq("sh"), "left_anti")
+      .join(ep.join(hot, Seq("sh"), "left_anti"), "sh")
       .groupBy(col("train_id"), col("eval_id")).agg(count("*").as("n_shared"))
       .filter(col("n_shared") >= MinSharedShingles)
       .orderBy(col("train_id"), col("eval_id"))
