@@ -19,7 +19,7 @@ object DevProf {
     val name = args(0)
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
     val reps = args.lift(2).map(_.toInt).getOrElse(5)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8"))
@@ -28,7 +28,16 @@ object DevProf {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Extra session confs for A/B experiments, Bench's hook verbatim
+    // (SPARK_GRAFT_CONF="spark.x=1;spark.y=2") — big-rung solo runs
+    // need e.g. zstd shuffle compression to fit the sandbox disk.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty => builder.config(k.trim, v.trim)
+        case _ => // tolerate trailing ';' / empty segments
+      }
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     // cumulative stage metrics (listener delivery is async; per-rep
