@@ -1442,6 +1442,12 @@ object DedupOps {
       .filter($"va" < $"vb")
       .select($"va", $"vb",
         round(CoreQueries.cosine(s, $"ea", $"eb"), 4).as("sim"))
+      // in-job candidate-volume denominator: the verify stage's true
+      // work unit is the collision-survivor pair fed to exact cosine
+      // (counted AFTER the 1:1 cosine projection so scan pruning and
+      // the join stage are untouched), not the final qualifying pair —
+      // the rung ladder adjudicates µs/candidate with it
+      .observe("x05_candidates", count(lit(1)).as("rows"))
       .filter($"sim" >= CosineThreshold)
       // in-job per-pair denominator for the sweep ladder (x02 rule)
       .observe("x05_dup_pairs", count(lit(1)).as("rows"))
@@ -1489,9 +1495,11 @@ object DedupOps {
     *
     * Scale shape: ONE corpus scan — both gram derivations (df counting
     * and position marking) hang off the same rebalance exchange, which
-    * the planner reuses (pinned in PlanAuditSpec). Grams travel as md5
-    * fingerprints (32-byte bounded keys — both engines recompute the
-    * same md5, so the fingerprint grouping IS the oracle's grouping);
+    * the planner reuses (pinned in PlanAuditSpec). Grams travel as
+    * engine-internal 16-byte XXH64 window keys (graft_block_hashes —
+    * the fingerprint never reaches any output, and the oracle
+    * recomputes its own md5 windows over the same text, so both
+    * engines group identically without sharing a hash);
     * the work is hash shuffles on those fingerprints (two-phase exact
     * distinct-doc counting, then the mark join) plus one per-document
     * window — ∝ total tokens, never pairwise in documents. The gram

@@ -1178,7 +1178,12 @@ object SimilarityOps {
       .select($"r.key", $"r.dir", $"r.oid", $"r.sim")
     val hoods = tagged.groupBy($"key", $"dir")
       .agg(call_function(graft.plans.GraftExpressions.TopKFn,
-        $"sim", $"oid", lit(BitextK)).as("top"))
+        $"sim", $"oid", lit(BitextK)).as("top"),
+        // per-key candidate fan-in, carried through the checkpoint so
+        // the work-unit observe below survives plan truncation (an
+        // observe on the candidate relation itself would sit under the
+        // LogicalRDD and never reach the harvest listener)
+        count(lit(1)).as("ncand"))
       // neighborhood normalizer: 1e4-scaled integer sum over ≤k
       // entries, bitwise-reproducible in any accumulation order
       .withColumn("ssum", expr(
@@ -1186,7 +1191,13 @@ object SimilarityOps {
         "acc + CAST(round(x.score * 10000.0, 0) AS BIGINT))"))
       .withColumn("n", size($"top").cast("long"))
       .localCheckpoint(false)   // bounded: ≤ (|A|+|B|) rows × k entries
+    // in-job candidate-volume denominator: the top-M OUTPUT is bounded
+    // and the scored-pair relation is top-K bounded per key, so neither
+    // tracks the operator's real work — the cosine-scored candidate
+    // fan-in does. Each candidate pair contributes exactly one dir=0
+    // row to its aid's hood count, so Σ ncand over dir=0 ≡ |candidates|
     val fwd = hoods.filter($"dir" === 0)
+      .observe("x65_candidates", sum($"ncand").as("rows"))
     val bwd = hoods.filter($"dir" === 1)
       .select($"key".as("bid"), $"ssum".as("sb"), $"n".as("nb"))
     val pairs = fwd.select($"key".as("aid"), $"ssum".as("sa"),
@@ -1316,11 +1327,35 @@ object SimilarityOps {
   private[graft] val probeStageInvocations =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Run `body` on a named helper thread NOW; the returned thunk joins
+    * and rethrows its failure (wrapped cause intact). Spark's local
+    * properties (job group/description) are InheritableThreadLocals,
+    * so jobs the body submits stay correctly labeled. Used to overlap
+    * independent job chains per guide §2.6 — Spark's scheduler runs
+    * concurrent jobs fine; actions are only sequential because driver
+    * code calls them sequentially. */
+  private def overlap[A](s: SparkSession, label: String)
+                        (body: => A): () => A = {
+    val out = new java.util.concurrent.atomic.AtomicReference[Either[Throwable, A]]()
+    val t = new Thread(() => {
+      out.set(try Right(body) catch { case e: Throwable => Left(e) })
+    }, s"graft-overlap: $label")
+    t.setDaemon(true)
+    t.start()
+    () => {
+      t.join()
+      out.get() match {
+        case Right(a) => a
+        case Left(e) => throw e
+      }
+    }
+  }
+
   private[graft] def hardNegProbeStage(s: SparkSession, d: String,
       aids: DataFrame, pinAnchors: Boolean): (DataFrame, DataFrame) = {
     probeStageInvocations.incrementAndGet()
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
+    graft.plans.GraftExpressions.register(s)
     val root = ensureIvfIndex(s, d)
     val cents = ArtifactBuild.readCached(s, s"$root/centroids")
     val assigned = ivfAssign(s, root)
@@ -1332,13 +1367,26 @@ object SimilarityOps {
     // per-anchor probed cells: integer-dot rank of the trained table.
     // The BROADCAST side is the centroid table (bounded by
     // construction); the anchor batch STREAMS, so this cross join
-    // needs no cap at all.
+    // needs no cap at all. The per-anchor top-NProbe runs as the
+    // bounded graft_topk aggregate, NOT a row_number window: the
+    // window form pushed every (anchor × centroid) row — anchors ×
+    // n/97, quadratic-ish in corpus size at x72's anchor counts —
+    // through a full exchange + sort, while the heap aggregate merges
+    // map-side and ships NProbe entries per anchor (guide §2.3/§2.4;
+    // each anchor's centroid rows are produced by one broadcast-join
+    // partition, so the partial IS the final answer). Heap order
+    // (score DESC, id ASC) ≡ the window's (dot DESC, cid ASC) —
+    // TopKAggregateSpec pins it — and the long→double score cast is
+    // exact: |dot| ≤ Dim·(Quant·|coord|)² ≈ 2e13 « 2^53 on unit-scale
+    // embedding coords. Only the probed-cid SET flows on, so the
+    // rank itself was never used.
     val probeCids = anchors.select($"qid", $"qq").crossJoin(broadcast(cents))
-      .select($"qid", $"cid", longDot(s, $"c", $"qq").as("dot"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"qid").orderBy($"dot".desc, $"cid")))
-      .filter($"rn" <= NProbe)
-      .select($"qid", $"cid".cast("long").as("cid"))
+      .select($"qid", $"cid".cast("long").as("cid"),
+        longDot(s, $"c", $"qq").cast("double").as("dot"))
+      .groupBy($"qid")
+      .agg(call_function(graft.plans.GraftExpressions.TopKFn,
+        $"dot", $"cid", lit(NProbe)).as("top"))
+      .select($"qid", explode($"top.id").as("cid"))
     val candidates = assigned
       .join(hintedA(probeCids), "cid")
       .filter($"vec_id" =!= $"qid")
@@ -1353,7 +1401,27 @@ object SimilarityOps {
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
     val hintsOn = s.sessionState.conf.autoBroadcastJoinThreshold > 0
     val aids = anchorIds.select($"qid").localCheckpoint(false)
-    val nAnchors = aids.count()
+    // Overlap the two independent job chains (guide §2.6): the IVF
+    // index ensure takes NO anchor input — on a cold index its Lloyd
+    // training chain used to run strictly AFTER the anchor count's
+    // barrier (at x72's call site that barrier is the whole x05 pair
+    // pipeline), serializing two walls that share nothing. A helper
+    // thread builds/opens the index while the count runs;
+    // ArtifactBuild.ensure serializes concurrent ensures per path, so
+    // the probe stage's own ensureIvfIndex call just finds the marker.
+    // Pin soundness is untouched: the count still strictly precedes
+    // every hinted PLAN — only the count and the index BUILD overlap.
+    val idxAhead = overlap(s, "x69x72 ensureIvfIndex (ahead of anchor count)") {
+      ensureIvfIndex(s, d)
+    }
+    val nAnchors = try aids.count() catch {
+      // the count failing must not leak a running builder thread — join
+      // it, keep the count's failure primary
+      case t: Throwable =>
+        try idxAhead() catch { case e: Throwable => t.addSuppressed(e) }
+        throw t
+    }
+    idxAhead()
     val anchorsSmall = hintsOn && nAnchors <= negAnchorCap(s)
     CountedHint.record("x69x72_anchors", nAnchors, negAnchorCap(s),
       anchorsSmall)

@@ -734,11 +734,18 @@ case class SimHash64(child: Expression)
 }
 
 object BlockWindowHashes {
-  /** Two independent XXH64 seeds give a 128-bit window key — the same
-    * collision standard the md5 form set (expected collisions at 1e13
-    * windows ≈ (1e13)²/2^129 ≈ 1e-13), at ~10× less per-window cost
-    * than MessageDigest md5. Keys are engine-internal (x26 outputs
-    * counts only), so the DuckDB oracle keeps its own md5 windows. */
+  /** Two XXH64 runs of the same bytes under different seeds form a
+    * 128-bit window key. On RANDOM input the collision bound matches
+    * the md5 form (expected collisions at 1e13 windows ≈
+    * (1e13)²/2^129 ≈ 1e-13), at ~10× less per-window cost than
+    * MessageDigest md5 — but the two seeded outputs are not
+    * independent and XXH64 is not adversarially collision-resistant
+    * (seed-independent collisions are constructible), so a crafted
+    * corpus could force false duplicate windows. Acceptable here
+    * because keys are engine-internal (x26 outputs counts only; the
+    * DuckDB oracle keeps its own md5 windows) and the nd ≥ 2
+    * duplication thresholds bound the blast radius of any single
+    * collision; md5 offers no adversarial guarantee either. */
   val SeedLo = 42L
   val SeedHi = 1077L
 

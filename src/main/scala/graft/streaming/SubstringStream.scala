@@ -49,11 +49,61 @@ object SubstringStream {
       StructField("batch_id", LongType)))
   }
 
+  /** Persisted key format of this state dir. v2 = 16-byte binary
+    * XXH64 window keys (the r17 fused fingerprint); the unmarked v1
+    * format was 32-char md5 hex strings. Parquet happily reads a v1
+    * string `g` column as binary, and v1/v2 keys never match — mixed
+    * partitions would make the summed df partials silently undercount
+    * and duplicated spans silently disappear. The marker turns that
+    * into a loud refusal: a format change means the state dir must be
+    * wiped and rebuilt from the retained documents (the batch inputs
+    * are the durable record; state is derived). */
+  private[streaming] val FormatVersion = "substring-grams-v2-xxh64-binary"
+
+  private def formatPath(stateDir: String) =
+    new org.apache.hadoop.fs.Path(s"$stateDir/_format")
+
+  /** Verify (and on first write, stamp) the state dir's format marker.
+    * Refuses when the marker disagrees, or when state exists with NO
+    * marker — that is a pre-marker (v1 hex-key) dir, which must be
+    * rebuilt, not mixed into. */
+  private def checkFormat(spark: SparkSession, stateDir: String,
+                          stampIfNew: Boolean): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val marker = formatPath(stateDir)
+    val fs = marker.getFileSystem(conf)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val found =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(found == FormatVersion,
+        s"substring state dir $stateDir has key format '$found' but this " +
+          s"engine writes '$FormatVersion' — wipe the state dir and rebuild " +
+          "from the retained documents (keys of different formats never " +
+          "match, so mixing them silently undercounts duplication)")
+    } else {
+      val hasState =
+        fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/grams")) ||
+          fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/df"))
+      require(!hasState,
+        s"substring state dir $stateDir has batches but no _format marker " +
+          "— it predates the XXH64 binary key format and must be wiped and " +
+          "rebuilt from the retained documents before serving or appending")
+      if (stampIfNew) {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(stateDir))
+        val out = fs.create(marker, true)
+        try out.write(FormatVersion.getBytes("UTF-8")) finally out.close()
+      }
+    }
+  }
+
   /** One micro-batch of (doc_id, text) rows: tokenize + fingerprint
     * once (the checkpoint feeds both artifacts), land the batch's gram
     * relation and its per-gram distinct-doc partial. */
   def processDocBatch(batch: DataFrame, stateDir: String,
                       batchId: Long): Unit = {
+    checkFormat(batch.sparkSession, stateDir, stampIfNew = true)
     val grams = DedupOps.substringGramsOfWords(
         DedupOps.substringWordsOf(batch))
       .localCheckpoint(false)
@@ -84,6 +134,7 @@ object SubstringStream {
     * marked positions come from the persisted gram relation, and the
     * merge is the one-shot pipeline's own gaps-and-islands. */
   def servedSpans(spark: SparkSession, stateDir: String): DataFrame = {
+    checkFormat(spark, stateDir, stampIfNew = false)
     val grams = StateMaintenance.readOr(spark, s"$stateDir/grams", gramsSchema)
       .select(col("doc_id"), col("n_tokens"), col("pos"), col("g"))
     val dup = StateMaintenance.readOr(spark, s"$stateDir/df", dfSchema)
@@ -97,6 +148,7 @@ object SubstringStream {
     * (identity merge); df partials RE-SUM per gram — the associative
     * merge the serving path already applies. */
   def compact(spark: SparkSession, stateDir: String, upTo: Long): Unit = {
+    checkFormat(spark, stateDir, stampIfNew = false)
     StateMaintenance.compactBatches(spark, s"$stateDir/grams", upTo,
       identity)
     StateMaintenance.compactBatches(spark, s"$stateDir/df", upTo,

@@ -67,6 +67,42 @@ class SubstringRetentionSpec extends AnyFunSuite with SparkTestSession {
     assert(served(state) === oneShot(b1, b2))
   }
 
+  test("streaming substrings: state-format marker stamps, accepts, and refuses") {
+    val root = java.nio.file.Files.createTempDirectory("graft-substr-fmt")
+    val fs = new org.apache.hadoop.fs.Path(root.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fresh dir: first batch stamps the marker; serve/compact accept it
+    val state = s"$root/state"
+    SubstringStream.processDocBatch(docs.limit(5), state, 0L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$state/_format")))
+    assert(served(state) === oneShot(docs.limit(5)))
+    // pre-marker (v1 hex-key) dir: batches exist, no marker → REFUSE on
+    // serve, append, and compact — parquet would read v1 string keys as
+    // binary and silently undercount df sums
+    val v1 = s"$root/v1state"
+    SubstringStream.processDocBatch(docs.limit(5), v1, 0L)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$v1/_format"), false))
+    for (op <- Seq[() => Any](
+        () => SubstringStream.servedSpans(spark, v1),
+        () => SubstringStream.processDocBatch(docs.limit(5), v1, 1L),
+        () => SubstringStream.compact(spark, v1, 0L))) {
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains("_format"), e.getMessage)
+    }
+    // mismatched marker (a FUTURE format) → refuse with the found tag
+    val other = s"$root/other"
+    SubstringStream.processDocBatch(docs.limit(5), other, 0L)
+    val mp = new org.apache.hadoop.fs.Path(s"$other/_format")
+    val out = fs.create(mp, true)
+    try out.write("substring-grams-v3-imaginary".getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[IllegalArgumentException](
+      SubstringStream.servedSpans(spark, other))
+    assert(e.getMessage.contains("substring-grams-v3-imaginary"))
+    // an EMPTY dir serves empty (no marker demanded before first batch)
+    assert(served(s"$root/never-written").isEmpty)
+  }
+
   test("streaming substrings: the file-drop stream lands every batch partition") {
     val root = java.nio.file.Files.createTempDirectory("graft-substr-drop")
     val in = s"$root/in"
